@@ -1,0 +1,60 @@
+"""Testdata catalog: explicit-schema parquet scans.
+
+Tables are the driver-materialized synthetic star schema (TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings`` — one parquet file per table under an ``sf`` directory.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown / column pruning / partition pruning; we never cache here (the
+caller decides), and we never infer schemas from JSON in production
+paths (see schemas.py for the declared StructTypes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are safely broadcastable at any realistic scale
+# (region=5, nation=25 rows at every SF; supplier/part grow slowly).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (columnar parquet scan, pushdown-capable).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as long nanos (legacy conf,
+    runtime-settable) and truncate to a microsecond TimestampType —
+    exactly what DuckDB does on read, so oracle comparisons line up.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

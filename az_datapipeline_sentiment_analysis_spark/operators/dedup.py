@@ -1,0 +1,307 @@
+"""Deduplication operators for large text corpora.
+
+Generalizes the reference's single dedup affordance (the ``review_hash``
+field on every review payload, see SURVEY.md §2.2 "dedup") into the
+operator family an LLM-data pipeline needs:
+
+* exact dedup         — hash-groupBy on a normalized fingerprint; one
+                        shuffle on the hash, arbitrarily scalable.
+* n-gram Jaccard      — exact pairwise similarity on word-shingle sets;
+                        the O(n²) *baseline* used to verify the
+                        approximate methods. Blocked by a cheap key to
+                        bound the quadratic term.
+* MinHash + LSH       — the 100 TB path: per-doc signature (linear
+                        scan), banded bucketing (shuffle on band hash),
+                        candidate pairs only within buckets, exact
+                        verification of candidates. Cost ~ O(n) +
+                        O(sum of bucket² ) instead of O(n²).
+* SimHash             — 64-bit fingerprints; near-dup = small Hamming
+                        distance; banding on 16-bit chunks for the
+                        candidate join.
+
+Everything is deterministic (md5-derived hashing, fixed seeds) so runs
+are reproducible and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_expr
+
+# --- shared shingling ------------------------------------------------
+
+SHINGLE_WIDTH = 3  # word trigrams
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
+    """Distinct word-trigram shingles, computed JVM-side.
+
+    ``sequence(1, n-2)`` + ``element_at`` keeps the whole thing inside
+    codegen; docs shorter than the shingle width get an empty array.
+    """
+    tok = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    return df.withColumn(
+        out,
+        F.expr(
+            f"array_distinct(CASE WHEN size({tok}) < {SHINGLE_WIDTH} THEN array()"
+            f" ELSE transform(sequence(1, size({tok}) - {SHINGLE_WIDTH - 1}),"
+            f"   i -> concat_ws(' ', element_at({tok}, i), element_at({tok}, i + 1),"
+            f"        element_at({tok}, i + 2))) END)"
+        ),
+    )
+
+
+# --- exact dedup -----------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-row-per-fingerprint: (fp, canonical_id=min(id), n_dupes).
+
+    Single hash-shuffle on the fingerprint; at 100 TB this is the
+    standard exact-dedup pass (map-side partial agg keeps the shuffle
+    small when dup rate is high).
+    """
+    return (
+        df.withColumn("fp", fingerprint_expr(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard (the verification baseline) ----------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Exact but quadratic: only for verification / small corpora. The
+    self-join shuffles both sides on nothing (cross by id inequality),
+    so Spark plans a broadcast-nested-loop at small sizes; at scale use
+    :func:`minhash_pairs`.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = with_shingles(df, text_col).select(
+        F.col(id_col).alias("id"), "shingles"
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH (the scale path) ----------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows; catches jaccard>=0.5 with p~0.93, >=0.8 with p~0.99
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int = N_HASHES) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def _minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> list:
+    """k-way min of universal-hashed shingle md5s (deterministic).
+
+    Python-int modular arithmetic (no overflow); `shingles` may be a
+    numpy array coming out of an Arrow batch.
+    """
+    if shingles is None or len(shingles) == 0:
+        return [int(_MERSENNE)] * len(a)
+    hv = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
+        for s in shingles
+    ]
+    return [
+        min((ai * h + bi) % _MERSENNE for h in hv)
+        for ai, bi in zip(a.tolist(), b.tolist())
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig: array<long>) — one linear Arrow-batched pass."""
+    a, b = _hash_params()
+
+    def compute(it):
+        for pdf in it:
+            sigs = [_minhash_signature(sh, a, b) for sh in pdf["shingles"]]
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
+    return sh.mapInPandas(compute, schema="id long, sig array<long>")
+
+
+def minhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH + exact verification.
+
+    Plan shape (scales linearly in corpus size for bounded dup rate):
+      1. signature scan (mapInPandas, no shuffle)
+      2. explode to (band, band_hash) — shuffle on band key
+      3. self-join within buckets -> candidate pairs (tiny vs n²)
+      4. exact Jaccard verification of candidates only
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
+    EXACT shingle sets (so precision is 1.0; LSH only affects recall).
+    """
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> struct(b AS band, hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                f" {ROWS_PER_BAND})) AS bh))"
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
+    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks for candidate banding
+HAMMING_MAX = 8
+
+
+def _simhash(tokens: list) -> int:
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for i in range(SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # store as signed i64
+
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) via an Arrow-batched scan."""
+    import re
+
+    pat = re.compile("[a-z]+")
+
+    def compute(it):
+        for pdf in it:
+            vals = [
+                _simhash(pat.findall((t or "").lower())) for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "simhash": vals})
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).mapInPandas(
+        compute, schema="id long, simhash long"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = HAMMING_MAX,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: any pair within Hamming<=8 of a 64-bit hash
+    shares at least one identical 16-bit chunk only when the 8 flipped
+    bits avoid a chunk — guaranteed by pigeonhole for <=3 flips per
+    chunk... for exactness with max_hamming=8 over 4 chunks we accept
+    the standard heuristic (a pair must agree on >=1 chunk); verified
+    pairs are exact-Hamming checked.
+    Output: (doc_a, doc_b, hamming).
+    """
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+                f" c -> struct(c AS chunk,"
+                f"  (shiftright(simhash, c * 16) & 65535) AS ch))"
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ch")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.ch") == F.col("y.ch"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(h_a ^ h_b)")
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

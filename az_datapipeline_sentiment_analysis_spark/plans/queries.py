@@ -1,0 +1,1375 @@
+"""The engine's declared operator surface.
+
+Every operator from SURVEY.md §2.2 is declared here as a named query:
+a PySpark builder ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an exactly-equivalent DuckDB oracle SQL string. The
+driver — and ``tests/test_oracle_parity.py`` locally — runs both and
+compares row count + schema + order-insensitive value hash.
+
+Cross-engine determinism rules used throughout:
+* every computed double is ``round(x, N)`` on BOTH sides (float sums
+  agree to ~1e-12 but not bitwise; rounding collapses the dust);
+* every int-valued computed column is cast to BIGINT on the Spark side
+  (DuckDB ints are bigint by default);
+* top-k / ranked queries order by the rounded value with an id
+  tiebreak, so the selected SET is engine-independent;
+* timestamps compare naive-UTC (session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from ..functions.arrays import cosine_expr
+from ..functions.text import (
+    NEG_THRESHOLD,
+    NEGATIVE_WORDS,
+    POS_THRESHOLD,
+    POSITIVE_WORDS,
+    STOPWORDS_EN,
+    alpha_ratio_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    sentiment_components_expr,
+    sentiment_confidence_expr,
+    sentiment_label_expr,
+    sentiment_pandas_udf,
+    stopword_ratio_expr,
+    token_count_expr,
+    _CJK_RANGE,
+    _sql_word_list,
+)
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators.asof import asof_join
+
+
+class Q(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+POS_SQL = _sql_word_list(POSITIVE_WORDS)
+NEG_SQL = _sql_word_list(NEGATIVE_WORDS)
+STOP_SQL = _sql_word_list(STOPWORDS_EN)
+
+
+# =====================================================================
+# Flagship: TPC-H-Q1-shaped pricing summary (scan→filter→agg→sort)
+# =====================================================================
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Flagship hash-agg query (SURVEY §7 M1); partial+final agg, no UDF.",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# Scans / projection / filters (S7, S9, S17 parity)
+# =====================================================================
+
+@_q(
+    "scan_parquet",
+    "SELECT r_regionkey, r_name FROM region",
+    "Plain columnar scan (S18/S19 landing read).",
+)
+def scan_parquet(spark, sf):
+    return _t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+@_q(
+    "project_cast",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, 'en' AS language, text
+    FROM documents
+    """,
+    "S9 parity: id int->str cast, hardcoded language literal, rename.",
+)
+def project_cast(spark, sf):
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("en").alias("language"),
+        F.col("text"),
+    )
+
+
+@_q(
+    "filter_flag",
+    """
+    SELECT event_id, user_id, ROUND(value, 4) AS value
+    FROM events WHERE event_type = 'error'
+    """,
+    "S7 parity: predicate scan (pushed to parquet).",
+)
+def filter_flag(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+@_q(
+    "filter_in",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    "IN-list predicate (S17 key-set shape).",
+)
+def filter_in(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "filter_empty_guard",
+    "SELECT doc_id, text FROM documents WHERE doc_id < 0",
+    "S8 parity: empty-input short-circuit (result is the empty set).",
+)
+def filter_empty_guard(spark, sf):
+    return _t(spark, sf, "documents").filter(F.col("doc_id") < 0).select("doc_id", "text")
+
+
+@_q(
+    "null_normalize",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(source) = '' THEN NULL ELSE trim(source) END AS source_n
+    FROM documents
+    """,
+    "Empty-string-as-null normalization (SURVEY §1.1 convention).",
+)
+def null_normalize(spark, sf):
+    s = F.trim(F.col("source"))
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.when(s == "", None).otherwise(s).alias("source_n")
+    )
+
+
+# =====================================================================
+# Scalar function families
+# =====================================================================
+
+@_q(
+    "string_funcs",
+    """
+    SELECT doc_id,
+           length(text) AS n_len,
+           upper(substr(text, 1, 12)) AS head_u,
+           concat(lang, ':', source) AS tag,
+           reverse(lang) AS gnal
+    FROM documents
+    """,
+    "length/substr/upper/concat/reverse over the text corpus.",
+)
+def string_funcs(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_len"),
+        F.upper(F.substring("text", 1, 12)).alias("head_u"),
+        F.concat_ws(":", "lang", "source").alias("tag"),
+        F.reverse("lang").alias("gnal"),
+    )
+
+
+@_q(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           date_trunc('month', o_orderdate) AS mon_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS BIGINT)
+               AS days_to_eoy
+    FROM orders
+    """,
+    "year/month/date_trunc/datediff (reference date/checkin handling).",
+)
+def date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon_start"),
+        F.datediff(
+            F.to_date(F.lit("2001-12-31")), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_eoy"),
+    )
+
+
+@_q(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amt,
+           CAST(ceil(l_quantity) AS BIGINT) AS q_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS q_floor,
+           ROUND(abs(l_discount - 0.05), 6) AS disc_dev,
+           l_orderkey % 7 AS key_mod,
+           ROUND(sqrt(l_quantity), 6) AS q_sqrt
+    FROM lineitem
+    """,
+    "ceil/floor/abs/mod/sqrt/round (ceil at reference :57).",
+)
+def math_funcs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
+        F.ceil("l_quantity").cast("long").alias("q_ceil"),
+        F.floor("l_quantity").cast("long").alias("q_floor"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.sqrt("l_quantity"), 6).alias("q_sqrt"),
+    )
+
+
+@_q(
+    "conditional_case",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+           COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+    "CASE WHEN bucketing (sentiment-score bucketing shape).",
+)
+def conditional_case(spark, sf):
+    c = _t(spark, sf, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.groupBy(bucket.alias("bal_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+@_q(
+    "json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    "JSON field extraction (S3/S14; events.props payload).",
+)
+def json_funcs(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@_q(
+    "nested_extract",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+    FROM embeddings
+    """,
+    "Nested/array element access (S14; author/photo struct shape).",
+)
+def nested_extract(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+    )
+
+
+@_q(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6)
+               AS sum_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+    "Array lambdas (transform/filter/aggregate) — JVM higher-order funcs.",
+)
+def array_funcs(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double) * x),"
+                " cast(0.0 as double), (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
+    )
+
+
+# =====================================================================
+# Joins
+# =====================================================================
+
+@_q(
+    "join_inner_equi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "Equi-join + agg (SentimentResults⋈SourceTable shape).",
+)
+def join_inner_equi(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "join_left",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "Left join preserving zero-order customers.",
+)
+def join_left(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+    """,
+    "Left-semi join (S16/S17 processed-id set membership).",
+)
+def join_semi(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 50000)
+    c = _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "Left-anti join ('not yet processed' complement).",
+)
+def join_anti(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_broadcast",
+    """
+    SELECT n_name, r_name, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    "Star join with explicitly-broadcast dims (no shuffle of fact side).",
+)
+def join_broadcast(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    s = F.broadcast(_t(spark, sf, "supplier"))
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "range_join",
+    """
+    SELECT s.event_id, COUNT(c.event_id) AS n_clicks
+    FROM events s LEFT JOIN events c
+      ON c.user_id = s.user_id AND c.event_type = 'click'
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    "Interval/range join (stay-interval vs review-date shape).",
+)
+def range_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("s_user"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        s.join(c, cond, "left")
+        .groupBy(F.col("s_id").alias("event_id"))
+        .agg(F.count("c_id").alias("n_clicks"))
+    )
+
+
+@_q(
+    "asof_join",
+    """
+    SELECT p.event_id, max(c.ts) AS asof_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    "As-of join: nearest prior click per purchase (union+carry-forward"
+    " plan — one shuffle, not quadratic; see operators/asof.py).",
+)
+def asof_q(spark, sf):
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", strict=True
+    )
+    return out.select("event_id", "asof_ts")
+
+
+# =====================================================================
+# Aggregation family
+# =====================================================================
+
+@_q(
+    "agg_group",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "Hash aggregation (the Grafana per-hotel average, S20).",
+)
+def agg_group(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+    )
+
+
+@_q(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Distinct aggregation (distinct reviewers).",
+)
+def agg_distinct(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@_q(
+    "agg_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy totals (hotel x country dashboards).",
+)
+def agg_rollup(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over status x priority.",
+)
+def agg_cube(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "GROUPING SETS via the SQL API (Catalyst Expand).",
+)
+def agg_grouping_sets(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_q(
+    "agg_pivot",
+    """
+    SELECT user_id % 10 AS user_mod,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+    "Pivot to per-class columns (sentiment-class-per-hotel shape).",
+)
+def agg_pivot(spark, sf):
+    ev = _t(spark, sf, "events").withColumn("user_mod", F.col("user_id") % 10)
+    p = ev.groupBy("user_mod").pivot("event_type", PIVOT_EVENT_TYPES).count()
+    return p.select(
+        "user_mod",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
+    )
+
+
+@_q(
+    "agg_collect",
+    """
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+    FROM documents GROUP BY lang
+    """,
+    "collect_set as a sorted joined string (deterministic across engines).",
+)
+def agg_collect(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources")
+        )
+    )
+
+
+@_q(
+    "approx_distinct",
+    None,
+    "approx_count_distinct (HLL) — approximate by design, rows-only check.",
+)
+def approx_distinct(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey").alias("n_cust_approx"))
+    )
+
+
+# =====================================================================
+# Dedup
+# =====================================================================
+
+@_q(
+    "dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, lang, source
+    FROM documents GROUP BY lang, source
+    """,
+    "Keep-first dedup on a key (dropDuplicates as deterministic min-row).",
+)
+def dedup_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@_q(
+    "dedup_fingerprint",
+    """
+    SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup by normalized text fingerprint (hash-groupBy; scales linearly).",
+)
+def dedup_fingerprint(spark, sf):
+    return dd.exact_dedup(_t(spark, sf, "documents"))
+
+
+@_q(
+    "ngram_jaccard_neardup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+      FROM t a
+      JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    ss AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+    p AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             ROUND(len(list_intersect(x.shs, y.shs)) * 1.0 /
+                   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4)
+                 AS jaccard
+      FROM ss x JOIN ss y ON x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.1
+    """,
+    "Exact n-gram (word-trigram) Jaccard near-dup pairs — the O(n²)"
+    " verification baseline for MinHash.",
+)
+def ngram_jaccard_neardup(spark, sf):
+    return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
+
+
+@_q(
+    "minhash_neardup",
+    None,
+    "MinHash+LSH near-dup (banded bucketing + exact verify) — the 100 TB"
+    " dedup path; recall checked against ngram_jaccard_neardup in tests.",
+)
+def minhash_neardup(spark, sf):
+    return dd.minhash_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+@_q(
+    "simhash_neardup",
+    None,
+    "SimHash 64-bit fingerprint near-dup pairs (Hamming<=8, chunk-banded).",
+)
+def simhash_neardup(spark, sf):
+    return dd.simhash_pairs(_t(spark, sf, "documents"))
+
+
+# =====================================================================
+# Sort / limit / set ops
+# =====================================================================
+
+@_q(
+    "sort_limit",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "Top-k (TakeOrderedAndProject; S21 sort_type+pagination).",
+)
+def sort_limit(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+@_q(
+    "set_union",
+    """
+    SELECT c_custkey AS id, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+    """,
+    "unionByName (S13 batch-result union; ragged-schema capable).",
+)
+def set_union(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@_q(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+    "INTERSECT (processed ∩ positive-balance id sets).",
+)
+def set_intersect(spark, sf):
+    a = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@_q(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+    "EXCEPT (complement id set).",
+)
+def set_except(spark, sf):
+    a = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# =====================================================================
+# Window functions
+# =====================================================================
+
+@_q(
+    "win_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Top-3 orders per customer (SORT_MOST_RELEVANT per-hotel shape).",
+)
+def win_rank(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "rn",
+        )
+    )
+
+
+@_q(
+    "win_lag_lead",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER w, 4) AS delta,
+           ROUND(lead(value) OVER w, 4) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "lag/lead (sentiment change per reviewer over time).",
+)
+def win_lag_lead(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+    )
+
+
+@_q(
+    "win_rolling",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+    FROM events
+    """,
+    "Rolling 3-row average (frame spec).",
+)
+def win_rolling(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("avg3")
+    )
+
+
+@_q(
+    "win_running",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+    FROM events
+    """,
+    "Running aggregate (cumulative review counts).",
+)
+def win_running(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count("*").over(w).cast("long").alias("running_n"),
+    )
+
+
+# =====================================================================
+# Time windows (batch equivalents of the streaming operators; the
+# streaming forms — watermarks, AvailableNow triggers, foreachBatch —
+# live in streaming/ and are exercised by tests)
+# =====================================================================
+
+@_q(
+    "window_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Tumbling 1h window agg (stream_tumbling_agg batch twin).",
+)
+def window_tumbling(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@_q(
+    "window_sliding",
+    """
+    WITH shifted AS (
+      SELECT value,
+             TIMESTAMP '2024-01-01' + (
+               (date_diff('second', TIMESTAMP '2024-01-01', ts) // 1800) - k
+             ) * INTERVAL 30 MINUTE AS window_start
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM shifted GROUP BY 1
+    """,
+    "Sliding 1h/30m window agg (each event in exactly 2 windows).",
+)
+def window_sliding(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@_q(
+    "window_session",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, grp
+    """,
+    "Session windows, 5-minute gap (session_window batch twin; the"
+    " oracle is the gaps-and-islands formulation).",
+)
+def window_session(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+# =====================================================================
+# Text / ML operators (north star)
+# =====================================================================
+
+_SENTIMENT_CASE = f"""
+    CASE WHEN pos + neg = 0 THEN 'neutral'
+         WHEN pos * 1.0 / (pos + neg) >= {POS_THRESHOLD} THEN 'positive'
+         WHEN pos * 1.0 / (pos + neg) <= {NEG_THRESHOLD} THEN 'negative'
+         ELSE 'mixed' END
+"""
+
+_SENTIMENT_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({POS_SQL}))) AS pos,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({NEG_SQL}))) AS neg
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS record_id,
+           {_SENTIMENT_CASE} AS sentiment,
+           ROUND(CASE WHEN pos + neg = 0 THEN 0.5
+                      ELSE pos * 1.0 / (pos + neg) END, 6) AS confidence
+    FROM scored
+"""
+
+
+@_q(
+    "sentiment_score",
+    _SENTIMENT_ORACLE,
+    "The S11 custom operator: Arrow-vectorized pandas-UDF lexicon scorer;"
+    " output matches the reference's SentimentResults shape"
+    " (record_id, sentiment, confidence=positive score only).",
+)
+def sentiment_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    scored = d.withColumn("s", sentiment_pandas_udf(F.col("text")))
+    return scored.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("s.sentiment").alias("sentiment"),
+        F.round(F.col("s.confidenceScores.positive"), 6).alias("confidence"),
+    )
+
+
+@_q(
+    "sentiment_score_sql",
+    _SENTIMENT_ORACLE,
+    "Same sentiment semantics on the pure-JVM path (regexp + array"
+    " lambdas inside codegen) — the fast variant for 100 TB scans.",
+)
+def sentiment_score_sql(spark, sf):
+    d = _t(spark, sf, "documents")
+    pos, neg = sentiment_components_expr("text")
+    return d.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        sentiment_label_expr(pos, neg).alias("sentiment"),
+        sentiment_confidence_expr(pos, neg).alias("confidence"),
+    )
+
+
+@_q(
+    "pipeline_sentiment_batch",
+    f"""
+    WITH src AS (
+      SELECT doc_id AS id, text AS text_column,
+             CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS processed
+      FROM documents
+    ),
+    unprocessed AS (
+      SELECT CAST(id AS VARCHAR) AS id, 'en' AS language, text_column AS text
+      FROM src WHERE processed = 0
+    ),
+    scored AS (
+      SELECT id,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({POS_SQL}))) AS pos,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({NEG_SQL}))) AS neg
+      FROM unprocessed
+    )
+    SELECT id AS record_id,
+           {_SENTIMENT_CASE} AS sentiment,
+           ROUND(CASE WHEN pos + neg = 0 THEN 0.5
+                      ELSE pos * 1.0 / (pos + neg) END, 6) AS confidence
+    FROM scored
+    """,
+    "EP2 end-to-end parity: incremental scan (processed=0) -> project/"
+    "cast (S9) -> vectorized sentiment (S11) -> results shape (S15).",
+)
+def pipeline_sentiment_batch(spark, sf):
+    src = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("text_column"),
+        F.when(F.col("doc_id") % 3 == 0, 0).otherwise(1).alias("processed"),
+    )
+    unprocessed = src.filter(F.col("processed") == 0).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("en").alias("language"),
+        F.col("text_column").alias("text"),
+    )
+    scored = unprocessed.withColumn("s", sentiment_pandas_udf(F.col("text")))
+    return scored.select(
+        F.col("id").alias("record_id"),
+        F.col("s.sentiment").alias("sentiment"),
+        F.round(F.col("s.confidenceScores.positive"), 6).alias("confidence"),
+    )
+
+
+_LANG_HIT = (
+    "len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), t -> t IN ({})))"
+)
+
+
+@_q(
+    "lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             regexp_matches(text, '{_CJK_RANGE}') AS cjk,
+             {_LANG_HIT.format("'the', 'and', 'of', 'to', 'a'")} AS en,
+             {_LANG_HIT.format("'el', 'la', 'que', 'los', 'una'")} AS es,
+             {_LANG_HIT.format("'der', 'die', 'und', 'das', 'ein'")} AS de,
+             {_LANG_HIT.format("'le', 'les', 'des', 'une', 'est'")} AS fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+    "Heuristic language ID (n-gram/stopword votes; S21 language_filter"
+    " generalized).",
+)
+def lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id_expr("text").alias("lang_pred")
+    )
+
+
+@_q(
+    "language_filter",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de', 'fr')
+    """,
+    "S21 parity: language_filter='en-gb,de,fr' as a pushed predicate.",
+)
+def language_filter(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang").isin("en", "de", "fr"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS toks,
+             {_LANG_HIT.format(STOP_SQL)} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6) AS alpha_ratio,
+           ROUND(CASE WHEN toks = 0 THEN 0.0 ELSE stop_hits * 1.0 / toks END, 6)
+               AS stopword_ratio,
+           ROUND(0.5 * ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6)
+               + 0.3 * (least(n, 400) * 1.0 / 400.0)
+               + 0.2 * (1.0 - ROUND(CASE WHEN toks = 0 THEN 0.0
+                                         ELSE stop_hits * 1.0 / toks END, 6)), 6)
+               AS quality
+    FROM t
+    """,
+    "Document quality scoring (length/alpha/stopword ratios).",
+)
+def text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        alpha_ratio_expr("text").alias("alpha_ratio"),
+        stopword_ratio_expr("text").alias("stopword_ratio"),
+        quality_score_expr("text").alias("quality"),
+    )
+
+
+@_q(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+               AS n_unique,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+    "Token counting (whitespace/word-regex tokenizer).",
+)
+def token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr("text").cast("long").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0)))"
+        ).cast("long").alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+# =====================================================================
+# Embedding similarity (north star)
+# =====================================================================
+
+@_q(
+    "embed_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      -- manual double-precision cosine: list_cosine_similarity computes
+      -- in float32, which disagrees with Spark's double accumulation
+      SELECT q.q_id, c.vec_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(c.embedding)),
+                 i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "Brute-force cosine top-k (broadcast query side, shuffle-free scan"
+    " of the corpus; the exact ANN baseline).",
+)
+def embed_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@_q(
+    "embed_ann_lsh",
+    None,
+    "Random-hyperplane LSH ANN (bucketed probe + exact re-rank) — the"
+    " scale path; recall vs brute force checked in tests.",
+)
+def embed_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@_q(
+    "embed_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS comp_sum
+    FROM embeddings
+    """,
+    "Vector norms via JVM higher-order functions (no UDF).",
+)
+def embed_norms(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(embedding, x -> cast(x as double) * x),"
+                    " cast(0.0 as double), (a, v) -> a + v)"
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double)),"
+                " cast(0.0 as double), (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("comp_sum"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (decode stubbed; Spark-side machinery real)
+# =====================================================================
+
+@_q(
+    "multimodal_meta",
+    None,
+    "Binary-column metadata extraction via Arrow-batched mapInPandas"
+    " (decode stubbed — deterministic fake features; see"
+    " operators/multimodal.py).",
+)
+def multimodal_meta(spark, sf):
+    d = mm.with_binary_payload(_t(spark, sf, "documents"))
+    return mm.extract_media_meta(d)
+
+
+# =====================================================================
+# public accessors (driver contract)
+# =====================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Tuned for the harness (single JVM, ``local[N]``) but every setting is
+chosen to also be correct on a large cluster: AQE handles runtime
+re-planning (partition coalescing, skew-join splitting, dynamic join
+strategy), Arrow is on for every Python<->JVM boundary, and the session
+timezone is pinned to UTC so results are comparable with the DuckDB
+oracle (DuckDB timestamps are UTC-naive).
+
+At 100 TB the only knobs that change are cluster-level (executor count,
+memory, ``spark.sql.shuffle.partitions`` sized to ~2-3x total cores);
+nothing in the query code depends on local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "spark-sentiment-engine",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes: shuffle partitions default to the local core count; on
+    a real cluster pass ``shuffle_partitions≈2-3x total cores`` (AQE
+    coalesces small ones back down, so erring high is safe).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # auto-broadcast threshold: generous for dim tables (region/nation/
+        # supplier stay broadcastable even at sf100)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,91 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For every registry entry with an oracle, run the PySpark query and the
+DuckDB SQL on the same parquet tables and compare row count, column
+names, and (order-insensitively) every value. Catches cross-engine
+drift (float dust, type width, null conventions) before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from az_datapipeline_sentiment_analysis_spark.catalog import TABLES
+from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+import os
+
+from conftest import SF_SMOKE
+
+SF_SMOKE = os.environ.get("PARITY_SF_DIR", SF_SMOKE)
+
+ORACLE_NAMES = sorted(n for n, q in REGISTRY.items() if q.sql is not None)
+ROWS_ONLY_NAMES = sorted(n for n, q in REGISTRY.items() if q.sql is None)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype(float)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+        an = a is None or (isinstance(a, float) and math.isnan(a))
+        bn = b is None or (isinstance(b, float) and math.isnan(b))
+        return an == bn
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or math.isclose(a, b, rel_tol=0, abs_tol=0)
+    return a == b
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE).toPandas()
+    con = _duck(SF_SMOKE)
+    odf = con.execute(q.sql).fetchdf()
+    con.close()
+
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rows spark={len(sdf)} oracle={len(odf)}"
+    s, o = _normalize(sdf), _normalize(odf)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(sv, ov))
+            if not _values_equal(
+                None if pd.isna(x) else x, None if pd.isna(y) else y
+            )
+        ]
+        assert not bad, f"{name}.{col}: first diffs {bad[:5]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
