@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_expr
+from ..functions.text import TOKEN_RE, fingerprint_expr
 
 # --- shared shingling ------------------------------------------------
 
@@ -113,47 +113,76 @@ def ngram_jaccard_pairs(
 N_HASHES = 32
 N_BANDS = 8  # 8 bands x 4 rows; catches jaccard>=0.5 with p~0.93, >=0.8 with p~0.99
 ROWS_PER_BAND = N_HASHES // N_BANDS
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: (a*h + b) with 31-bit operands stays < 2^62,
+# so the whole (k x n_shingles) universal-hash matrix vectorizes in
+# int64 numpy with no overflow.
+_P31 = (1 << 31) - 1
 
 
 def _hash_params(k: int = N_HASHES) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(42)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    a = rng.randint(1, _P31, size=k, dtype=np.int64)
+    b = rng.randint(0, _P31, size=k, dtype=np.int64)
     return a, b
 
 
 def _minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> list:
-    """k-way min of universal-hashed shingle md5s (deterministic).
-
-    Python-int modular arithmetic (no overflow); `shingles` may be a
-    numpy array coming out of an Arrow batch.
-    """
+    """k-way min of universal-hashed shingle md5s (deterministic,
+    fully vectorized: one (k x n) int64 matrix op per document)."""
     if shingles is None or len(shingles) == 0:
-        return [int(_MERSENNE)] * len(a)
-    hv = [
-        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
-        for s in shingles
-    ]
-    return [
-        min((ai * h + bi) % _MERSENNE for h in hv)
-        for ai, bi in zip(a.tolist(), b.tolist())
-    ]
+        return [int(_P31)] * len(a)
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") >> 1
+            for s in shingles
+        ),
+        dtype=np.int64,
+        count=len(shingles),
+    )
+    return ((a[:, None] * hv[None, :] + b[:, None]) % _P31).min(axis=1).tolist()
 
 
 def minhash_signatures(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, sig: array<long>) — one linear Arrow-batched pass."""
+    """(id, shingles, sig: array<long>) — ONE linear Arrow-batched pass.
+
+    Shingling + hashing both happen Python-side in the same scan (the
+    numpy signature kernel is ~100x the cost of the regex, so a second
+    JVM shingle pass would only add overhead), keyed-repartitioned
+    first so the scan parallelizes even when the source is a single
+    parquet row-group. Callers that consume this more than once (LSH
+    banding + pair verification) should ``.persist()`` it — that is
+    the standard materialize-signatures step of a MinHash pipeline.
+    """
+    import re
+
     a, b = _hash_params()
+    pat = re.compile(TOKEN_RE)
 
     def compute(it):
         for pdf in it:
-            sigs = [_minhash_signature(sh, a, b) for sh in pdf["shingles"]]
-            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+            shingle_lists, sigs = [], []
+            for t in pdf["text"]:
+                toks = pat.findall((t or "").lower())
+                sh = list(
+                    {
+                        " ".join(toks[i : i + SHINGLE_WIDTH])
+                        for i in range(len(toks) - SHINGLE_WIDTH + 1)
+                    }
+                )
+                shingle_lists.append(sh)
+                sigs.append(_minhash_signature(sh, a, b))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "shingles": shingle_lists, "sig": sigs}
+            )
 
-    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
-    return sh.mapInPandas(compute, schema="id long, sig array<long>")
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if src.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        src = src.repartition("id")  # AQE sizes the shuffle output
+    return src.mapInPandas(
+        compute, schema="id long, shingles array<string>, sig array<long>"
+    )
 
 
 def minhash_pairs(
@@ -173,7 +202,7 @@ def minhash_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
     """
-    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col).persist()
     bands = sigs.select(
         "id",
         F.explode(
@@ -195,9 +224,8 @@ def minhash_pairs(
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
         .distinct()
     )
-    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
-    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = sigs.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -221,16 +249,24 @@ SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks for candidate banding
 HAMMING_MAX = 8
 
 
+_BIT_IDX = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
 def _simhash(tokens: list) -> int:
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        for i in range(SIMHASH_BITS):
-            acc[i] += 1 if (h >> i) & 1 else -1
-    out = 0
-    for i in range(SIMHASH_BITS):
-        if acc[i] > 0:
-            out |= 1 << i
+    """Vectorized: (n_tokens x 64) bit matrix -> per-bit majority vote."""
+    if not len(tokens):
+        return -(1 << 63)
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    bits = (hv[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << _BIT_IDX).sum())
     return out - (1 << 63)  # store as signed i64
 
 
@@ -249,8 +285,14 @@ def simhash_signatures(
             ]
             yield pd.DataFrame({"id": pdf["id"], "simhash": vals})
 
-    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).mapInPandas(
-        compute, schema="id long, simhash long"
+    spark = df.sparkSession
+    n_part = max(
+        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(n_part, "id")
+        .mapInPandas(compute, schema="id long, simhash long")
     )
 
 
@@ -271,7 +313,7 @@ def simhash_pairs(
     pairs are exact-Hamming checked.
     Output: (doc_a, doc_b, hamming).
     """
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
     chunks = sigs.select(
         "id",
         "simhash",

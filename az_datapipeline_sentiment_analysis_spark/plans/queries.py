@@ -1100,10 +1100,18 @@ def sentiment_score(spark, sf):
 def sentiment_score_sql(spark, sf):
     d = _t(spark, sf, "documents")
     pos, neg = sentiment_components_expr("text")
-    return d.select(
+    # materialize pos/neg ONCE; referencing the raw expressions in the
+    # label/confidence trees would re-evaluate the tokenizer ~6x
+    counted = d.select(
         F.col("doc_id").cast("string").alias("record_id"),
-        sentiment_label_expr(pos, neg).alias("sentiment"),
-        sentiment_confidence_expr(pos, neg).alias("confidence"),
+        pos.alias("pos"),
+        neg.alias("neg"),
+    )
+    p, n = F.col("pos"), F.col("neg")
+    return counted.select(
+        "record_id",
+        sentiment_label_expr(p, n).alias("sentiment"),
+        sentiment_confidence_expr(p, n).alias("confidence"),
     )
 
 
