@@ -1,0 +1,177 @@
+"""Paged REST API source as a Spark 4 Python DataSource.
+
+Generalizes the reference's driver-side review fetch (reference
+``FunctionApp1/hotel_reviews/__init__.py:16-37``): a single-threaded
+``requests.get`` of ONE page becomes a registered data source whose
+pages are **partitions** — a 1000-page crawl runs 1000-way parallel,
+one HTTP call per task, no driver bottleneck.
+
+Source-side pushdown (reference S21: ``hotel_id``, ``language_filter``,
+``sort_type``, ``page_number`` as query params) maps onto the V2-style
+``pushFilters`` hook: equality/IN filters on ``hotel_id`` and
+``languagecode`` are translated into request parameters and removed
+from the Spark-side plan; everything else is left for Spark to
+re-apply. ``numPages``/``pageSize`` options bound the scan (the
+reference reads exactly one page of 25, ``sample.json`` ``count: 25``).
+
+Networking is injected: the default ``fetch_page`` is a deterministic
+synthetic reviews-API generator (this container has no egress), and a
+real deployment passes an HTTP fetcher with the same signature. The
+partition/pushdown plumbing — the part Spark sees — is identical
+either way.
+
+Scale: one partition per page keeps memory per task at page size;
+failures retry per-task (vs the reference's at-most-once try/except
+log-and-drop at ``__init__.py:39-40``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+# Rows surfaced by the source: one review per row, flat "silver-ish"
+# projection of the payload fields the pipeline consumes downstream.
+REST_REVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("review_id", T.LongType()),
+        T.StructField("hotel_id", T.LongType()),
+        T.StructField("review_hash", T.StringType()),
+        T.StructField("average_score", T.DoubleType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("pros", T.StringType()),
+        T.StructField("cons", T.StringType()),
+        T.StructField("languagecode", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("page_number", T.IntegerType()),
+    ]
+)
+
+_PUSHABLE = ("hotel_id", "languagecode")
+
+_WORDS = (
+    "fast", "slow", "good", "bad", "clean", "dirty", "quick", "late",
+    "nice", "poor", "fresh", "cold", "bright", "dark", "easy", "hard",
+)
+
+
+def fetch_page(params: dict) -> str:
+    """Deterministic synthetic stand-in for the reviews REST endpoint.
+
+    Returns a JSON envelope ``{count, result: [...]}`` shaped like the
+    reference payload. Seeded by (hotel_id, page) so every executor,
+    retry, and test sees identical data.
+    """
+    hotel_id = int(params.get("hotel_id", 1676161))
+    page = int(params.get("page_number", 0))
+    size = int(params.get("page_size", 25))
+    langs = (params.get("language_filter") or "en,de,fr").split(",")
+    result = []
+    for i in range(size):
+        rid = hotel_id * 100000 + page * size + i
+        w = [_WORDS[(rid + j * 7) % len(_WORDS)] for j in range(6)]
+        result.append(
+            {
+                "review_id": rid,
+                "hotel_id": hotel_id,
+                "review_hash": f"h{rid:016x}",
+                "average_score": round(1.0 + (rid % 9) / 2.0, 1),
+                "title": f"review {rid}",
+                "pros": " ".join(w[:3]),
+                "cons": " ".join(w[3:]),
+                "languagecode": langs[rid % len(langs)],
+                "date": f"2024-{1 + rid % 12:02d}-{1 + rid % 28:02d} 12:00:00",
+            }
+        )
+    return json.dumps({"count": len(result), "result": result})
+
+
+@dataclass
+class PagePartition(InputPartition):
+    page: int
+    params: tuple  # sorted (key, value) pairs; must be picklable+hashable
+
+
+class RestReviewsReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.pushed: dict[str, str] = {}
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API)
+        """Translate supported filters into API query params (S21).
+
+        Accepts ``EqualTo`` on hotel_id/languagecode and ``In`` on
+        languagecode (the reference's comma-joined ``language_filter``).
+        Unsupported filters are yielded back for Spark to evaluate.
+        """
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("hotel_id",):
+                self.pushed["hotel_id"] = str(f.value)
+            elif isinstance(f, EqualTo) and f.attribute == ("languagecode",):
+                self.pushed["language_filter"] = str(f.value)
+            elif isinstance(f, In) and f.attribute == ("languagecode",):
+                self.pushed["language_filter"] = ",".join(
+                    str(v) for v in f.values
+                )
+            else:
+                yield f
+
+    def partitions(self):
+        n_pages = int(self.options.get("numpages", 1))
+        params = {
+            "hotel_id": self.options.get("hotel_id", "1676161"),
+            "page_size": self.options.get("pagesize", "25"),
+            **self.pushed,
+        }
+        frozen = tuple(sorted(params.items()))
+        return [PagePartition(page=p, params=frozen) for p in range(n_pages)]
+
+    def read(self, partition: PagePartition):
+        params = dict(partition.params)
+        params["page_number"] = str(partition.page)
+        payload = json.loads(fetch_page(params))
+        for r in payload.get("result", []):
+            yield (
+                r.get("review_id"),
+                r.get("hotel_id"),
+                r.get("review_hash"),
+                r.get("average_score"),
+                r.get("title"),
+                r.get("pros"),
+                r.get("cons"),
+                r.get("languagecode"),
+                r.get("date"),
+                partition.page,
+            )
+
+
+class RestReviewsDataSource(DataSource):
+    """``spark.read.format("rest_reviews")`` — paged review source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_reviews"
+
+    def schema(self) -> T.StructType:
+        return REST_REVIEW_SCHEMA
+
+    def reader(self, schema: T.StructType) -> RestReviewsReader:
+        return RestReviewsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown is opt-in (runtime-settable conf);
+    # without it Spark refuses a reader that implements pushFilters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RestReviewsDataSource)

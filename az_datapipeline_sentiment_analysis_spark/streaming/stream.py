@@ -1,0 +1,146 @@
+"""Structured Streaming surface: the reference's cadence done natively.
+
+The reference approximates a stream with a 3-hourly timer (reference
+``FunctionApp1/hotel_reviews/function.json:8``) plus a ``processed``
+flag scanned per run (``FunctionApp2/process_data/__init__.py:40-43``).
+Native Structured Streaming replaces both: the file source tracks
+what's been read (checkpoint = the flag), watermarks bound state, and
+``Trigger.AvailableNow`` reproduces the batch-cadence semantics while
+``processingTime`` triggers give the timer behavior.
+
+Everything here returns an UNSTARTED streaming DataFrame or a started
+query handle; callers own trigger/checkpoint choice. State sizing at
+scale: watermark delay x input rate bounds rows held per window/dedup
+operator — all of these are keyed-state operators whose state is
+partitioned by the grouping key across executors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet schema (TESTDATA.md) with ts already truncated to
+# micros — streaming sources need an explicit schema upfront.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, input_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events-shaped parquet directory.
+
+    ``maxFilesPerTrigger`` slices the backlog into micro-batches so
+    tests exercise multi-batch behavior; production uses the default
+    (all available) with ``Trigger.AvailableNow``.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, *, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window agg (S2 cadence, done per-event-time)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    *,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window smoothing (the Grafana-dashboard read shape, S20)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "avg_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (reviewer-session analysis)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, *, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming dedup: the ``review_hash`` semantics across
+    micro-batches. State is bounded by the watermark (vs unbounded
+    ``dropDuplicates`` state at 100 TB)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def start_to_memory(
+    df: DataFrame, name: str, *, mode: str = "append", checkpoint: str | None = None
+):
+    """Start a query into the in-memory sink (test/debug surface)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    *,
+    checkpoint: str,
+    mode: str = "update",
+):
+    """``foreachBatch`` with a checkpoint: the transactional sink shape.
+
+    The reference's insert-results + mark-processed dual commit
+    (``:96``/``:104``) becomes one idempotent ``batch_fn(batch_df,
+    batch_id)`` — on restart the same batch_id is redelivered and the
+    function's idempotent merge (see ``incremental.merge_results``)
+    absorbs the replay: end-to-end effectively-exactly-once.
+    """
+    return (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,114 @@
+"""REST data source + JSON bronze->silver ingest tests (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from az_datapipeline_sentiment_analysis_spark.sources import json_ingest, rest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "reviews_payload.json")
+
+
+# --- REST paged source (S1/S21, M8) ----------------------------------
+
+
+def test_rest_source_partition_per_page(spark):
+    rest.register(spark)
+    df = (
+        spark.read.format("rest_reviews")
+        .option("numPages", 4)
+        .option("pageSize", 25)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one partition per page
+    rows = df.count()
+    assert rows == 100
+    assert df.select("page_number").distinct().count() == 4
+
+
+def test_rest_source_filter_pushdown_equality(spark):
+    rest.register(spark)
+    df = (
+        spark.read.format("rest_reviews")
+        .option("numPages", 2)
+        .load()
+        .filter(F.col("languagecode") == "de")
+    )
+    out = df.collect()
+    # pushed language_filter=de -> the synthetic API only emits 'de'
+    assert len(out) == 50
+    assert {r.languagecode for r in out} == {"de"}
+
+
+def test_rest_source_deterministic(spark):
+    rest.register(spark)
+
+    def load():
+        return (
+            spark.read.format("rest_reviews")
+            .option("numPages", 1)
+            .load()
+            .orderBy("review_id")
+            .collect()
+        )
+
+    assert load() == load()
+
+
+# --- golden-payload ingest (S3, M3) -----------------------------------
+
+
+def test_bronze_parses_declared_schema(spark):
+    bronze = json_ingest.read_bronze(spark, FIXTURE)
+    row = bronze.collect()[0]
+    assert row["count"] == 3
+    assert len(row["result"]) == 3
+    assert row["_corrupt_record"] is None
+
+
+def test_silver_types_and_null_convention(spark):
+    silver = json_ingest.silver_reviews(json_ingest.read_bronze(spark, FIXTURE))
+    rows = {r.review_id: r for r in silver.collect()}
+    r1, r2, r3 = (rows[9000000001 + i] for i in range(3))
+
+    # golden values (first record)
+    assert r1.hotel_id == 1676161
+    assert r1.average_score == 4.5
+    assert r1.author.user_id == 42001
+    assert r1.stayed_room_info.photo.photo_id == 55501
+    assert str(r1.review_ts) == "2023-11-10 08:30:00"
+    assert str(r1.checkin) == "2023-11-06"
+    assert r1.stay_nights == 3 == r1.stayed_room_info.num_nights
+
+    # ""-as-null normalization
+    assert r1.cons is None and r1.anonymous is None
+    assert r2.pros is None and r2.anonymous == "anonymous"
+
+    # boolean-as-int flags -> real booleans
+    assert r2.is_moderated is True and r1.is_moderated is False
+
+    # ragged optional fields: record 3 lacks response/room info
+    assert r1.hotelier_response_ts is not None
+    assert r3.hotelier_response_ts is None
+    assert r3.stayed_room_info is None and r3.stay_nights is None
+
+
+def test_corpus_flatten_skips_nulls(spark):
+    silver = json_ingest.silver_reviews(json_ingest.read_bronze(spark, FIXTURE))
+    corpus = {r.id: r for r in json_ingest.review_text_corpus(silver).collect()}
+    # concat_ws skips NULLs: record 2 has no title->pros, only cons
+    assert corpus[9000000002].text_column == (
+        "Noisy and cold. slow elevator dirty bathroom noisy street"
+    )
+    assert corpus[9000000001].text_column.startswith("Great stay. fast checkin")
+    assert all(r.processed == 0 for r in corpus.values())
+
+
+def test_bronze_from_json_strings(spark):
+    with open(FIXTURE) as f:
+        payload = f.read()
+    df = spark.createDataFrame([(payload,)], "payload string")
+    bronze = json_ingest.bronze_from_json_strings(df)
+    assert bronze.select(F.size("result")).collect()[0][0] == 3

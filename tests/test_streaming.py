@@ -1,0 +1,138 @@
+"""Structured Streaming tests: windows, stateful dedup, foreachBatch.
+
+Streams are driven with ``Trigger.AvailableNow`` over multi-file
+parquet input dirs (``maxFilesPerTrigger=1`` forces multi-micro-batch
+execution so stateful semantics are actually exercised), asserted
+against the equivalent batch computation on the same rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from az_datapipeline_sentiment_analysis_spark import catalog
+from az_datapipeline_sentiment_analysis_spark.streaming import incremental, stream
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events as 3 CHRONOLOGICAL file slices -> 3 micro-batches.
+
+    Slicing by time (not random repartition) simulates in-order
+    arrival: no slice carries data older than the watermark advanced by
+    a previous one, so append-mode emissions are deterministic. mtimes
+    are staggered because the file source replays oldest-first.
+    """
+    import glob
+    import os
+    import time
+
+    d = str(tmp_path_factory.mktemp("events_in"))
+    ev = catalog.table(spark, SF, "events")
+    q1, q2 = [
+        r[0] for r in ev.selectExpr(
+            "percentile(cast(ts as double), array(0.33, 0.66)) as p"
+        ).selectExpr("explode(p)").collect()
+    ]
+    slices = [
+        ev.filter(F.col("ts").cast("double") <= q1),
+        ev.filter(
+            (F.col("ts").cast("double") > q1) & (F.col("ts").cast("double") <= q2)
+        ),
+        ev.filter(F.col("ts").cast("double") > q2),
+    ]
+    now = time.time()
+    seen: set[str] = set()
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(d)
+        fresh = set(glob.glob(f"{d}/*.parquet")) - seen
+        for f in fresh:
+            os.utime(f, (now + i, now + i))
+        seen |= fresh
+    return d
+
+
+def _run(df, spark, name, mode="append", checkpoint=None):
+    q = stream.start_to_memory(df, name, mode=mode, checkpoint=checkpoint)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_match_batch(spark, events_dir):
+    ev = stream.stream_events(spark, events_dir)
+    got = _run(
+        stream.tumbling_counts(ev), spark, "t_tumbling", mode="append"
+    ).collect()
+    batch = (
+        spark.read.schema(stream.EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    ).collect()
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must exactly match its batch twin
+    batch_map = {(r.w.start, r.event_type): (r.n_events, r.sum_value) for r in batch}
+    assert len(got) > 0
+    for r in got:
+        key = (r.window_start, r.event_type)
+        n, s = batch_map[key]
+        assert r.n_events == n and abs(r.sum_value - s) < 1e-6
+
+
+def test_session_counts_stream(spark, events_dir):
+    ev = stream.stream_events(spark, events_dir)
+    got = _run(stream.session_counts(ev), spark, "t_session")
+    assert got.count() > 0
+    assert got.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    """Duplicate every event across two files; stateful dedup must
+    restore exact-once per event_id even across micro-batches."""
+    dup_dir = str(tmp_path / "dup_in")
+    base = spark.read.schema(stream.EVENTS_SCHEMA).parquet(events_dir)
+    base.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    base.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    ev = stream.stream_events(spark, dup_dir)
+    got = _run(stream.dedup_within_watermark(ev), spark, "t_dedup")
+    n_unique = base.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_foreach_batch_incremental_pipeline(spark, tmp_path):
+    """EP2 as a stream: text rows arrive as files; foreachBatch runs the
+    idempotent merge. End state == batch pipeline end state."""
+    in_dir = str(tmp_path / "texts")
+    res = str(tmp_path / "res")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [(i, f"doc {w}", 0) for i, w in enumerate(["fast good", "slow bad", "plain"])]
+    src = spark.createDataFrame(rows, "id long, text_column string, processed int")
+    src.repartition(2).write.parquet(in_dir)
+
+    texts = (
+        spark.readStream.schema("id long, text_column string, processed int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        scored = incremental.score_unprocessed(batch_df)
+        incremental.merge_results(spark, scored, res)
+
+    q = stream.start_foreach_batch(texts, sink, checkpoint=ckpt, mode="append")
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(res)
+    assert out.count() == 3
+    assert out.select("record_id").distinct().count() == 3
+
+    # restart the stream over the same checkpoint: nothing new lands
+    q2 = stream.start_foreach_batch(texts, sink, checkpoint=ckpt, mode="append")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(res).count() == 3
