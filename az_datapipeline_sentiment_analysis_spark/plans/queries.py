@@ -1372,6 +1372,213 @@ def multimodal_meta(spark, sf):
 
 
 # =====================================================================
+# Map funcs / JSON scan / tokenization / stats (SURVEY §2.2 remainder)
+# =====================================================================
+
+@_q(
+    "map_funcs",
+    """
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    "Map functions (map_keys/element_at) over the events.props payload"
+    " parsed as map<string,bigint> (S14; props-style payloads).",
+)
+def map_funcs(spark, sf):
+    ev = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    )
+
+
+GOLDEN_PAYLOAD = "/root/repo/tests/fixtures/reviews_payload.json"
+
+
+@_q(
+    "scan_json",
+    f"""
+    SELECT CAST(r.review_id AS BIGINT) AS review_id,
+           CAST(r.hotel_id AS BIGINT) AS hotel_id,
+           CAST(r.average_score AS DOUBLE) AS average_score,
+           r.author.name AS author_name,
+           CAST(r.author.nr_reviews AS BIGINT) AS author_nr_reviews,
+           CAST(r.stayed_room_info.num_nights AS BIGINT) AS num_nights,
+           CAST(date_diff('day', CAST(r.stayed_room_info.checkin AS DATE),
+                CAST(r.stayed_room_info.checkout AS DATE)) AS BIGINT) AS stay_nights
+    FROM (SELECT unnest(result) AS r
+          FROM read_json_auto('{GOLDEN_PAYLOAD}'))
+    """,
+    "Nested-JSON ingest with the DECLARED StructType (S3; golden"
+    " reviews payload — schema-on-write, no inference pass at scale).",
+)
+def scan_json(spark, sf):
+    from ..sources.json_ingest import read_bronze, silver_reviews
+
+    silver = silver_reviews(read_bronze(spark, GOLDEN_PAYLOAD))
+    return silver.select(
+        "review_id",
+        "hotel_id",
+        F.col("average_score").cast("double").alias("average_score"),
+        F.col("author.name").alias("author_name"),
+        F.col("author.nr_reviews").cast("long").alias("author_nr_reviews"),
+        F.col("stayed_room_info.num_nights").cast("long").alias("num_nights"),
+        F.col("stay_nights").cast("long").alias("stay_nights"),
+    )
+
+
+@_q(
+    "tokenize_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT)
+               AS n_unique_bigrams
+    FROM t
+    """,
+    "Word-regex tokenize + bigram generation via JVM higher-order"
+    " functions (Tokenizer/NGram semantics, no MLlib dependency in the"
+    " hot path).",
+)
+def tokenize_ngrams(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        " ELSE array() END"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"greatest(size({toks}) - 1, 0)").cast("long").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({bigrams}))")
+        .cast("long")
+        .alias("n_unique_bigrams"),
+    )
+
+
+@_q(
+    "embed_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))
+               AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT left_id, right_id, ROUND(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.35
+    """,
+    "Embedding-cosine near-dup candidate pairs, label-blocked so the"
+    " self-join is per-bucket (the LSH-bucket shape) instead of a full"
+    " O(n^2) cross product — the 100 TB-safe plan.",
+)
+def embed_neardup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("left_vec"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("right_vec"),
+    )
+    pairs = a.join(b, "label").filter(F.col("left_id") < F.col("right_id"))
+    cos = cosine_expr("left_vec", "right_vec")
+    return (
+        pairs.select("left_id", "right_id", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@_q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(min(l_extendedprice), 4) AS min_price,
+           ROUND(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Statistical aggregates (stddev/variance/exact percentile) — all"
+    " JVM partial+final aggs; exact percentile matches quantile_cont.",
+)
+def agg_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@_q(
+    "corr_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Bivariate aggregates (Pearson corr / sample covariance).",
+)
+def corr_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@_q(
+    "win_ntile",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    "Distribution window functions (ntile/percent_rank/cume_dist) with"
+    " a deterministic tiebreak so the quartile assignment is"
+    " engine-independent.",
+)
+def win_ntile(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# =====================================================================
 # public accessors (driver contract)
 # =====================================================================
 
