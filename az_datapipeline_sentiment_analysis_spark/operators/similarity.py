@@ -81,24 +81,42 @@ def lsh_topk(
     *,
     k: int = 5,
     dim: int = 64,
+    n_planes: int = N_PLANES,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+    """Approximate top-k: probe the query's hyperplane bucket plus (with
+    ``multiprobe=1``) every bucket one sign-flip away.
 
     One scan to bucket the corpus, shuffle on bucket id, exact re-rank
-    within buckets. Output schema matches :func:`brute_force_topk`.
+    within buckets. Multi-probe expands only the (tiny) QUERY side —
+    the standard recall knob that costs nothing on the corpus scan: a
+    near neighbor straddling one hyperplane lands one Hamming step
+    away, and probing those buckets recovers it without re-bucketing.
+    Output schema matches :func:`brute_force_topk`.
     """
-    planes = _planes(dim)
+    planes = _planes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("bucket", _bucket_expr("c_vec", planes))
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", _bucket_expr("q_vec", planes))
+    if multiprobe >= 1:
+        # query-side bucket fan-out: home bucket + one-bit flips
+        flips = ", ".join(
+            f"bucket ^ {1 << i}" for i in range(n_planes)
+        )
+        q = q.withColumn(
+            "bucket", F.explode(F.expr(f"array(bucket, {flips})"))
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
+        .drop("bucket")
+        # no dedup needed: each corpus row lives in exactly one bucket
+        # and the probed buckets are pairwise distinct
         .withColumn("cosine", F.round(cosine_expr("q_vec", "c_vec"), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

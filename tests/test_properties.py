@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) over arbitrary generated text /
+frames — SURVEY §5.2 item 5.
+
+Spark jobs per example are slow, so each property generates a BATCH of
+examples with hypothesis, runs ONE Spark job over the batch, and checks
+the property row-by-row against a pure-Python model of the semantics.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from az_datapipeline_sentiment_analysis_spark.functions.arrays import cosine_expr
+from az_datapipeline_sentiment_analysis_spark.functions.text import (
+    NEG_THRESHOLD,
+    NEGATIVE_WORDS,
+    POS_THRESHOLD,
+    POSITIVE_WORDS,
+    fingerprint_expr,
+    sentiment_components_expr,
+    sentiment_label_expr,
+)
+from az_datapipeline_sentiment_analysis_spark.operators import dedup as dd
+
+# Documents are word sequences over a vocabulary that includes lexicon
+# words (so sentiment is non-degenerate), junk tokens, and punctuation.
+_VOCAB = (
+    list(POSITIVE_WORDS[:5])
+    + list(NEGATIVE_WORDS[:5])
+    + ["xyzzy", "Qux", "a", "THE", "ab12", "...", "?!", ""]
+)
+TEXTS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), max_size=20).map(" ".join),
+    min_size=2,
+    max_size=30,
+)
+
+SLOW_OK = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_sentiment_label_matches_python_model(spark, texts):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    pos, neg = sentiment_components_expr("text")
+    got = {
+        r.i: r.label
+        for r in df.select("i", sentiment_label_expr(pos, neg).alias("label")).collect()
+    }
+    pat = re.compile("[a-z]+")
+    for i, t in enumerate(texts):
+        toks = pat.findall(t.lower())
+        p = sum(w in POSITIVE_WORDS for w in toks)
+        n = sum(w in NEGATIVE_WORDS for w in toks)
+        if p + n == 0:
+            want = "neutral"
+        elif p / (p + n) >= POS_THRESHOLD:
+            want = "positive"
+        elif p / (p + n) <= NEG_THRESHOLD:
+            want = "negative"
+        else:
+            want = "mixed"
+        assert got[i] == want, (t, got[i], want)
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_fingerprint_invariant_under_case_and_whitespace(spark, texts):
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append(Row(i=i, variant=0, text=t))
+        rows.append(Row(i=i, variant=1, text="  " + t.upper().replace(" ", "   ")))
+    df = spark.createDataFrame(rows)
+    out = df.select("i", "variant", fingerprint_expr("text").alias("fp")).collect()
+    by_key = {(r.i, r.variant): r.fp for r in out}
+    for i in range(len(texts)):
+        assert by_key[(i, 0)] == by_key[(i, 1)]
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_exact_dedup_is_idempotent_and_partitions_input(spark, texts):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = dd.exact_dedup(df).collect()
+    # groups partition the input: sizes sum to n, canonical ids distinct
+    assert sum(r.n_dupes for r in out) == len(texts)
+    canons = [r.canonical_id for r in out]
+    assert len(set(canons)) == len(canons)
+    # dedup of the canonical rows is a fixpoint
+    canon_df = df.join(
+        spark.createDataFrame([Row(doc_id=c) for c in canons]), "doc_id"
+    )
+    again = dd.exact_dedup(canon_df).collect()
+    assert sorted(r.canonical_id for r in again) == sorted(canons)
+    assert all(r.n_dupes == 1 for r in again)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SLOW_OK
+def test_cosine_bounds_and_self_similarity(spark, vecs):
+    rows = [
+        Row(i=i, a=[float(x) for x in v], b=[float(x) for x in v])
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "i", cosine_expr("a", "b").alias("self_cos")
+    ).collect()
+    for r in out:
+        norm = math.sqrt(sum(x * x for x in vecs[r.i]))
+        if norm == 0:
+            assert r.self_cos == 0.0
+        else:
+            assert r.self_cos == pytest_approx_one(r.self_cos)
+
+
+def pytest_approx_one(x, tol=1e-9):
+    assert abs(x - 1.0) <= tol
+    return x
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_union_by_name_with_missing_columns(spark, texts):
+    half = max(len(texts) // 2, 1)
+    a = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts[:half])]
+    )
+    b = spark.createDataFrame(
+        [Row(doc_id=1000 + i, extra=len(t)) for i, t in enumerate(texts[half:])]
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    assert u.count() == len(texts[:half]) + len(texts[half:])
+    got = u.filter(F.col("doc_id") >= 1000).select("text").collect()
+    assert all(r.text is None for r in got)
