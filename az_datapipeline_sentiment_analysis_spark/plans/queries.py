@@ -1372,6 +1372,174 @@ def multimodal_meta(spark, sf):
 
 
 # =====================================================================
+# Multi-table analytics (the Grafana/gold read workload, composed)
+# =====================================================================
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H-Q3 shape: selective fact-dim join -> agg -> top-k; filters"
+    " push to both scans, customer side broadcasts.",
+)
+def q3_shipping_priority(spark, sf):
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    c = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+           ROUND(total_qty, 4) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "TPC-H-Q18 shape: agg-then-having as the join input (the"
+    " aggregate-pushdown pattern that shrinks the probe side first).",
+)
+def q18_large_orders(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "time_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour,
+           CAST(GROUPING(date_trunc('hour', ts)) AS BIGINT) AS is_day_total,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), date_trunc('hour', ts)),
+      (date_trunc('day', ts))
+    )
+    """,
+    "Hypertable-style multi-granularity rollup (hourly + daily in one"
+    " pass via GROUPING SETS — one shuffle, not one per granularity).",
+)
+def time_rollup(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["day", "hour"], ["day"]], "day", "hour")
+        .agg(
+            F.grouping("hour").cast("long").alias("is_day_total"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("day", "hour", "is_day_total", "n_events", "sum_value")
+    )
+
+
+@_q(
+    "subquery_exists",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    ORDER BY o_orderkey
+    """,
+    "EXISTS correlated subquery (decorrelated by Catalyst to a"
+    " left-semi join — same plan as filter_in at scale).",
+)
+def subquery_exists(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@_q(
+    "subquery_scalar",
+    """
+    SELECT c_custkey, ROUND(c_acctbal, 4) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c_custkey
+    """,
+    "Uncorrelated scalar subquery (planned as a broadcast of one row).",
+)
+def subquery_scalar(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 4) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# =====================================================================
 # Map funcs / JSON scan / tokenization / stats (SURVEY §2.2 remainder)
 # =====================================================================
 

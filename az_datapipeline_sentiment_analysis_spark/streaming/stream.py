@@ -112,6 +112,42 @@ def dedup_within_watermark(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, emitted once per micro-batch.
+
+    The state (two numbers per user) is keyed-state partitioned by
+    user_id across executors — the Spark-native version of the
+    reference's ``processed``-flag bookkeeping, generalized to arbitrary
+    accumulators. Timeout is disabled: state is two longs per key, so
+    even 10^9 users is ~GBs across a cluster; a TTL would go here if
+    keys churned.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_to_memory(
     df: DataFrame, name: str, *, mode: str = "append", checkpoint: str | None = None
 ):

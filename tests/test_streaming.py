@@ -136,3 +136,33 @@ def test_foreach_batch_incremental_pipeline(spark, tmp_path):
     q2 = stream.start_foreach_batch(texts, sink, checkpoint=ckpt, mode="append")
     q2.awaitTermination(120)
     assert spark.read.parquet(res).count() == 3
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState totals must converge to the batch agg."""
+    src = stream.stream_events(spark, events_dir, max_files_per_trigger=1)
+    q = stream.start_to_memory(
+        stream.running_user_totals(src), "running_totals", mode="update"
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per micro-batch; the LAST
+    # emission per user carries the converged running total
+    got = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    want = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    w = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    assert g == w
