@@ -158,3 +158,32 @@ def test_multimodal_meta_schema_and_determinism(spark):
     assert out1 == out2 and len(out1) == 20
     assert all(r.n_bytes > 0 for r in out1)
     assert all(r.format in ("png", "jpeg", "webp") for r in out1)
+
+
+# --- skew utilities --------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    from az_datapipeline_sentiment_analysis_spark.operators.skew import salted_join
+
+    # skewed left: one hot key with 500 rows, long tail of singletons
+    left = spark.createDataFrame(
+        [Row(k=0, v=i) for i in range(500)]
+        + [Row(k=i, v=i) for i in range(1, 50)]
+    )
+    right = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(50)])
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, "k").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_count_matches_groupby(spark):
+    from az_datapipeline_sentiment_analysis_spark.operators.skew import (
+        salted_agg_count,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=0) for _ in range(300)] + [Row(k=i % 7) for i in range(100)]
+    )
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    got = {r.k: r.n for r in salted_agg_count(df, "k").collect()}
+    assert got == want
