@@ -1355,6 +1355,22 @@ def embed_norms(spark, sf):
     )
 
 
+@_q(
+    "sentiment_mllib",
+    None,
+    "Learned sentiment: MLlib Pipeline (RegexTokenizer -> StopWords ->"
+    " HashingTF -> IDF -> LogisticRegression) trained on lexicon weak"
+    " labels; scoring is one scan + broadcast model (SURVEY §7 M5)."
+    " Agreement with the lexicon scorer on polar docs is tested.",
+)
+def sentiment_mllib(spark, sf):
+    from ..functions.ml import score_with_model, train_sentiment_model
+
+    d = _t(spark, sf, "documents")
+    model = train_sentiment_model(d)
+    return score_with_model(model, d)
+
+
 # =====================================================================
 # Multimodal plumbing (decode stubbed; Spark-side machinery real)
 # =====================================================================

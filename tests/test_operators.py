@@ -187,3 +187,37 @@ def test_salted_agg_count_matches_groupby(spark):
     want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
     got = {r.k: r.n for r in salted_agg_count(df, "k").collect()}
     assert got == want
+
+
+# --- MLlib sentiment pipeline ----------------------------------------
+
+def test_mllib_sentiment_agrees_with_lexicon_on_polar_docs(spark):
+    from az_datapipeline_sentiment_analysis_spark.functions.ml import (
+        score_with_model,
+        train_sentiment_model,
+    )
+    from az_datapipeline_sentiment_analysis_spark.functions.text import (
+        sentiment_components_expr,
+        sentiment_label_expr,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    model = train_sentiment_model(docs)
+    got = {r.record_id: r.sentiment for r in score_with_model(model, docs).collect()}
+    assert all(r is not None for r in got.values())
+
+    pos, neg = sentiment_components_expr("text")
+    polar = docs.select(
+        "doc_id", sentiment_label_expr(pos, neg).alias("lex")
+    ).filter(F.col("lex").isin("positive", "negative"))
+    rows = polar.collect()
+    agree = sum(1 for r in rows if got[r.doc_id] == r.lex)
+    # weak-label training on its own corpus: expect high agreement
+    assert agree / len(rows) >= 0.9, f"agreement {agree}/{len(rows)}"
+
+    # confidence is a probability and ordered consistently with label
+    sc = score_with_model(model, docs).collect()
+    assert all(0.0 <= r.confidence <= 1.0 for r in sc)
+    assert all(
+        (r.confidence >= 0.5) == (r.sentiment == "positive") for r in sc
+    )
