@@ -1356,6 +1356,84 @@ def embed_norms(spark, sf):
 
 
 @_q(
+    "fingerprint_rolling",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(
+               regexp_extract_all(lower(text), '[a-z0-9]+'),
+               tok -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), list_transform(
+                   string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 53 + c) % 1000000007))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+    FROM documents
+    """,
+    "Rolling (Rabin-Karp polynomial) document fingerprint over the"
+    " token stream — order-sensitive, unlike the md5 set fingerprint;"
+    " computed entirely in JVM higher-order functions.",
+)
+def fingerprint_rolling(spark, sf):
+    d = _t(spark, sf, "documents")
+    expr = (
+        "aggregate("
+        " regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+        " cast(0 as bigint),"
+        " (acc, tok) -> (acc * 31 + aggregate("
+        "   filter(split(tok, ''), c -> c != ''),"
+        "   cast(0 as bigint),"
+        "   (a, c) -> (a * 53 + ascii(c)) % 1000000007)) % 1000000007)"
+    )
+    return d.select("doc_id", F.expr(expr).alias("fp"))
+
+
+@_q(
+    "gold_dashboard",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({POS_SQL}))) AS pos,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({NEG_SQL}))) AS neg
+      FROM documents
+    ),
+    labeled AS (
+      SELECT lang, source, {_SENTIMENT_CASE} AS sentiment,
+             CASE WHEN pos + neg = 0 THEN 0.5
+                  ELSE pos * 1.0 / (pos + neg) END AS confidence
+      FROM scored
+    )
+    SELECT lang, sentiment, COUNT(*) AS n_docs,
+           ROUND(AVG(confidence), 6) AS avg_confidence,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM labeled GROUP BY lang, sentiment
+    """,
+    "EP3 gold/serving workload (the Grafana dashboard read, S20):"
+    " sentiment scores aggregated per language — one scan, partial+"
+    "final agg; served as a view over the scored silver table.",
+)
+def gold_dashboard(spark, sf):
+    d = _t(spark, sf, "documents")
+    pos, neg = sentiment_components_expr("text")
+    counted = d.select("lang", "source", pos.alias("pos"), neg.alias("neg"))
+    p, n = F.col("pos"), F.col("neg")
+    labeled = counted.select(
+        "lang",
+        "source",
+        sentiment_label_expr(p, n).alias("sentiment"),
+        F.when(p + n == 0, F.lit(0.5))
+        .otherwise(p.cast("double") / (p + n))
+        .alias("confidence"),
+    )
+    return labeled.groupBy("lang", "sentiment").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+@_q(
     "sentiment_mllib",
     None,
     "Learned sentiment: MLlib Pipeline (RegexTokenizer -> StopWords ->"
