@@ -1,0 +1,77 @@
+"""Physical-layout helpers: bucketed and partitioned tables.
+
+The two levers that remove work *before* a query runs, both essential
+at 100 TB and both invisible at small scale:
+
+* **Bucketing** (``bucketBy`` on the join/agg key): two tables bucketed
+  the same way join with NO shuffle on either side — the Exchange
+  disappears from the plan (asserted in tests/test_storage.py). This is
+  how a fact-fact join (orders ⋈ lineitem) avoids shuffling 100 TB —
+  the shuffle is paid once at write time, amortized over every later
+  query.
+* **Partitioning** (``partitionBy`` on a low-cardinality scan
+  predicate, e.g. event day): partition pruning turns a full scan into
+  reading only matching directories — ``PartitionFilters`` in the scan
+  node, file listing proportional to the predicate's selectivity.
+
+Guidance encoded here: bucket count should be sized so one bucket of
+the LARGER table fits an executor core's working set (128-256 MB
+post-compression is the usual target); partition columns must be
+low-cardinality (day, not timestamp; country, not user_id) or the
+file-count explosion costs more than pruning saves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed table (parquet).
+
+    Sorting within buckets (``sortBy``) additionally enables
+    sort-merge-join without the per-query Sort when both sides are
+    sorted on the key.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *, partition_cols: list[str]
+) -> None:
+    """Persist ``df`` as a directory-partitioned parquet dataset."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange.
+
+    BroadcastExchange is NOT a shuffle (it ships one small side to all
+    executors); only hash/range repartitioning moves the big data.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or (
+        "Exchange rangepartitioning" in plan
+    )
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """Formatted physical plan text (grep for PartitionFilters /
+    PushedFilters / Exchange in tests)."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
