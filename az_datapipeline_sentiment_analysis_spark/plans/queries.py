@@ -1356,6 +1356,37 @@ def embed_norms(spark, sf):
 
 
 @_q(
+    "udtf_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+    "Python UDTF (Spark 4 table function) row expansion: positional"
+    " token stream via SQL LATERAL join — oracle-checked against"
+    " unnest/generate_subscripts.",
+)
+def udtf_tokens(spark, sf):
+    from ..catalog import register_views
+    from ..functions.udtfs import register_udtfs
+
+    register_views(spark, sf)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+@_q(
     "fingerprint_rolling",
     """
     SELECT doc_id,
