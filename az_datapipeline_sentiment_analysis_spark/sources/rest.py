@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -156,8 +157,65 @@ class RestReviewsReader(DataSourceReader):
             )
 
 
+class RestReviewsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch page puller: the S1 fetch under the S2 cadence.
+
+    The offset is the next page number; each micro-batch reads
+    ``pagesPerBatch`` pages (one by default — the reference's one page
+    per timer fire). ``maxPages`` bounds the stream for tests/backfills;
+    past it, batches are empty. Replayed batches (``readBetweenOffsets``
+    after restart) re-fetch the same pages — the synthetic fetch is
+    deterministic, and a real endpoint must be page-stable for
+    exactly-once (otherwise dedup downstream by review_hash, see
+    ``streaming.stream.dedup_within_watermark``).
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        return {"page": 0}
+
+    def _rows(self, first_page: int, n_pages: int):
+        params = {
+            "hotel_id": self.options.get("hotel_id", "1676161"),
+            "page_size": self.options.get("pagesize", "25"),
+        }
+        out = []
+        for page in range(first_page, first_page + n_pages):
+            params["page_number"] = str(page)
+            payload = json.loads(fetch_page(params))
+            for r in payload.get("result", []):
+                out.append(
+                    (
+                        r.get("review_id"),
+                        r.get("hotel_id"),
+                        r.get("review_hash"),
+                        r.get("average_score"),
+                        r.get("title"),
+                        r.get("pros"),
+                        r.get("cons"),
+                        r.get("languagecode"),
+                        r.get("date"),
+                        page,
+                    )
+                )
+        return out
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        per_batch = int(self.options.get("pagesperbatch", 1))
+        max_pages = int(self.options.get("maxpages", 2**31 - 1))
+        n = max(0, min(per_batch, max_pages - page))
+        return iter(self._rows(page, n)), {"page": page + n}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(self._rows(int(start["page"]), int(end["page"]) - int(start["page"])))
+
+
 class RestReviewsDataSource(DataSource):
-    """``spark.read.format("rest_reviews")`` — paged review source."""
+    """``spark.read.format("rest_reviews")`` — paged review source
+    (batch reader + micro-batch stream reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -168,6 +226,11 @@ class RestReviewsDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> RestReviewsReader:
         return RestReviewsReader(schema, self.options)
+
+    def simpleStreamReader(  # noqa: N802 (Spark API)
+        self, schema: T.StructType
+    ) -> RestReviewsStreamReader:
+        return RestReviewsStreamReader(self.options)
 
 
 def register(spark) -> None:

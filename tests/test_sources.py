@@ -112,3 +112,46 @@ def test_bronze_from_json_strings(spark):
     df = spark.createDataFrame([(payload,)], "payload string")
     bronze = json_ingest.bronze_from_json_strings(df)
     assert bronze.select(F.size("result")).collect()[0][0] == 3
+
+
+def test_rest_stream_reads_pages_as_microbatches(spark, tmp_path):
+    from az_datapipeline_sentiment_analysis_spark.sources import rest
+
+    rest.register(spark)
+    stream = (
+        spark.readStream.format("rest_reviews")
+        .option("numPages", "0")
+        .option("maxPages", "3")
+        .option("pageSize", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("rest_stream").count() >= 30:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("rest_stream")
+    assert got.count() == 30  # 3 pages x 10, then empty batches
+    pages = sorted(r.page_number for r in got.select("page_number").distinct().collect())
+    assert pages == [0, 1, 2]
+    # page contents match the batch reader on the same options
+    batch = (
+        spark.read.format("rest_reviews")
+        .option("numPages", "3")
+        .option("pageSize", "10")
+        .load()
+    )
+    assert sorted(r.review_id for r in got.collect()) == sorted(
+        r.review_id for r in batch.collect()
+    )
