@@ -155,3 +155,57 @@ def test_rest_stream_reads_pages_as_microbatches(spark, tmp_path):
     assert sorted(r.review_id for r in got.collect()) == sorted(
         r.review_id for r in batch.collect()
     )
+
+
+def test_jdbc_predicate_striping():
+    from az_datapipeline_sentiment_analysis_spark.sources.jdbc import (
+        incremental_predicates,
+    )
+
+    preds = incremental_predicates("id", 0, 99, 4)
+    assert len(preds) == 4
+    # ranges are mutually exclusive and exhaustive over [0, 99]
+    bounds = []
+    for p in preds:
+        parts = p.replace("id >= ", "").replace("id <= ", "").split(" AND ")
+        bounds.append((int(parts[0]), int(parts[1])))
+    covered = sorted(bounds)
+    assert covered[0][0] == 0 and covered[-1][1] == 99
+    for (lo1, hi1), (lo2, _hi2) in zip(covered, covered[1:]):
+        assert lo2 == hi1 + 1
+
+
+def test_rate_source_events_shape(spark, tmp_path):
+    from az_datapipeline_sentiment_analysis_spark.sources.synthetic import rate_events
+
+    stream = rate_events(spark, rows_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_ev")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    while time.time() < deadline and spark.table("rate_ev").count() < 50:
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.table("rate_ev").limit(50).collect()
+    assert len(rows) >= 1
+    assert {r.event_type for r in rows} <= {"click", "view", "signup", "purchase"}
+    assert all(r.ts is not None and 0 <= r.value < 100 for r in rows)
+
+
+def test_sink_helpers(spark, tmp_path):
+    from az_datapipeline_sentiment_analysis_spark import sinks
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+
+    d = table(spark, "/root/testdata/sf0.001", "region")
+    p = str(tmp_path / "out")
+    sinks.append_parquet(d, p)
+    sinks.append_parquet(d, p)
+    assert spark.read.parquet(p).count() == d.count() * 2
+    j = sinks.to_json_rows(d).collect()
+    assert all(r.json.startswith("{") for r in j)
