@@ -1875,6 +1875,11 @@ def win_ntile(spark, sf):
 # public accessors (driver contract)
 # =====================================================================
 
+# registers the round-1 widening batch into REGISTRY (safe circular
+# import: _q is defined above, queries_ext only needs that symbol)
+from . import queries_ext as _ext  # noqa: E402,F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

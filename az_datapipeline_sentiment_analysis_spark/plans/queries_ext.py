@@ -1,0 +1,434 @@
+"""Extended operator surface: round-1 widening batch.
+
+Registers into the same ``REGISTRY`` as ``queries.py`` (imported from
+there at module bottom). Groups covered here:
+
+* multi-table TPC-H shapes (Q5/Q10) — the join-order/broadcast
+  showcases for the 100 TB plan;
+* ordered-aggregate (``max_by``/``min_by``) — the arg-max shape used
+  for "most relevant review per hotel" (reference S21 sort_type);
+* deterministic hash sampling (uniform + stratified) — training-data
+  pipeline staple: reproducible across engines/runs, pushes to the
+  scan, no shuffle (vs ``TABLESAMPLE`` whose seed is engine-local);
+* positional explode, first/last/nth window values, regexp family,
+  epoch/unix-time round-trips (reference ``hotelier_response_date``
+  epoch handling), array set ops, null-handling scalars, bitwise ops,
+  split/pad/translate string ops;
+* approx quantiles (rows-only: approximate by design).
+
+Every entry is (PySpark builder, DuckDB oracle) with identical output
+column names and rounding, per the determinism rules in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+# Knuth multiplicative hash: deterministic, engine-independent, and a
+# pure arithmetic expression so it pushes into the parquet scan on the
+# Spark side (PushedFilters) and vectorizes on both engines.
+_HASH = "({col} * 2654435761) % 100"
+
+
+# =====================================================================
+# Multi-table TPC-H shapes
+# =====================================================================
+
+@_q(
+    "q5_local_supplier",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "TPC-H-Q5 shape: 6-table join with a same-nation non-key predicate;"
+    " dims broadcast, the fact side shuffles once on orderkey.",
+)
+def q5_local_supplier(spark, sf):
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = F.broadcast(_t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H-Q10 shape: returned-revenue per customer, top-20;"
+    " returnflag filter pushed to the lineitem scan, nation broadcast.",
+)
+def q10_returned_items(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = F.broadcast(_t(spark, sf, "nation").select("n_nationkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Ordered aggregates (arg-max / arg-min)
+# =====================================================================
+
+@_q(
+    "agg_argmax",
+    """
+    SELECT c_mktsegment,
+           first(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC) AS richest,
+           first(c_custkey ORDER BY c_acctbal ASC, c_custkey ASC) AS poorest,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "arg-max/arg-min per group via max_by/min_by with a struct"
+    " tiebreak (deterministic under balance ties) — the 'single best"
+    " review per hotel' shape without a window shuffle+filter.",
+)
+def agg_argmax(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias("richest"),
+        F.expr(
+            "min_by(c_custkey, struct(c_acctbal, c_custkey))"
+        ).alias("poorest"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+    )
+
+
+# =====================================================================
+# Deterministic sampling (training-data pipeline staple)
+# =====================================================================
+
+@_q(
+    "sample_hash",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH.format(col="doc_id")} < 10
+    """,
+    "10% deterministic uniform sample by multiplicative key hash —"
+    " reproducible across engines and runs (unlike seeded TABLESAMPLE),"
+    " evaluated inside the scan with zero shuffle.",
+)
+def sample_hash(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.expr(_HASH.format(col="doc_id")) < 10)
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH.format(col="doc_id")} <
+          CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+    """,
+    "Stratified deterministic sample: per-language rates (downsample"
+    " the majority class, keep more of the tail) in one scan-side"
+    " predicate — the class-rebalancing step of a training pipeline.",
+)
+def sample_stratified(spark, sf):
+    rate = F.when(F.col("lang") == "en", 5).otherwise(20)
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.expr(_HASH.format(col="doc_id")) < rate)
+        .select("doc_id", "lang")
+    )
+
+
+# =====================================================================
+# Positional explode
+# =====================================================================
+
+@_q(
+    "explode_pos",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings WHERE vec_id < 20
+    """,
+    "posexplode: array to (index, value) rows — the generate/flatten"
+    " primitive behind shingling and patch extraction.",
+)
+def explode_pos(spark, sf):
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
+# =====================================================================
+# Window first/last/nth
+# =====================================================================
+
+@_q(
+    "win_first_last",
+    """
+    SELECT event_id, user_id,
+           ROUND(first_value(value) OVER w, 4) AS first_v,
+           ROUND(last_value(value) OVER w, 4) AS last_v,
+           ROUND(nth_value(value, 2) OVER w, 4) AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "first/last/nth value over the full partition frame (per-user"
+    " first-touch / last-touch attribution shape).",
+)
+def win_first_last(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 4).alias("first_v"),
+        F.round(F.last("value").over(w), 4).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(w), 4).alias("second_v"),
+    )
+
+
+# =====================================================================
+# Scalar families: regexp, epoch, array set ops, null handling,
+# bitwise, split/pad/translate
+# =====================================================================
+
+@_q(
+    "regexp_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS n_novowel,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents
+    """,
+    "regexp extract/replace/match family (review-text cleaning ops).",
+)
+def regexp_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias(
+            "n_novowel"
+        ),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
+
+
+@_q(
+    "epoch_funcs",
+    """
+    SELECT event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS ms,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_rt,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow
+    FROM events
+    """,
+    "Epoch round-trip (timestamp -> unix millis -> timestamp) + time"
+    " parts — the reference's hotelier_response_date epoch-int handling"
+    " (SURVEY §1.1).",
+)
+def epoch_funcs(spark, sf):
+    ev = _t(spark, sf, "events")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        ms.alias("ms"),
+        F.timestamp_millis(ms).alias("ts_rt"),
+        F.hour("ts").cast("long").alias("hr"),
+        # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    )
+
+
+@_q(
+    "array_setops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_intersect(
+               toks, ['the', 'and', 'of', 'to', 'in'])), ','), '') AS common_stops,
+           CAST(len(list_distinct(list_concat(
+               toks, ['the', 'and']))) AS BIGINT) AS n_union
+    FROM t
+    """,
+    "Array set algebra (intersect/union/distinct) over token sets —"
+    " JVM built-ins, no UDF.",
+)
+def array_setops(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = "array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"array_join(array_sort(array_intersect({toks},"
+            " array('the','and','of','to','in'))), ',')"
+        ).alias("common_stops"),
+        F.expr(f"size(array_union({toks}, array('the','and')))")
+        .cast("long")
+        .alias("n_union"),
+    )
+
+
+@_q(
+    "null_funcs",
+    """
+    SELECT c_custkey,
+           ROUND(COALESCE(NULLIF(c_acctbal, 0.0), -1.0), 4) AS bal_or_neg,
+           ROUND(GREATEST(c_acctbal, 0.0), 4) AS bal_pos,
+           ROUND(LEAST(c_acctbal, 1000.0), 4) AS bal_cap,
+           (c_acctbal IS NULL) AS is_null
+    FROM customer
+    """,
+    "coalesce/nullif/greatest/least/is-null scalar family (the"
+    " empty-as-null normalization toolkit, SURVEY §1.1).",
+)
+def null_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 4).alias(
+            "bal_or_neg"
+        ),
+        F.round(F.greatest(bal, F.lit(0.0)), 4).alias("bal_pos"),
+        F.round(F.least(bal, F.lit(1000.0)), 4).alias("bal_cap"),
+        bal.isNull().alias("is_null"),
+    )
+
+
+@_q(
+    "bitwise_funcs",
+    """
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           CAST(xor(event_id, 12345) AS BIGINT) AS xored,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr
+    FROM events
+    """,
+    "Bitwise ops (hash mixing / bucketing primitives used by simhash).",
+)
+def bitwise_funcs(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("lo_byte"),
+        F.expr("event_id ^ 12345").cast("long").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shl"),
+        F.expr("shiftright(event_id, 3)").alias("shr"),
+    )
+
+
+@_q(
+    "split_pad_funcs",
+    """
+    SELECT doc_id,
+           split_part(source, 'c', 2) AS src_tail,
+           lpad(lang, 5, '*') AS lang_pad,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_up,
+           CAST(strpos(text, 'the') AS BIGINT) AS pos_the
+    FROM documents
+    """,
+    "split_part/lpad/translate/instr string family.",
+)
+def split_pad_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("split_part(source, 'c', 2)").alias("src_tail"),
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_up"),
+        F.instr("text", "the").cast("long").alias("pos_the"),
+    )
+
+
+@_q(
+    "approx_quantile",
+    None,
+    "approx_percentile (t-digest-style mergeable sketch) per group —"
+    " approximate by design, rows-only check; the exact twin is"
+    " agg_stats.median_qty.",
+)
+def approx_quantile(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("qty_quartiles")
+    )
