@@ -432,3 +432,229 @@ def approx_quantile(spark, sf):
             "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
         ).alias("qty_quartiles")
     )
+
+
+# =====================================================================
+# Batch 2: outer/cross joins, union-distinct, range frames, histogram,
+# skew-mitigation ops, grouped-map pandas, unpivot
+# =====================================================================
+
+@_q(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           (c_custkey IS NOT NULL) AS in_customer,
+           (o_custkey IS NOT NULL) AS has_orders
+    FROM customer
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c_custkey = o_custkey
+    """,
+    "Full outer join: reconcile two id universes keeping unmatched"
+    " rows from both sides.",
+)
+def join_full_outer(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+    )
+
+
+@_q(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "Cartesian product of two broadcast-size dims (the only safe cross"
+    " join shape at scale: both sides tiny).",
+)
+def join_cross(spark, sf):
+    return _t(spark, sf, "region").select("r_name").crossJoin(
+        _t(spark, sf, "nation").select("n_name")
+    )
+
+
+@_q(
+    "set_union_distinct",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    UNION
+    SELECT c_custkey FROM customer
+    """,
+    "UNION with dedup (vs set_union's UNION ALL) — one hash shuffle.",
+)
+def set_union_distinct(spark, sf):
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.unionByName(c).distinct()
+
+
+@_q(
+    "win_range_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
+               AS sum_1h,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_1h
+    FROM events
+    """,
+    "Value-range (time) window frame: trailing 1-hour per-user sum —"
+    " RANGE, not ROWS, so the frame is defined by event time (the"
+    " rolling-score-over-time shape; millisecond epoch on both engines"
+    " so frame boundaries agree exactly).",
+)
+def win_range_frame(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, 0)
+    )
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )
+
+
+@_q(
+    "histogram_bins",
+    """
+    SELECT CAST(floor((c_acctbal + 1000.0) / 500.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 4) AS lo,
+           ROUND(MAX(c_acctbal), 4) AS hi
+    FROM customer GROUP BY bin
+    """,
+    "Equi-width histogram (single-pass binned agg — the profiling/"
+    "quality-report primitive; IEEE-identical bin arithmetic on both"
+    " engines).",
+)
+def histogram_bins(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.groupBy(
+            F.floor((F.col("c_acctbal") + 1000.0) / 500.0)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 4).alias("lo"),
+            F.round(F.max("c_acctbal"), 4).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "skew_salted_agg",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "Two-phase salted count per key — semantically identical to the"
+    " plain GROUP BY (the oracle) but the first shuffle spreads each"
+    " hot key over n_salts reducers (operators/skew.py).",
+)
+def skew_salted_agg(spark, sf):
+    from ..operators.skew import salted_agg_count
+
+    return salted_agg_count(_t(spark, sf, "events"), "event_type")
+
+
+@_q(
+    "skew_salted_join",
+    """
+    SELECT s_name, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    "Salted equi-join (hot left keys scattered over 8 salts, right side"
+    " replicated per salt) — result equals the plain join (the oracle);"
+    " the declared fallback when one key would overwhelm AQE's"
+    " skew-split (operators/skew.py).",
+)
+def skew_salted_join(spark, sf):
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, s, "l_suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "grouped_zscore",
+    """
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0.0),
+                 4) AS z
+    FROM events
+    """,
+    "Per-group normalization via applyInPandas (grouped-map Arrow"
+    " batches; each user's rows land in one pandas frame) — the custom-"
+    "stateless-op escape hatch when built-ins can't express the"
+    " per-group computation. Oracle = the window formulation.",
+)
+def grouped_zscore(spark, sf):
+    import pandas as pd
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["value"].std(ddof=1)
+        m = pdf["value"].mean()
+        z = (pdf["value"] - m) / s if (s and s > 0) else pd.Series(
+            [float("nan")] * len(pdf), index=pdf.index
+        )
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"],
+             "z": z.round(4)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        z, schema="event_id long, user_id long, z double"
+    )
+
+
+@_q(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 4) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           ROUND(l_extendedprice, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           ROUND(l_discount, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax',
+           ROUND(l_tax, 4) FROM lineitem
+    """,
+    "Unpivot (wide measures to long key/value rows) — melt for"
+    " metric-per-row gold tables; no shuffle, a generate projection.",
+)
+def unpivot_measures(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("v", 4).alias("val"),
+    )
