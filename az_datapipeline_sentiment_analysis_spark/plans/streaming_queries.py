@@ -1,0 +1,151 @@
+"""Streaming operators exposed through the driver's batch gate.
+
+Each entry materializes the events table as a micro-parquet directory
+(two chronologically-staggered file slices), runs a Structured
+Streaming query over it with ``Trigger.AvailableNow`` into a memory
+sink, and returns the sink contents as a batch DataFrame — so the
+driver's DuckDB oracle can check STREAMING semantics, not just the
+batch twins:
+
+* ``stream_tumbling_agg`` — watermark-free tumbling agg in complete
+  mode: after the backlog drains, the result must equal the batch
+  group-by (the oracle);
+* ``stream_sliding_agg`` — same contract for overlapping windows;
+* ``stream_dedup`` — ``dropDuplicatesWithinWatermark`` over input
+  containing every row TWICE (two identical file slices): the stream
+  must emit each event exactly once, i.e. the original table.
+
+Grounding: the reference approximates incremental processing with a
+3-hourly timer + ``processed`` flag (reference
+``FunctionApp1/hotel_reviews/function.json:8``,
+``FunctionApp2/process_data/__init__.py:40-43``); these queries are the
+native replacements (SURVEY §2.2 streaming rows). At scale the file
+source becomes Kafka/object-store listing; state (window partials,
+dedup keys) is partitioned by group key across executors and bounded
+by the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from ..streaming import stream
+from .queries import _q
+
+# per-process cache: sf_dir -> staged streaming input dir
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, *, doubled: bool) -> str:
+    """Stage events as a streaming input dir (micros timestamps).
+
+    ``doubled=True`` writes the identical slice twice with staggered
+    mtimes — the exact-duplicate backlog the dedup query must collapse.
+    Staging cost is one scan+write at test scale; in production the
+    stream reads the landing zone directly (no staging step).
+    """
+    key = (sf_dir, "2x" if doubled else "1x")
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    d = tempfile.mkdtemp(prefix="sg_stream_in_")
+    ev = _t(spark, sf_dir, "events")
+    now = time.time()
+    for i in range(2 if doubled else 1):
+        ev.coalesce(1).write.mode("append").parquet(d)
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > now - 1:
+                os.utime(p, (now + i, now + i))
+    _STAGED[key] = d
+    return d
+
+
+def _drain(df: DataFrame, spark: SparkSession, *, mode: str) -> DataFrame:
+    """Run an AvailableNow query into a memory sink; return its table."""
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    q = stream.start_to_memory(df, name, mode=mode)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
+    "stream_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Structured Streaming tumbling 1h agg (file source -> AvailableNow"
+    " -> complete-mode memory sink); after the backlog drains the"
+    " result must equal the batch GROUP BY — checked by the oracle.",
+)
+def stream_tumbling_agg(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=False))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sv", 4).alias("sum_value"),
+        )
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+@_q(
+    "stream_sliding_agg",
+    """
+    WITH shifted AS (
+      SELECT value,
+             TIMESTAMP '2024-01-01' + (
+               (date_diff('second', TIMESTAMP '2024-01-01', ts) // 1800) - k
+             ) * INTERVAL 30 MINUTE AS window_start
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM shifted GROUP BY 1
+    """,
+    "Streaming sliding 1h/30m window agg, complete mode — each event"
+    " lands in exactly two windows; equals the batch formulation.",
+)
+def stream_sliding_agg(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=False))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.round("sv", 4).alias("sum_value"),
+        )
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+@_q(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    """,
+    "Stateful streaming dedup (dropDuplicatesWithinWatermark on"
+    " event_id) over a backlog containing every event TWICE — emits"
+    " each exactly once, i.e. the original table (the oracle). The"
+    " review_hash cross-micro-batch semantics with watermark-bounded"
+    " state (SURVEY §2.2 stateful dedup).",
+)
+def stream_dedup(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=True))
+    deduped = stream.dedup_within_watermark(
+        src, keys=["event_id"], watermark="24 hours"
+    ).select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    return _drain(deduped, spark, mode="append")
