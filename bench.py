@@ -25,14 +25,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
     "q18_large_orders",
     "join_broadcast",
     "join_inner_equi",
     "asof_join",
     "range_join",
     "win_rank",
+    "win_range_frame",
     "window_tumbling",
     "time_rollup",
+    "grouped_zscore",
     "sentiment_score_sql",
     "sentiment_score",
     "dedup_fingerprint",
