@@ -125,3 +125,98 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias("vec_id"), "cosine", "rank")
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------
+
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, n_iter: int = 5) -> np.ndarray:
+    """Tiny deterministic spherical k-means (the IVF coarse quantizer).
+
+    Runs driver-side on a bounded sample — the standard IVF recipe:
+    the quantizer is trained on a sample once, then broadcast; corpus
+    assignment is the distributed step. Fixed init (first n_lists
+    sample rows) keeps results reproducible across runs/engines.
+    """
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    cents = sample[:n_lists].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_lists`` inverted
+    lists, probe the ``n_probe`` nearest lists per query, exact-cosine
+    re-rank inside them.
+
+    Scale shape: quantizer fit on a driver-side sample (bounded by
+    ``sample_mod``); centroid matrix broadcast to executors; cluster
+    assignment is ONE Arrow-vectorized linear scan (numpy matmul per
+    batch); candidate join shuffles only on cluster id. Probing
+    n_probe/n_lists of the corpus bounds work per query at roughly
+    that fraction of brute force — recall vs brute force is asserted
+    in tests. Output schema matches :func:`brute_force_topk`.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    samp = np.array(
+        [
+            r[0]
+            for r in corpus.filter(F.col(id_col) % sample_mod == 0)
+            .select(vec_col)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _spherical_kmeans(samp, n_lists)
+
+    @pandas_udf("long")
+    def assign_list(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int64"))
+
+    @pandas_udf("array<long>")
+    def probe_lists(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("list_id", assign_list(F.col("c_vec")))
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("list_id", F.explode(probe_lists(F.col("q_vec"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .drop("list_id")
+        .withColumn("cosine", F.round(cosine_expr("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias("vec_id"), "cosine", "rank")
+    )

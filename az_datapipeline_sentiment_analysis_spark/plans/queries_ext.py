@@ -664,3 +664,69 @@ def unpivot_measures(spark, sf):
         "l_orderkey", "l_linenumber", "measure",
         F.round("v", 4).alias("val"),
     )
+
+
+# =====================================================================
+# Batch 3: multimodal frame sampling / feature extraction, IVF ANN
+# =====================================================================
+
+@_q(
+    "multimodal_framesample",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0,
+                 CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx
+      FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(least(256, n - frame_idx * 256) AS BIGINT) AS n_frame_bytes
+    FROM f
+    """,
+    "Fixed-stride frame/patch sampling over a binary column"
+    " (video-frame / image-tile primitive): row expansion inside"
+    " mapInPandas, one row per 256-byte frame. The oracle checks the"
+    " frame arithmetic (count + sizes) from the byte length; the bytes"
+    " themselves are engine-internal (operators/multimodal.py).",
+)
+def multimodal_framesample(spark, sf):
+    from ..operators import multimodal as mm
+
+    d = mm.with_binary_payload(_t(spark, sf, "documents"))
+    return mm.frame_sample(d, chunk=256).select(
+        "doc_id", "frame_idx", "n_frame_bytes"
+    )
+
+
+@_q(
+    "multimodal_features",
+    None,
+    "Deterministic stub feature extraction from binary payloads"
+    " (8-bin byte histogram via vectorized numpy in mapInPandas) —"
+    " the embedding-model slot; rows-only check (feature values are"
+    " engine-internal).",
+)
+def multimodal_features(spark, sf):
+    from ..operators import multimodal as mm
+
+    d = mm.with_binary_payload(_t(spark, sf, "documents"))
+    return mm.media_features(d)
+
+
+@_q(
+    "embed_ann_ivf",
+    None,
+    "IVF ANN: spherical-kmeans coarse quantizer (driver-fit on a"
+    " bounded sample, broadcast), Arrow-vectorized cluster assignment"
+    " in one corpus scan, n_probe-of-n_lists candidate join, exact"
+    " cosine re-rank — the cluster-pruned scale path; recall vs brute"
+    " force asserted in tests (operators/similarity.py).",
+)
+def embed_ann_ivf(spark, sf):
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)

@@ -221,3 +221,86 @@ def test_mllib_sentiment_agrees_with_lexicon_on_polar_docs(spark):
     assert all(
         (r.confidence >= 0.5) == (r.sentiment == "positive") for r in sc
     )
+
+
+# --- IVF ANN ---------------------------------------------------------
+
+def test_ivf_ann_finds_planted_near_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    corpus_np = rng.standard_normal((400, 64)).astype("float32")
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v])
+        for i, v in enumerate(corpus_np)
+    ]
+    emb = spark.createDataFrame(rows)
+    n_q = 20
+    queries = spark.createDataFrame(
+        [
+            Row(
+                vec_id=10_000 + i,
+                embedding=[
+                    float(x)
+                    for x in corpus_np[i] + 0.05 * rng.standard_normal(64)
+                ],
+            )
+            for i in range(n_q)
+        ]
+    )
+    got = sim.ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4).collect()
+    rank1 = {r.q_id: r.vec_id for r in got if r.rank == 1}
+    hits = sum(1 for i in range(n_q) if rank1.get(10_000 + i) == i)
+    # a planted ~0.99-cosine neighbor dominates its list; probing the
+    # 4 nearest of 16 lists must recover nearly all of them
+    assert hits / n_q >= 0.8, f"planted-neighbor recall {hits}/{n_q}"
+
+
+def test_ivf_recall_vs_brute_force_on_testdata(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in sim.ivf_topk(emb, q, k=5, n_lists=16, n_probe=6).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5, (
+        f"IVF recall {len(approx & exact)}/{len(exact)}"
+    )
+
+
+# --- multimodal frame sampling / features ----------------------------
+
+def test_frame_sample_arithmetic(spark):
+    from az_datapipeline_sentiment_analysis_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 600), Row(doc_id=2, text="b" * 256),
+         Row(doc_id=3, text="")],
+    )
+    out = mm.frame_sample(mm.with_binary_payload(df), chunk=256).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3
+    assert sorted(r.n_frame_bytes for r in by_doc[1]) == [88, 256, 256]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_frame_bytes == 256
+    assert 3 not in by_doc  # empty payload -> no frames
+    # frames reassemble to the original payload
+    frames = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert b"".join(bytes(r.frame_bytes) for r in frames) == b"a" * 600
+
+
+def test_media_features_deterministic_histogram(spark):
+    from az_datapipeline_sentiment_analysis_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([Row(doc_id=1, text="aabb"), Row(doc_id=2, text="")])
+    out = {r.doc_id: r.features for r in
+           mm.media_features(mm.with_binary_payload(df)).collect()}
+    assert len(out[1]) == 8 and abs(sum(out[1]) - 1.0) < 1e-9
+    # 'a'=97, 'b'=98 -> both in bucket 97>>5 == 3
+    assert out[1][3] == 1.0
+    assert out[2] == [0.0] * 8
