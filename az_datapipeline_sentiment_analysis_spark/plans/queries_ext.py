@@ -730,3 +730,77 @@ def embed_ann_ivf(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+# =====================================================================
+# Batch 4: ordered collect, HLL sketches, boolean aggregates
+# =====================================================================
+
+@_q(
+    "agg_collect_ordered",
+    """
+    SELECT user_id,
+           array_to_string(
+             list(CAST(ROUND(value, 4) AS VARCHAR) ORDER BY ts, event_id),
+             ',') AS vals,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+    "Order-preserving array aggregation: collect_list carries no order"
+    " guarantee in a distributed agg, so the struct-sort idiom"
+    " (collect structs keyed by (ts, event_id), array_sort, project)"
+    " makes the sequence deterministic — the per-user event-history"
+    " materialization shape.",
+)
+def agg_collect_ordered(spark, sf):
+    ev = _t(spark, sf, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                ordered, lambda s: F.round(s["value"], 4).cast("string")
+            ),
+            ",",
+        ).alias("vals"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@_q(
+    "sketch_hll",
+    None,
+    "Apache DataSketches HLL: mergeable distinct-count sketches"
+    " (hll_sketch_agg partials merge across partitions/days — the"
+    " pre-aggregated rollup primitive approx_count_distinct can't"
+    " give you). Approximate by design: rows-only check; the exact"
+    " twin is agg_distinct.",
+)
+def sketch_hll(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias(
+            "n_cust_hll"
+        )
+    )
+
+
+@_q(
+    "agg_bool",
+    """
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal < 0) AS any_negative,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal > 9000) AS BIGINT) AS n_rich
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "Boolean aggregates (every/any) + conditional count — the"
+    " data-quality assertion shape (\"all rows in this partition"
+    " pass\").",
+)
+def agg_bool(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("every(c_acctbal > 0)").alias("all_positive"),
+        F.expr("any(c_acctbal < 0)").alias("any_negative"),
+        F.expr("count_if(c_acctbal > 9000)").cast("long").alias("n_rich"),
+    )
