@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table as _t
 from ..streaming import stream
-from .queries import _q
+from .queries import NEG_SQL, POS_SQL, _q
 
 # per-process cache: sf_dir -> staged streaming input dir
 _STAGED: dict[tuple[str, str], str] = {}
@@ -149,3 +149,69 @@ def stream_dedup(spark, sf):
         src, keys=["event_id"], watermark="24 hours"
     ).select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
     return _drain(deduped, spark, mode="append")
+
+
+@_q(
+    "pipeline_incremental_run",
+    f"""
+    WITH src AS (
+      SELECT doc_id AS id, text AS text_column,
+             CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS processed
+      FROM documents
+    ),
+    unprocessed AS (
+      SELECT CAST(id AS VARCHAR) AS id, text_column AS text
+      FROM src WHERE processed = 0
+    ),
+    scored AS (
+      SELECT id,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({POS_SQL}))) AS pos,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                 t -> t IN ({NEG_SQL}))) AS neg
+      FROM unprocessed
+    )
+    SELECT id AS record_id,
+           CASE WHEN pos + neg = 0 THEN 'neutral'
+                WHEN pos * 1.0 / (pos + neg) >= 0.625 THEN 'positive'
+                WHEN pos * 1.0 / (pos + neg) <= 0.375 THEN 'negative'
+                ELSE 'mixed' END AS sentiment,
+           ROUND(CASE WHEN pos + neg = 0 THEN 0.5
+                      ELSE pos * 1.0 / (pos + neg) END, 6) AS confidence
+    FROM scored
+    """,
+    "EP2 run end-to-end THROUGH the incremental module (not just the"
+    " logical plan): stage a SourceTable, run_increment scores the"
+    " processed=0 rows, idempotent-merges results, flips flags via"
+    " semi-join rewrite; a SECOND run_increment must insert 0 rows"
+    " (the idempotence the reference's dual-commit lacks) before the"
+    " results are returned for the oracle check.",
+)
+def pipeline_incremental_run(spark, sf):
+    import shutil as _sh
+
+    from ..schemas import SENTIMENT_RESULTS
+    from ..streaming import incremental as inc
+
+    base = tempfile.mkdtemp(prefix="sg_inc_")
+    src_path = os.path.join(base, "source")
+    res_path = os.path.join(base, "results")
+    src = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("text_column"),
+        F.when(F.col("doc_id") % 3 == 0, 0).otherwise(1).alias("processed"),
+    )
+    inc.init_source(spark, src, src_path)
+    n_first = inc.run_increment(spark, src_path, res_path)
+    n_second = inc.run_increment(spark, src_path, res_path)
+    assert n_first > 0 and n_second == 0, (n_first, n_second)
+    out = (
+        spark.read.schema(SENTIMENT_RESULTS)
+        .parquet(res_path)
+        .select(
+            "record_id", "sentiment", F.round("confidence", 6).alias("confidence")
+        )
+    )
+    rows = out.collect()  # materialize before the temp dir is removed
+    _sh.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
