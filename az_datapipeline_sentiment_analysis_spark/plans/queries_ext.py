@@ -804,3 +804,143 @@ def agg_bool(spark, sf):
         F.expr("any(c_acctbal < 0)").alias("any_negative"),
         F.expr("count_if(c_acctbal > 9000)").cast("long").alias("n_rich"),
     )
+
+
+# =====================================================================
+# Batch 5: correlated subquery decorrelation, Q7 shape, gap filling
+# =====================================================================
+
+@_q(
+    "subquery_correlated_max",
+    """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H-Q2 shape: correlated scalar subquery (max per nation) —"
+    " Catalyst decorrelates to an aggregate + join, one pass over the"
+    " table instead of a subquery per row.",
+)
+def subquery_correlated_max(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 4) AS s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@_q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H-Q7 shape: fact-fact join with a two-sided dim predicate;"
+    " both nation dims broadcast, the nation filter halves each side"
+    " BEFORE the fact join.",
+)
+def q7_volume_shipping(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    pair = F.broadcast(
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+        .select("n_nationkey", "n_name")
+    )
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "gapfill_daily",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo,
+             date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(n, 0) AS n,
+           COALESCE(sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    "Gap filling: generate a complete date spine (sequence + explode)"
+    " and left-join sparse daily aggregates, zero-filling missing days"
+    " — the dashboard/time-series densification primitive; the spine"
+    " is one row per day (tiny) and broadcasts.",
+)
+def gapfill_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
