@@ -8,8 +8,9 @@ there at module bottom). Groups covered here:
 * ordered-aggregate (``max_by``/``min_by``) — the arg-max shape used
   for "most relevant review per hotel" (reference S21 sort_type);
 * deterministic hash sampling (uniform + stratified) — training-data
-  pipeline staple: reproducible across engines/runs, pushes to the
-  scan, no shuffle (vs ``TABLESAMPLE`` whose seed is engine-local);
+  pipeline staple: reproducible across engines/runs, evaluated in the
+  codegen filter over the scan, no shuffle (vs ``TABLESAMPLE`` whose
+  seed is engine-local);
 * positional explode, first/last/nth window values, regexp family,
   epoch/unix-time round-trips (reference ``hotelier_response_date``
   epoch handling), array set ops, null-handling scalars, bitwise ops,
@@ -28,9 +29,10 @@ from pyspark.sql import functions as F
 from ..catalog import table as _t
 from .queries import _q
 
-# Knuth multiplicative hash: deterministic, engine-independent, and a
-# pure arithmetic expression so it pushes into the parquet scan on the
-# Spark side (PushedFilters) and vectorizes on both engines.
+# Knuth multiplicative hash: deterministic and engine-independent. As
+# an arithmetic expression it is NOT a parquet PushedFilter — it runs
+# in the whole-stage-codegen Filter directly above the scan, which at
+# scale still means no shuffle, no extra pass, and row-group-local work.
 _HASH = "({col} * 2654435761) % 100"
 
 
@@ -166,7 +168,7 @@ def agg_argmax(spark, sf):
     """,
     "10% deterministic uniform sample by multiplicative key hash —"
     " reproducible across engines and runs (unlike seeded TABLESAMPLE),"
-    " evaluated inside the scan with zero shuffle.",
+    " evaluated in the codegen filter over the scan, zero shuffle.",
 )
 def sample_hash(spark, sf):
     return (
