@@ -304,3 +304,70 @@ def test_media_features_deterministic_histogram(spark):
     # 'a'=97, 'b'=98 -> both in bucket 97>>5 == 3
     assert out[1][3] == 1.0
     assert out[2] == [0.0] * 8
+
+
+# --- sampling / histogram / gapfill / argmax invariants --------------
+
+def test_hash_sampling_invariants(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    base = {r.doc_id for r in
+            REGISTRY["sample_hash"].fn(spark, SF_SMOKE).collect()}
+    again = {r.doc_id for r in
+             REGISTRY["sample_hash"].fn(spark, SF_SMOKE).collect()}
+    assert base == again  # deterministic across runs
+    total = table(spark, SF_SMOKE, "documents").count()
+    # ~10% rate, loose bounds for the multiplicative hash at small n
+    assert 0.02 * total < len(base) < 0.3 * total
+    strat = REGISTRY["sample_stratified"].fn(spark, SF_SMOKE).collect()
+    # non-en rate (20%) is a superset of the uniform hash < 10 cut for
+    # the same keys; en rate (5%) is a subset of it
+    en = {r.doc_id for r in strat if r.lang == "en"}
+    assert en <= base
+
+
+def test_histogram_bins_partition_rows(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["histogram_bins"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == table(spark, SF_SMOKE, "customer").count()
+    for r in rows:  # bin bounds actually contain their min/max
+        assert r.lo <= r.hi
+
+
+def test_gapfill_daily_is_dense(spark):
+    import datetime
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["gapfill_daily"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    days = [r.day for r in rows]
+    assert len(days) == len(set(days))
+    for a, b in zip(days, days[1:]):  # no holes in the spine
+        assert b - a == datetime.timedelta(days=1)
+    assert any(r.n == 0 for r in rows) or all(r.n > 0 for r in rows)
+
+
+def test_argmax_matches_window_formulation(spark):
+    from pyspark.sql import Window
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.c_mktsegment: (r.richest, r.poorest)
+        for r in REGISTRY["agg_argmax"].fn(spark, SF_SMOKE).collect()
+    }
+    c = table(spark, SF_SMOKE, "customer")
+    w_hi = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.desc("c_custkey")
+    )
+    expect_hi = {
+        r.c_mktsegment: r.c_custkey
+        for r in c.withColumn("rn", F.row_number().over(w_hi))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect_hi
