@@ -946,3 +946,50 @@ def gapfill_daily(spark, sf):
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# =====================================================================
+# Batch 6: REST paged source through the gate
+# =====================================================================
+
+@_q(
+    "rest_source_scan",
+    """
+    WITH r AS (
+      SELECT (CAST(1676161 AS BIGINT) * 100000 + p.page * 25 + i.i) AS rid,
+             CAST(p.page AS INTEGER) AS page_number
+      FROM (SELECT unnest(generate_series(0, 3)) AS page) p,
+           (SELECT unnest(generate_series(0, 24)) AS i) i
+    )
+    SELECT rid AS review_id,
+           CAST(1676161 AS BIGINT) AS hotel_id,
+           printf('h%016x', rid) AS review_hash,
+           ROUND(1.0 + (rid % 9) / 2.0, 1) AS average_score,
+           'review ' || rid AS title,
+           ['en', 'de', 'fr'][1 + rid % 3] AS languagecode,
+           printf('2024-%02d-%02d 12:00:00', 1 + rid % 12, 1 + rid % 28)
+               AS date,
+           page_number
+    FROM r
+    """,
+    "S1/S21 through the gate: the Spark-4 Python DataSource reads 4"
+    " pages as 4 partitions (one synthetic 'HTTP call' per task) with"
+    " the hotel_id equality pushed into request params via pushFilters;"
+    " the oracle reproduces the deterministic page generator"
+    " arithmetically (sources/rest.py).",
+)
+def rest_source_scan(spark, sf):
+    from ..sources.rest import register
+
+    register(spark)
+    return (
+        spark.read.format("rest_reviews")
+        .option("numPages", 4)
+        .option("pageSize", 25)
+        .load()
+        .filter(F.col("hotel_id") == 1676161)  # pushed to the source
+        .select(
+            "review_id", "hotel_id", "review_hash", "average_score",
+            "title", "languagecode", "date", "page_number",
+        )
+    )
