@@ -1,0 +1,732 @@
+"""TPC-H remainder: the 15 query shapes not yet in the registry.
+
+Together with ``q1/q2(subquery_correlated_max)/q3/q5/q7/q10/q18`` in
+``queries.py``/``queries_ext.py``, this completes all 22 TPC-H plan
+shapes — adapted to the reduced synthetic schema (no ``partsupp``, no
+``l_commitdate``/``l_receiptdate``/``l_shipmode``, no
+``p_container``/``c_phone``; see TESTDATA.md). Each adaptation keeps
+the *plan shape* (the thing that matters at 100 TB) and swaps only the
+missing column for an available one:
+
+* Q4/Q21's ``receiptdate > commitdate`` lateness becomes
+  ``l_shipdate > o_orderdate + INTERVAL n DAY``;
+* Q12's ship-mode grouping becomes ship-year grouping;
+* Q16/Q20's ``partsupp`` becomes the observed (partkey, suppkey)
+  pairs in ``lineitem``;
+* Q19/Q17's ``p_container`` predicate becomes a ``p_size`` range;
+* Q22's phone prefix becomes ``c_nationkey % 10``.
+
+Scale notes (local[32] today, 1000 executors tomorrow):
+
+* every dim (part, supplier, nation, region, the Q15 1-row max, the
+  Q17 per-part averages) is explicitly ``F.broadcast`` — the only
+  shuffles left are the fact-fact joins on ``l_orderkey`` and the
+  final aggregations, which AQE coalesces;
+* EXISTS / NOT EXISTS / NOT IN compile to left-semi / left-anti
+  joins (Catalyst ``RewritePredicateSubquery``), never to per-row
+  subqueries; NOT IN is only used where the key side is provably
+  non-null (suppkey), avoiding the null-semantics nested-loop plan;
+* correlated scalar aggregates (Q17's per-part avg) are decorrelated
+  by hand into an aggregate + broadcast join so the physical plan is
+  visible and testable.
+
+Reference grounding: the reference's entire query surface is a
+filter-project-agg over two tables (FunctionApp2/process_data/
+__init__.py:40-104); these shapes are the generalized read workload
+its Grafana/BI layer implies (applications/applications.tf:135-145).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+
+# =====================================================================
+# Q4 — order priority checking (EXISTS -> left-semi with interval cond)
+# =====================================================================
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H-Q4 shape: EXISTS correlated on the fact key + an interval"
+    " comparison -> left-semi join on l_orderkey (one shuffle), then a"
+    " tiny 5-group agg. Lateness predicate adapted to shipdate vs"
+    " orderdate (no commitdate/receiptdate in the synthetic schema).",
+)
+def q4_order_priority(spark, sf):
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# =====================================================================
+# Q6 — forecast revenue change (pure scan-agg, full pushdown)
+# =====================================================================
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    "TPC-H-Q6 shape: selective scan-aggregate with zero joins — every"
+    " predicate reaches the parquet reader (PushedFilters on shipdate/"
+    " discount/quantity), the agg is a 1-row partial+final; at 100 TB"
+    " this is bounded by scan bandwidth alone.",
+)
+def q6_forecast_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
+
+
+# =====================================================================
+# Q8 — national market share (conditional agg over a 6-table join)
+# =====================================================================
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0.0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    "TPC-H-Q8 shape: market share = conditional-sum ratio over a"
+    " 6-table star join; part/supplier/nation/region broadcast, the"
+    " p_type filter prunes the fact before its only shuffle"
+    " (l_orderkey); numerator and denominator computed in ONE pass"
+    " (no self-join).",
+)
+def q8_market_share(spark, sf):
+    p = F.broadcast(
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(_t(spark, sf, "nation")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = F.broadcast(
+        _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    ).select("r_regionkey")
+    s = F.broadcast(_t(spark, sf, "supplier")).select("s_suppkey", "s_nationkey")
+    n2 = F.broadcast(_t(spark, sf, "nation")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("n1_key"))
+        .join(r, F.col("n1_region") == F.col("r_regionkey"), "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_6", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# =====================================================================
+# Q9 — product-type profit (LIKE filter + star join, 2-key group)
+# =====================================================================
+
+@_q(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    "TPC-H-Q9 shape: profit by supplier-nation x order-year for parts"
+    " matching a LIKE pattern; the part filter broadcasts (contains()"
+    " is not a parquet pushdown but prunes before the fact shuffle);"
+    " profit simplified to revenue (no partsupp.ps_supplycost in the"
+    " synthetic schema).",
+)
+def q9_product_profit(spark, sf):
+    p = F.broadcast(
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = F.broadcast(_t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = F.broadcast(_t(spark, sf, "nation").select("n_nationkey", "n_name"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_profit")
+        )
+    )
+
+
+# =====================================================================
+# Q12 — late shipments by year (join + conditional counts)
+# =====================================================================
+
+@_q(
+    "q12_late_shipments",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY ship_year
+    """,
+    "TPC-H-Q12 shape: fact-fact join + two conditional counts in one"
+    " pass (count_if, no self-join); grouping adapted from l_shipmode"
+    " (absent) to ship-year, lateness from receipt-vs-commit to"
+    " shipdate > orderdate + 90d.",
+)
+def q12_late_shipments(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# =====================================================================
+# Q13 — customer order-count distribution (outer join + double agg)
+# =====================================================================
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H-Q13 shape: left-outer join preserving customers with zero"
+    " orders, then a two-level aggregation (count per customer, then"
+    " histogram of counts — the second agg input is one row per"
+    " customer, tiny). Comment NOT-LIKE filter adapted to an"
+    " orderpriority predicate INSIDE the join condition, where it"
+    " cannot be pushed below the outer join's null-extension.",
+)
+def q13_customer_distribution(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# =====================================================================
+# Q14 — promotion revenue share (broadcast dim + conditional ratio)
+# =====================================================================
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "TPC-H-Q14 shape: promo share of one month's revenue — date range"
+    " pushed to the scan, part broadcast, numerator/denominator as one"
+    " conditional aggregate (single pass, 1-row result).",
+)
+def q14_promo_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = F.broadcast(_t(spark, sf, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# =====================================================================
+# Q15 — top supplier (agg view + scalar-max join)
+# =====================================================================
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "TPC-H-Q15 shape: quarterly revenue per supplier (one shuffle on"
+    " suppkey), then the scalar MAX — a 1-row aggregate broadcast back"
+    " as a join filter, not a window over a single partition (which"
+    " would serialize all suppliers through one task at scale).",
+)
+def q15_top_supplier(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
+    s = F.broadcast(_t(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(mx, rev.total_revenue == mx.mx)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# =====================================================================
+# Q16 — supplier count by part group (NOT IN -> anti, distinct agg)
+# =====================================================================
+
+@_q(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    """,
+    "TPC-H-Q16 shape: negated dim predicates + IN-list + NOT IN"
+    " (compiled as a left-anti join — safe because s_suppkey is"
+    " non-null, avoiding NOT IN's null-aware nested loop) + distinct"
+    " count. partsupp adapted to lineitem's observed (part, supplier)"
+    " pairs.",
+)
+def q16_supplier_cnt(spark, sf):
+    p = F.broadcast(
+        _t(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+        ).select("p_partkey", "p_brand", "p_size")
+    )
+    bad = F.broadcast(
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# =====================================================================
+# Q17 — small-quantity revenue (correlated avg, hand-decorrelated)
+# =====================================================================
+
+@_q(
+    "q17_small_qty_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 10
+      AND l_quantity < (SELECT ROUND(0.5 * AVG(l2.l_quantity), 4)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    "TPC-H-Q17 shape: correlated per-part average, decorrelated into"
+    " a per-part aggregate broadcast back onto the fact (two scans of"
+    " lineitem, zero per-row subqueries); threshold rounded on both"
+    " engines so the float boundary is identical. Container predicate"
+    " adapted to p_size.",
+)
+def q17_small_qty_revenue(spark, sf):
+    p = F.broadcast(
+        _t(spark, sf, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    avgq = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(F.round(0.5 * F.avg("l_quantity"), 4).alias("half_avg_qty"))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+# =====================================================================
+# Q19 — disjunctive predicates (OR-of-conjunctions join filter)
+# =====================================================================
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1.0 AND 11.0)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10.0 AND 20.0)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20.0 AND 30.0)
+    """,
+    "TPC-H-Q19 shape: OR-of-conjunctions mixing dim and fact columns;"
+    " Catalyst extracts the common l_quantity range [1,30] and the"
+    " p_brand IN-list as pushable prefilters, the residual disjunction"
+    " evaluates after the broadcast join. Container predicates adapted"
+    " to p_size ranges.",
+)
+def q19_disjunctive_revenue(spark, sf):
+    p = F.broadcast(_t(spark, sf, "part").select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# =====================================================================
+# Q20 — part promotion suppliers (nested semi-join chain)
+# =====================================================================
+
+@_q(
+    "q20_part_promotion",
+    """
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 50.0
+    )
+    ORDER BY s_name
+    """,
+    "TPC-H-Q20 shape: nested semi-join chain — parts by LIKE, their"
+    " 1996 shipments aggregated per (supplier, part) with a HAVING"
+    " threshold, the surviving supplier set semi-joins supplier (then"
+    " nation broadcast). partsupp availqty adapted to shipped-quantity"
+    " totals from lineitem.",
+)
+def q20_part_promotion(spark, sf):
+    p = F.broadcast(
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").contains("blue"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = F.broadcast(_t(spark, sf, "nation").select("n_nationkey", "n_name"))
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# =====================================================================
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# =====================================================================
+
+@_q(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    "TPC-H-Q21 shape: the hardest subquery pattern — EXISTS (another"
+    " supplier in the order) + NOT EXISTS (another LATE supplier),"
+    " compiled as a left-semi then a left-anti join, both equi on"
+    " l_orderkey with a suppkey-inequality residual (no nested"
+    " loops); all three lineitem scans shuffle on the same key so AQE"
+    " can co-plan them. Lateness adapted to shipdate vs orderdate+60d.",
+)
+def q21_waiting_supplier(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    ).distinct()
+    multi = late1.join(
+        pairs,
+        (F.col("l_orderkey") == F.col("p_ok")) & (F.col("l_suppkey") != F.col("p_sk")),
+        "left_semi",
+    )
+    late_pairs = late1.select(
+        F.col("l_orderkey").alias("lp_ok"), F.col("l_suppkey").alias("lp_sk")
+    ).distinct()
+    sole = multi.join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("lp_ok"))
+        & (F.col("l_suppkey") != F.col("lp_sk")),
+        "left_anti",
+    )
+    s = F.broadcast(_t(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# =====================================================================
+# Q22 — global sales opportunity (scalar avg + anti-join)
+# =====================================================================
+
+@_q(
+    "q22_global_sales",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_nationkey % 10 IN (0, 3, 5, 7, 9)
+    ),
+    thresh AS (
+      SELECT ROUND(AVG(c_acctbal), 4) AS t FROM eligible WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM eligible, thresh
+    WHERE c_acctbal > t
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+    "TPC-H-Q22 shape: scalar average subquery (1-row broadcast) +"
+    " NOT EXISTS against urgent orders (left-anti on o_custkey, the"
+    " only shuffle) + group on a derived code; phone-prefix adapted"
+    " to c_nationkey %% 10, and 'never ordered' to 'never ordered"
+    " URGENT' (every synthetic customer has orders); the avg"
+    " threshold is rounded identically on both engines so the >"
+    " boundary agrees.",
+)
+def q22_global_sales(spark, sf):
+    eligible = (
+        _t(spark, sf, "customer")
+        .filter((F.col("c_nationkey") % 10).isin(0, 3, 5, 7, 9))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 10).cast("long").alias("cntrycode"),
+            "c_acctbal",
+        )
+    )
+    thresh = F.broadcast(
+        eligible.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("t"))
+    )
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        eligible.join(thresh, F.col("c_acctbal") > F.col("t"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
