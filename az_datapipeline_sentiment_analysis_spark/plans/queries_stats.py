@@ -1,0 +1,192 @@
+"""Second widening batch: regression/moment statistics, calendar
+functions, and edit-distance near-dup.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). Everything here is JVM-side built-ins — no Python in
+the hot path — and each entry carries a DuckDB oracle twin.
+
+Grounding: the reference's read workload is Grafana-style analytics
+over scored reviews (applications/applications.tf:135-145); linear
+trends (score vs. quantity-like covariates), distribution-shape
+diagnostics, and calendar bucketing are the standard dashboard
+follow-ons to its avg-score-per-hotel aggregate. Edit-distance
+near-dup extends the dedup family (``review_hash`` at sample.json)
+with the classic fuzzy-match tier between exact fingerprinting and
+MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+
+# =====================================================================
+# Regression aggregates (one pass, partial+final like any hash agg)
+# =====================================================================
+
+@_q(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "OLS regression aggregates (slope/intercept/r2/count of price on"
+    " quantity per returnflag) — single-pass partial+final hash agg,"
+    " the same shuffle cost as a SUM; trend lines for the reference's"
+    " dashboard layer without a second scan.",
+)
+def agg_regression(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+# =====================================================================
+# Higher central moments (portable two-pass formula, not engine-native
+# skewness()/kurtosis() whose sample-vs-population conventions differ)
+# =====================================================================
+
+@_q(
+    "agg_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             AVG(l_quantity) AS mu,
+             stddev_pop(l_quantity) AS sd
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(POW((l_quantity - mu) / sd, 3)), 4) AS skew,
+           ROUND(AVG(POW((l_quantity - mu) / sd, 4)) - 3.0, 4) AS excess_kurt
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    "Population skewness / excess kurtosis via explicit standardized"
+    " moments: a tiny per-group (mu, sigma) aggregate broadcast back"
+    " onto the fact, then one more pass — the portable formulation"
+    " (Spark's skewness/kurtosis and DuckDB's use different sample"
+    " conventions, so the naive twins would never hash-match).",
+)
+def agg_moments(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    stats = F.broadcast(
+        li.groupBy(F.col("l_returnflag").alias("s_flag")).agg(
+            F.avg("l_quantity").alias("mu"),
+            F.stddev_pop("l_quantity").alias("sd"),
+        )
+    )
+    z = (F.col("l_quantity") - F.col("mu")) / F.col("sd")
+    return (
+        li.join(stats, F.col("l_returnflag") == F.col("s_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(F.pow(z, 3)), 4).alias("skew"),
+            F.round(F.avg(F.pow(z, 4)) - 3.0, 4).alias("excess_kurt"),
+        )
+    )
+
+
+# =====================================================================
+# Calendar functions (quarter/week/yearday/last_day/add_months)
+# =====================================================================
+
+@_q(
+    "calendar_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS yday,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+               AS plus_3_months
+    FROM orders
+    """,
+    "Calendar scalar family: quarter, ISO week, day-of-year, month-end"
+    " snap, end-of-month-clamped month addition (reference checkin/"
+    " checkout date arithmetic, §1.1) — all codegen'd JVM built-ins.",
+)
+def calendar_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("yday"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3_months"),
+    )
+
+
+# =====================================================================
+# Edit-distance near-dup (blocked pairwise Levenshtein)
+# =====================================================================
+
+@_q(
+    "editdist_neardup",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, lower(text) AS t,
+             CAST(floor(n_chars / 32) AS BIGINT) AS len_bucket
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+    FROM d a
+    JOIN d b ON a.lang = b.lang
+            AND a.len_bucket = b.len_bucket
+            AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 20
+    """,
+    "Fuzzy near-dup tier between exact fingerprints and MinHash:"
+    " pairwise Levenshtein restricted to (lang, length-bucket) blocks"
+    " — the blocking join keys the shuffle, so candidate pairs are"
+    " generated per-bucket (never a global cross join); at 100 TB the"
+    " same plan holds with a tighter bucket and Spark's thresholded"
+    " levenshtein(l, r, k) for early exit. Bucket-boundary pairs are"
+    " out of scope by design (standard blocking semantics).",
+)
+def editdist_neardup(spark, sf):
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.lower("text").alias("t"),
+            F.floor(F.col("n_chars") / 32).cast("long").alias("len_bucket"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("t").alias("t_a"), F.col("len_bucket").alias("lb_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("t").alias("t_b"), F.col("len_bucket").alias("lb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("long"))
+        .filter(F.col("edit_dist") <= 20)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
