@@ -155,11 +155,12 @@ def calendar_funcs(spark, sf):
     """,
     "Fuzzy near-dup tier between exact fingerprints and MinHash:"
     " pairwise Levenshtein restricted to (lang, length-bucket) blocks"
-    " — the blocking join keys the shuffle, so candidate pairs are"
-    " generated per-bucket (never a global cross join); at 100 TB the"
-    " same plan holds with a tighter bucket and Spark's thresholded"
-    " levenshtein(l, r, k) for early exit. Bucket-boundary pairs are"
-    " out of scope by design (standard blocking semantics).",
+    " — never a global cross join. The probe side is repartitioned on"
+    " the blocking key so pair generation parallelizes even when the"
+    " input is one small file (the build side broadcasts), and the"
+    " quadratic inner work uses thresholded levenshtein(l, r, k) for"
+    " O(k·n) early exit per pair. Bucket-boundary pairs are out of"
+    " scope by design (standard blocking semantics).",
 )
 def editdist_neardup(spark, sf):
     d = (
@@ -174,7 +175,7 @@ def editdist_neardup(spark, sf):
     a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
         F.col("t").alias("t_a"), F.col("len_bucket").alias("lb_a"),
-    )
+    ).repartition("lang_a", "lb_a")
     b = d.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
         F.col("t").alias("t_b"), F.col("len_bucket").alias("lb_b"),
@@ -186,7 +187,9 @@ def editdist_neardup(spark, sf):
             & (F.col("lb_a") == F.col("lb_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("long"))
-        .filter(F.col("edit_dist") <= 20)
+        # 3-arg levenshtein early-exits at the threshold (returns -1
+        # beyond it), so each pair costs O(k*n) instead of O(n^2)
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b", 20).cast("long"))
+        .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     )

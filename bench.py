@@ -6,9 +6,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <scale factor>}
 
 Headline set spans the engine's cost classes: columnar hash-agg
-(q1), broadcast star join, shuffle join+agg, window rank, JVM-path
-text scoring, pandas-UDF text scoring (Arrow boundary), exact dedup,
-MinHash LSH near-dup, embedding top-k, and a time-windowed agg.
+(q1), scan-bound agg (q6), broadcast star joins (q5/q8), shuffle
+join+agg, outer-join distribution (q13), semi/anti subquery shapes
+(q21), window rank, JVM-path text scoring, pandas-UDF text scoring
+(Arrow boundary), exact dedup, MinHash LSH near-dup, embedding
+top-k, and a time-windowed agg.
 """
 
 from __future__ import annotations
@@ -26,8 +28,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "join_broadcast",
     "join_inner_equi",
     "asof_join",
