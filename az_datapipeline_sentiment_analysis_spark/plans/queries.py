@@ -430,12 +430,17 @@ def join_semi(spark, sf):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
-    "Left-anti join ('not yet processed' complement).",
+    "Left-anti join ('not yet processed' complement; the probe is"
+    " urgent orders — every synthetic customer has SOME order, so an"
+    " unfiltered probe would make the result trivially empty).",
 )
 def join_anti(spark, sf):
-    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = _t(spark, sf, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -850,7 +855,7 @@ def set_intersect(spark, sf):
     """
     SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
     EXCEPT
-    SELECT o_custkey FROM orders
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
     "EXCEPT (complement id set).",
 )
@@ -858,7 +863,11 @@ def set_except(spark, sf):
     a = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
         F.col("c_custkey").alias("custkey")
     )
-    b = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    b = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return a.exceptAll(b).distinct()
 
 

@@ -855,8 +855,8 @@ def subquery_correlated_max(spark, sf):
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -873,7 +873,7 @@ def q7_volume_shipping(spark, sf):
     c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     pair = F.broadcast(
         _t(spark, sf, "nation")
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(F.col("n_name").isin("NATION_18", "NATION_19"))
         .select("n_nationkey", "n_name")
     )
     n1 = pair.select(

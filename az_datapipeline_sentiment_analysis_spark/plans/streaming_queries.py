@@ -152,6 +152,44 @@ def stream_dedup(spark, sf):
 
 
 @_q(
+    "stream_session_agg",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, grp
+    """,
+    "Structured Streaming session windows (5-minute gap,"
+    " session_window + AvailableNow -> complete-mode memory sink):"
+    " merging session state is maintained per user_id across"
+    " micro-batches; after the backlog drains the result must equal"
+    " the batch gaps-and-islands sessionization (the oracle, same as"
+    " window_session's). At scale state is hash-partitioned by the"
+    " grouping key and bounded by a watermark.",
+)
+def stream_session_agg(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=False))
+    agg = (
+        src.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+@_q(
     "pipeline_incremental_run",
     f"""
     WITH src AS (

@@ -26,6 +26,13 @@ SF_SMOKE = os.environ.get("PARITY_SF_DIR", SF_SMOKE)
 ORACLE_NAMES = sorted(n for n, q in REGISTRY.items() if q.sql is not None)
 ROWS_ONLY_NAMES = sorted(n for n, q in REGISTRY.items() if q.sql is None)
 
+# Queries whose EMPTY result is the point (guards, thresholds that the
+# tiny smoke data legitimately never crosses). Everything else must
+# return rows — an empty result would make parity pass trivially while
+# checking nothing (a filter on values that don't exist in the data,
+# a join that never matches, ...).
+EMPTY_OK = {"filter_empty_guard"}
+
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -71,6 +78,11 @@ def test_oracle_parity(spark, name):
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
     assert len(sdf) == len(odf), f"{name}: rows spark={len(sdf)} oracle={len(odf)}"
+    if name not in EMPTY_OK:
+        assert len(odf) > 0, (
+            f"{name}: oracle returned 0 rows — parity is trivially true; "
+            "adjust predicates to the synthetic data domain or add to EMPTY_OK"
+        )
     s, o = _normalize(sdf), _normalize(odf)
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
