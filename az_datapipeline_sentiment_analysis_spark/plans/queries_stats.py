@@ -193,3 +193,55 @@ def editdist_neardup(spark, sf):
         .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# =====================================================================
+# Physical layout: partition-pruned scan through the gate
+# =====================================================================
+
+_PARTITIONED: dict[str, str] = {}  # sf_dir -> staged partitioned path
+
+
+@_q(
+    "scan_partitioned",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    "Partition pruning end-to-end: events re-laid-out as a directory-"
+    " partitioned dataset (partitionBy event_type), then scanned with"
+    " an equality predicate — the filter becomes a PartitionFilter"
+    " (asserted), so only matching directories are LISTED, never read:"
+    " at 100 TB the scan cost is proportional to the predicate's"
+    " selectivity, not the table size. Partition columns must stay"
+    " low-cardinality (event_type, day — not user_id).",
+)
+def scan_partitioned(spark, sf):
+    import tempfile
+
+    from ..storage import write_partitioned
+
+    path = _PARTITIONED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_part_events_")
+        write_partitioned(
+            _t(spark, sf, "events").select(
+                "event_id", "user_id", "value", "event_type"
+            ),
+            path,
+            partition_cols=["event_type"],
+        )
+        _PARTITIONED[sf] = path
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], "partition predicate did not prune"
+    return df

@@ -371,3 +371,67 @@ def test_argmax_matches_window_formulation(spark):
         .collect()
     }
     assert {k: v[0] for k, v in got.items()} == expect_hi
+
+
+def test_editdist_pairs_are_canonical_and_thresholded(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["editdist_neardup"].fn(spark, SF_SMOKE).collect()
+    assert rows  # blocking must leave real candidates at smoke scale
+    for r in rows:
+        assert r.doc_a < r.doc_b  # each pair exactly once, canonical order
+        assert 0 <= r.edit_dist <= 20  # thresholded variant never leaks -1
+
+
+def test_q15_returns_exactly_the_max_revenue_suppliers(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["q15_top_supplier"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # all returned suppliers tie on the max
+
+
+def test_agg_regression_matches_numpy(spark):
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.l_returnflag: (r.slope, r.intercept)
+        for r in REGISTRY["agg_regression"].fn(spark, SF_SMOKE).collect()
+    }
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    for flag, (slope, intercept) in got.items():
+        x = np.array([r.l_quantity for r in li if r.l_returnflag == flag])
+        y = np.array([r.l_extendedprice for r in li if r.l_returnflag == flag])
+        b, a = np.polyfit(x, y, 1)
+        assert abs(b - slope) < 1e-3 and abs(a - intercept) < 1e-3
+
+
+def test_stream_session_agg_equals_batch_twin(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    stream_rows = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in REGISTRY["stream_session_agg"].fn(spark, SF_SMOKE).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in REGISTRY["window_session"].fn(spark, SF_SMOKE).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_scan_partitioned_prunes_and_preserves_rows(spark):
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = REGISTRY["scan_partitioned"].fn(spark, SF_SMOKE)  # asserts pruning
+    direct = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert got.count() == direct
