@@ -245,3 +245,60 @@ def scan_partitioned(spark, sf):
         "PartitionFilters:"
     )[1].split("]")[0], "partition predicate did not prune"
     return df
+
+
+_BUCKETED: set[str] = set()  # sf_dirs whose bucketed twins exist
+
+
+@_q(
+    "join_bucketed",
+    """
+    SELECT o_orderkey, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+    "Co-located fact-fact join: orders and lineitem persisted bucketed"
+    " (bucketBy 8 on the order key, sorted within buckets), then"
+    " joined and aggregated ON the bucket key — the plan is asserted"
+    " shuffle-free end to end (no Exchange for the join OR the"
+    " groupBy), with broadcast disabled to force the path that matters"
+    " at 100 TB, where neither fact side broadcasts. The write-time"
+    " shuffle is paid once and amortized over every later query on"
+    " the key.",
+)
+def join_bucketed(spark, sf):
+    from ..storage import plan_has_shuffle, write_bucketed
+
+    tag = "sg_bq_" + "".join(c if c.isalnum() else "_" for c in sf)
+    t_o, t_l = f"{tag}_orders", f"{tag}_lineitem"
+    if sf not in _BUCKETED:
+        write_bucketed(
+            _t(spark, sf, "orders").select("o_orderkey"),
+            t_o, bucket_col="o_orderkey", n_buckets=8, sort_col="o_orderkey",
+        )
+        write_bucketed(
+            _t(spark, sf, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_l, bucket_col="l_orderkey", n_buckets=8, sort_col="l_orderkey",
+        )
+        _BUCKETED.add(sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table(t_o), spark.table(t_l)
+        df = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+            )
+        )
+        assert not plan_has_shuffle(df), "bucketed join/agg must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return df

@@ -23,6 +23,8 @@ file-count explosion costs more than pruning saves.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,7 +41,20 @@ def write_bucketed(
     Sorting within buckets (``sortBy``) additionally enables
     sort-merge-join without the per-query Sort when both sides are
     sorted on the key.
+
+    A stale warehouse directory from a previous process (whose catalog
+    entry died with that session's in-memory metastore) blocks
+    ``saveAsTable`` even in overwrite mode, so both the catalog entry
+    and the leftover location are cleared first.
     """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )
