@@ -302,3 +302,40 @@ def join_bucketed(spark, sf):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return df
+
+
+# =====================================================================
+# Error-tolerant scalars (dirty-data path: NULL, never task failure)
+# =====================================================================
+
+@_q(
+    "try_funcs",
+    """
+    SELECT doc_id,
+           TRY_CAST(split_part(text, ' ', 1) AS BIGINT) AS first_tok_num,
+           ROUND(CAST(n_chars AS DOUBLE) /
+                 NULLIF(CAST(len(split(text, ' ')) - 1 AS DOUBLE), 0.0), 4)
+               AS chars_per_space,
+           TRY_CAST(lang AS BIGINT) AS lang_as_num
+    FROM documents
+    """,
+    "Error-tolerant scalar family: try_cast yields NULL instead of"
+    " failing the task on unparseable input, try_divide yields NULL on"
+    " division by zero — the per-record quarantine posture (SURVEY"
+    " §4.3) applied at expression level: one bad record can never"
+    " abort a 100 TB job the way any malformed batch aborts the"
+    " reference's whole run (FunctionApp2/process_data/"
+    " __init__.py:71-80). Oracle: TRY_CAST / NULLIF equivalents.",
+)
+def try_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    n_spaces = (F.size(F.split(F.col("text"), " ")) - 1).cast("double")
+    return d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).try_cast("bigint")
+            .alias("first_tok_num"),
+        F.round(
+            F.try_divide(F.col("n_chars").cast("double"), n_spaces), 4
+        ).alias("chars_per_space"),
+        F.col("lang").try_cast("bigint").alias("lang_as_num"),
+    )
