@@ -101,3 +101,16 @@ def test_rows_only_queries_run(spark, name):
     df = REGISTRY[name].fn(spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_two_scale_dirs_in_one_session(spark):
+    """The driver may run queries at several sf dirs in one session;
+    per-sf caches (bucketed tables, staged dirs) must not leak results
+    across scales."""
+    for q in ("q1_pricing_summary", "join_bucketed"):
+        for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            got = len(REGISTRY[q].fn(spark, sf_dir).toPandas())
+            con = _duck(sf_dir)
+            want = len(con.execute(REGISTRY[q].sql).fetchdf())
+            con.close()
+            assert got == want, (q, sf_dir, got, want)
