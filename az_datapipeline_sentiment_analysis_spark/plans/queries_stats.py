@@ -339,3 +339,29 @@ def try_funcs(spark, sf):
         ).alias("chars_per_space"),
         F.col("lang").try_cast("bigint").alias("lang_as_num"),
     )
+
+
+@_q(
+    "sort_paginate",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+    "Pagination (page 3 of a ranked listing): ORDER BY + LIMIT/OFFSET"
+    " with an id tiebreak so the page is engine-independent — the"
+    " reference's page_number source param (S21,"
+    " FunctionApp1/hotel_reviews/__init__.py:20) served engine-side."
+    " Physical plan is still a top-(offset+limit) per partition merged"
+    " on the driver (TakeOrderedAndProject), NOT a global sort: cost"
+    " scales with page depth, not table size.",
+)
+def sort_paginate(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    )
