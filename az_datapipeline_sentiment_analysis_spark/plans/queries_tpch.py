@@ -484,14 +484,21 @@ def q17_small_qty_revenue(spark, sf):
         .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
         .select("p_partkey")
     )
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        # restrict to the selected parts FIRST: the per-part average is
+        # only needed for them, so the aggregate (and its broadcast)
+        # stays proportional to the brand/size selectivity, not to the
+        # full part count
+        .join(p, F.col("l_partkey") == p.p_partkey, "left_semi")
+    )
     avgq = F.broadcast(
         li.groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg(F.round(0.5 * F.avg("l_quantity"), 4).alias("half_avg_qty"))
     )
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(avgq, li.l_partkey == F.col("a_partkey"))
+        li.join(avgq, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
