@@ -14,6 +14,8 @@ force in tests.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -86,13 +88,14 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket plus (with
-    ``multiprobe=1``) every bucket one sign-flip away.
+    """Approximate top-k: probe the query's hyperplane bucket plus every
+    bucket within Hamming distance ``multiprobe`` of it (0 = home bucket
+    only).
 
     One scan to bucket the corpus, shuffle on bucket id, exact re-rank
     within buckets. Multi-probe expands only the (tiny) QUERY side —
     the standard recall knob that costs nothing on the corpus scan: a
-    near neighbor straddling one hyperplane lands one Hamming step
+    near neighbor straddling ``d`` hyperplanes lands ``d`` Hamming steps
     away, and probing those buckets recovers it without re-bucketing.
     Output schema matches :func:`brute_force_topk`.
     """
@@ -104,10 +107,14 @@ def lsh_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", _bucket_expr("q_vec", planes))
     if multiprobe >= 1:
-        # query-side bucket fan-out: home bucket + one-bit flips
-        flips = ", ".join(
-            f"bucket ^ {1 << i}" for i in range(n_planes)
-        )
+        # query-side bucket fan-out: home bucket + every XOR mask with
+        # popcount <= multiprobe (pairwise-distinct buckets by design)
+        masks = [
+            sum(1 << b for b in bits)
+            for d in range(1, min(multiprobe, n_planes) + 1)
+            for bits in combinations(range(n_planes), d)
+        ]
+        flips = ", ".join(f"bucket ^ {m}" for m in masks)
         q = q.withColumn(
             "bucket", F.explode(F.expr(f"array(bucket, {flips})"))
         )
@@ -159,6 +166,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     sample_mod: int = 4,
+    max_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -166,13 +174,17 @@ def ivf_topk(
     lists, probe the ``n_probe`` nearest lists per query, exact-cosine
     re-rank inside them.
 
-    Scale shape: quantizer fit on a driver-side sample (bounded by
-    ``sample_mod``); centroid matrix broadcast to executors; cluster
-    assignment is ONE Arrow-vectorized linear scan (numpy matmul per
-    batch); candidate join shuffles only on cluster id. Probing
-    n_probe/n_lists of the corpus bounds work per query at roughly
-    that fraction of brute force — recall vs brute force is asserted
-    in tests. Output schema matches :func:`brute_force_topk`.
+    Scale shape: quantizer fit on a driver-side sample that is COUNT-
+    bounded — a deterministic hash spread (1/``sample_mod`` of rows)
+    capped at ``max_sample`` rows, so driver memory is
+    O(max_sample * dim) regardless of corpus size (a fixed-fraction
+    collect would OOM the driver at 100 TB). Centroid matrix broadcast
+    to executors; cluster assignment is ONE Arrow-vectorized linear
+    scan (numpy matmul per batch); candidate join shuffles only on
+    cluster id. Probing n_probe/n_lists of the corpus bounds work per
+    query at roughly that fraction of brute force — recall vs brute
+    force is asserted in tests. Output schema matches
+    :func:`brute_force_topk`.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -180,8 +192,11 @@ def ivf_topk(
     samp = np.array(
         [
             r[0]
-            for r in corpus.filter(F.col(id_col) % sample_mod == 0)
+            for r in corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+            )
             .select(vec_col)
+            .limit(max_sample)
             .collect()
         ],
         dtype=np.float64,

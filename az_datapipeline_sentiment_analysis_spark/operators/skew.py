@@ -44,9 +44,21 @@ def salted_join(
     determinism); the right side is exploded to every salt value so any
     (key, salt) pair still finds its matches. Output columns = the
     plain join's columns (salt is internal).
+
+    ``pmod`` (not ``abs(hash) % n``) keeps the salt in [0, n_salts):
+    ``abs(Int.MinValue)`` is still negative in Spark, so the abs form
+    silently drops a ~2^-32 sliver of rows for non-power-of-two salts.
+    Only inner/left/left_semi are supported: right/full-outer would
+    emit each unmatched right row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the right side is replicated per salt, so right/full outer "
+            "joins would duplicate unmatched right rows n_salts times"
+        )
     salt_l = (
-        F.abs(F.hash(*[F.col(c) for c in left.columns])) % n_salts
+        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     ).alias("__salt")
     l_s = left.withColumn("__salt", salt_l)
     r_s = right.withColumn(

@@ -57,12 +57,16 @@ def _staged_events(spark: SparkSession, sf_dir: str, *, doubled: bool) -> str:
     d = tempfile.mkdtemp(prefix="sg_stream_in_")
     ev = _t(spark, sf_dir, "events")
     now = time.time()
+    seen: set[str] = set()
     for i in range(2 if doubled else 1):
         ev.coalesce(1).write.mode("append").parquet(d)
-        for f in os.listdir(d):
-            p = os.path.join(d, f)
-            if f.endswith(".parquet") and os.path.getmtime(p) > now - 1:
-                os.utime(p, (now + i, now + i))
+        # retime ONLY the files this pass created (listdir diff) — an
+        # mtime-window heuristic would re-stamp the first slice too and
+        # lose the chronological stagger between slices
+        fresh = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
+        for f in fresh:
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        seen |= fresh
     _STAGED[key] = d
     return d
 

@@ -63,20 +63,42 @@ def score_unprocessed(source: DataFrame) -> DataFrame:
     )
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to swap the same table concurrently."""
+
+
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Stage-then-swap overwrite: never leaves a half-written target.
 
     Local-FS stand-in for a transactional table commit; the staged dir
     is fully written (job-committed) before the swap.
+
+    Single-writer contract, enforced: the swap is guarded by an atomic
+    ``mkdir`` lock — a concurrent overwrite of the same path raises
+    :class:`ConcurrentWriterError` instead of silently interleaving
+    renames. (A real table format — Delta/Iceberg — replaces this with
+    optimistic-concurrency commit protocol; readers are always safe
+    because the final ``rename`` is atomic.)
     """
-    staged = f"{path}__stage_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staged)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, backup)
-    os.rename(staged, path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup, ignore_errors=True)
+    lock = f"{path}__writelock"
+    try:
+        os.mkdir(lock)
+    except FileExistsError:
+        raise ConcurrentWriterError(
+            f"another writer holds {lock}; concurrent overwrites of "
+            f"{path} are not supported by the parquet stand-in"
+        ) from None
+    try:
+        staged = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staged)
+        backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staged, path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
+    finally:
+        os.rmdir(lock)
 
 
 def merge_results(
@@ -109,13 +131,18 @@ def mark_processed(
 
     ``done_ids`` has a single ``record_id`` string column (results
     shape); the semi-join key cast mirrors the reference's str(id).
+
+    No broadcast hint: the typical increment is small and AQE will
+    broadcast it from its runtime size estimate, but a backfill's
+    done-set is the whole table — a forced broadcast there would OOM
+    at scale, so strategy selection stays with Catalyst/AQE.
     """
     src = spark.read.schema(SOURCE_TABLE).parquet(source_path)
     done = done_ids.select(
         F.col("record_id").cast("long").alias("id")
     ).distinct()
     updated = (
-        src.join(F.broadcast(done.withColumn("_done", F.lit(1))), "id", "left")
+        src.join(done.withColumn("_done", F.lit(1)), "id", "left")
         .withColumn(
             "processed",
             F.when(F.col("_done").isNotNull(), 1).otherwise(F.col("processed")),

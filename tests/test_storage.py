@@ -83,12 +83,14 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(target))
     plan = storage.formatted_plan(pruned)
     assert "PartitionFilters" in plan and "day" in plan
-    # count matches the unpruned filter
-    assert (
-        pruned.count()
-        == spark.read.parquet(path).filter(F.col("day") == F.lit(target)).count()
-        > 0
-    )
-    # pruned scan reads strictly fewer files than the full dataset
+    # count matches the ORIGINAL (unpartitioned) table filtered in memory
+    expected = ev.filter(F.col("day") == F.lit(target)).count()
+    assert pruned.count() == expected > 0
+    # and the pruned scan actually READS strictly fewer files than the
+    # full dataset (input_file_name() reflects post-pruning file reads;
+    # inputFiles() would report the relation's full pre-pruning listing)
     n_days = len(days)
     assert n_days > 1
+    read_files = pruned.select(F.input_file_name()).distinct().count()
+    all_files = len(spark.read.parquet(path).inputFiles())
+    assert 0 < read_files < all_files
