@@ -203,22 +203,30 @@ def minhash_pairs(
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
     """
     sigs = minhash_signatures(df, id_col=id_col, text_col=text_col).persist()
+    # bh = hash(slice) is the compact int the shuffle keys on; the join
+    # ALSO requires the band slice itself to match, so a 32-bit hash
+    # collision can never smuggle in a candidate whose band rows differ
+    # — candidate semantics are exactly "some band's rows all agree",
+    # which keeps the operator reproducible in the DuckDB oracle.
     bands = sigs.select(
         "id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}),"
-                f" b -> struct(b AS band, hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                f" b -> struct(b AS band,"
+                f" slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}) AS rows,"
+                f" hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
                 f" {ROWS_PER_BAND})) AS bh))"
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.rows", "bb.bh")
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.rows") == F.col("y.rows"))
             & (F.col("x.id") < F.col("y.id")),
         )
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))

@@ -772,11 +772,124 @@ def ngram_jaccard_neardup(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
 
+def _minhash_oracle_sql(threshold: float) -> str:
+    """Full MinHash+LSH pipeline reproduced in DuckDB SQL.
+
+    Possible because every stage is deterministic: md5-derived shingle
+    hashes, fixed universal-hash constants, and a band-candidate rule
+    of 'all rows of some band agree' (the Spark join requires the band
+    slice itself to match, not just its 32-bit hash). The oracle is a
+    full equality check, not merely a precision invariant.
+    """
+    a, b = dd._hash_params()
+    mins = ",\n             ".join(
+        f"MIN(({int(a[k])} * h + {int(b[k])}) % 2147483647) AS s{k}"
+        for k in range(dd.N_HASHES)
+    )
+    bands = "\n           OR ".join(
+        "("
+        + " AND ".join(
+            f"x.s{k} = y.s{k}"
+            for k in range(bd * dd.ROWS_PER_BAND, (bd + 1) * dd.ROWS_PER_BAND)
+        )
+        + ")"
+        for bd in range(dd.N_BANDS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+      FROM t a
+      JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    hv AS (
+      SELECT doc_id, s,
+             (('0x' || substr(md5(s), 1, 8))::UBIGINT >> 1)::BIGINT AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM hv GROUP BY doc_id
+    ),
+    ss AS (SELECT doc_id, list(s) AS shs FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      WHERE {bands}
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(xs.shs, ys.shs)) * 1.0 /
+                   (len(xs.shs) + len(ys.shs)
+                    - len(list_intersect(xs.shs, ys.shs))), 4) AS jaccard
+      FROM cand
+      JOIN ss xs ON xs.doc_id = doc_a
+      JOIN ss ys ON ys.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """SimHash pipeline in DuckDB SQL: 64 majority-vote bits from
+    md5-hashed token occurrences, 16-bit chunk banding, exact Hamming.
+
+    Works in the unsigned domain: the engine's signed storage flips bit
+    63 of EVERY fingerprint consistently, which cancels in both chunk
+    equality and xor, so hamming/candidates are identical.
+    """
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    assemble = "\n               + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    chunk_match = "\n           OR ".join(
+        f"((x.uh >> {c * 16}) & 65535) = ((y.uh >> {c * 16}) & 65535)"
+        for c in range(dd.SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tk
+    ),
+    vote AS (
+      SELECT doc_id, {votes}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id,
+             {assemble} AS uh
+      FROM documents d LEFT JOIN vote v ON v.doc_id = d.doc_id
+    ),
+    cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.uh AS h_a, y.uh AS h_b
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      WHERE {chunk_match}
+    )
+    SELECT doc_a, doc_b, bit_count(xor(h_a, h_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+    """
+
+
 @_q(
     "minhash_neardup",
-    None,
+    _minhash_oracle_sql(0.3),
     "MinHash+LSH near-dup (banded bucketing + exact verify) — the 100 TB"
-    " dedup path; recall checked against ngram_jaccard_neardup in tests.",
+    " dedup path. Fully oracle-checked: the deterministic md5/universal-"
+    "hash signature, band candidacy, and exact-Jaccard verification are"
+    " all reproduced in DuckDB SQL.",
 )
 def minhash_neardup(spark, sf):
     return dd.minhash_pairs(_t(spark, sf, "documents"), threshold=0.3)
@@ -784,8 +897,9 @@ def minhash_neardup(spark, sf):
 
 @_q(
     "simhash_neardup",
-    None,
-    "SimHash 64-bit fingerprint near-dup pairs (Hamming<=8, chunk-banded).",
+    _simhash_oracle_sql(dd.HAMMING_MAX),
+    "SimHash 64-bit fingerprint near-dup pairs (Hamming<=8, chunk-banded),"
+    " fully oracle-checked against a DuckDB rebuild of the fingerprints.",
 )
 def simhash_neardup(spark, sf):
     return dd.simhash_pairs(_t(spark, sf, "documents"))
