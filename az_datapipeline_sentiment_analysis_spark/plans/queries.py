@@ -1609,12 +1609,46 @@ def sentiment_mllib(spark, sf):
 
 @_q(
     "multimodal_meta",
-    None,
-    "Binary-column metadata extraction via Arrow-batched mapInPandas"
-    " (decode stubbed — deterministic fake features; see"
-    " operators/multimodal.py).",
+    f"""
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN {mm.PNG_HEADER_LEN} + octet_length(encode(text))
+             WHEN 1 THEN {mm.JPEG_WRAPPER_LEN} + octet_length(encode(text))
+             ELSE {mm.WAV_HEADER_LEN} + octet_length(encode(text))
+           END AS n_bytes,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
+           END AS format,
+           CASE WHEN doc_id % 3 < 2 THEN 16 + (doc_id * 7) % 1024 END AS width,
+           CASE WHEN doc_id % 3 < 2 THEN 16 + (doc_id * 13) % 1024 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000
+           END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2
+                THEN octet_length(encode(text)) * 1000
+                     // (2 * (8000 + (doc_id % 5) * 4000))
+           END AS duration_ms
+    FROM documents
+    """,
+    "REAL media-header decode: PNG/JPEG dimensions and WAV sample rate/"
+    "duration parsed from actual container bytes (pure-Python header"
+    " walk, no media libs) over Arrow-batched mapInPandas. The payloads"
+    " are valid containers fabricated deterministically from doc_id, so"
+    " every parsed field is oracle-checkable arithmetic.",
 )
 def multimodal_meta(spark, sf):
+    d = mm.with_media_payload(_t(spark, sf, "documents"))
+    return mm.extract_media_meta(d).select(
+        "doc_id", "n_bytes", "format", "width", "height",
+        "sample_rate", "duration_ms",
+    )
+
+
+@_q(
+    "multimodal_meta_stub",
+    None,
+    "Stub-fallback path: unrecognized binary payloads get deterministic"
+    " fake metadata (rows-only; the real-parse path is multimodal_meta).",
+)
+def multimodal_meta_stub(spark, sf):
     d = mm.with_binary_payload(_t(spark, sf, "documents"))
     return mm.extract_media_meta(d)
 

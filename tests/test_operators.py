@@ -160,6 +160,53 @@ def test_multimodal_meta_schema_and_determinism(spark):
     assert all(r.format in ("png", "jpeg", "webp") for r in out1)
 
 
+def test_media_header_parse_real_formats():
+    # pure-Python fixtures: valid container headers, no media libs
+    assert mm.parse_media_header(mm._png_bytes(123, 456, b"body")) == {
+        "format": "png", "width": 123, "height": 456,
+    }
+    assert mm.parse_media_header(mm._jpeg_bytes(321, 654, b"payload")) == {
+        "format": "jpeg", "width": 321, "height": 654,
+    }
+    assert mm.parse_media_header(mm._wav_bytes(16000, b"x" * 64000)) == {
+        "format": "wav", "sample_rate": 16000, "duration_ms": 2000,
+    }
+    gif = b"GIF89a" + (10).to_bytes(2, "little") + (20).to_bytes(2, "little")
+    assert mm.parse_media_header(gif) == {
+        "format": "gif", "width": 10, "height": 20,
+    }
+    assert mm.parse_media_header(b"not a container") is None
+    assert mm.parse_media_header(b"") is None
+
+
+def test_multimodal_meta_extracts_true_dimensions(spark):
+    d = mm.with_media_payload(table(spark, SF_SMOKE, "documents").limit(30))
+    out = mm.extract_media_meta(d).orderBy("doc_id").collect()
+    assert len(out) == 30
+    for r in out:
+        kind = r.doc_id % 3
+        if kind in (0, 1):
+            assert r.format == ("png" if kind == 0 else "jpeg")
+            assert r.width == 16 + (r.doc_id * 7) % 1024
+            assert r.height == 16 + (r.doc_id * 13) % 1024
+            assert r.sample_rate is None
+        else:
+            assert r.format == "wav"
+            assert r.sample_rate == 8000 + (r.doc_id % 5) * 4000
+            assert r.duration_ms is not None and r.width is None
+
+
+def test_multimodal_meta_strict_raises_on_unknown_format(spark):
+    import pytest as _pytest
+
+    d = mm.with_binary_payload(table(spark, SF_SMOKE, "documents").limit(3))
+    with _pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        mm.extract_media_meta(d, decode_stub=False).collect()
+    # strict mode is fine when every payload is a known container
+    ok = mm.with_media_payload(table(spark, SF_SMOKE, "documents").limit(3))
+    assert len(mm.extract_media_meta(ok, decode_stub=False).collect()) == 3
+
+
 # --- skew utilities --------------------------------------------------
 
 def test_salted_join_matches_plain_join(spark):
