@@ -27,7 +27,9 @@ log-and-drop at ``__init__.py:39-40``).
 
 from __future__ import annotations
 
+import collections
 import json
+import time
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -97,6 +99,106 @@ def fetch_page(params: dict) -> str:
     return json.dumps({"count": len(result), "result": result})
 
 
+# --- failure semantics ----------------------------------------------
+
+class FetchError(RuntimeError):
+    """HTTP-level fetch failure with status-code retry semantics."""
+
+    def __init__(self, status: int, msg: str = "", retry_after: float | None = None):
+        super().__init__(f"fetch failed: HTTP {status} {msg}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+RETRYABLE_STATUSES = frozenset({408, 429, 500, 502, 503, 504})
+
+
+def fetch_with_retry(
+    fetch,
+    params: dict,
+    *,
+    max_attempts: int = 4,
+    base_backoff_s: float = 0.05,
+    sleep=time.sleep,
+):
+    """Per-task retry with exponential backoff (honoring Retry-After).
+
+    Retries transient failures — timeouts, connection drops, and
+    retryable HTTP statuses (408/429/5xx) — up to ``max_attempts``;
+    4xx client errors propagate immediately and fail the task (Spark's
+    own task retry then re-runs the WHOLE page, which is safe because
+    pages are the unit of work and fetches are page-stable). This
+    replaces the reference's at-most-once try/except log-and-drop
+    (reference ``FunctionApp1/hotel_reviews/__init__.py:39-40``).
+    """
+    attempt = 0
+    while True:
+        try:
+            return fetch(params)
+        except FetchError as e:
+            attempt += 1
+            if e.status not in RETRYABLE_STATUSES or attempt >= max_attempts:
+                raise
+            delay = (
+                e.retry_after
+                if e.retry_after is not None
+                else base_backoff_s * (2 ** (attempt - 1))
+            )
+            sleep(delay)
+        except (TimeoutError, ConnectionError):
+            attempt += 1
+            if attempt >= max_attempts:
+                raise
+            sleep(base_backoff_s * (2 ** (attempt - 1)))
+
+
+# Per-worker-process attempt log for the failure-injection fetchers
+# (keyed by page so concurrent tasks don't interfere).
+_FLAKY_CALLS: collections.Counter = collections.Counter()
+
+
+def fetch_page_flaky(params: dict) -> str:
+    """Failure-injecting fetcher: for every page the first attempt
+    times out, the second is rate-limited (429 + Retry-After), the
+    third succeeds with data identical to :func:`fetch_page` — so a
+    correct retry path yields byte-identical results."""
+    key = (params.get("hotel_id"), params.get("page_number"))
+    _FLAKY_CALLS[key] += 1
+    n = _FLAKY_CALLS[key]
+    if n % 3 == 1:
+        raise TimeoutError(f"injected timeout for page {key}")
+    if n % 3 == 2:
+        raise FetchError(429, "injected rate limit", retry_after=0.01)
+    return fetch_page(params)
+
+
+def fetch_page_broken(params: dict) -> str:
+    """Non-retryable failure: a 404 client error on every attempt."""
+    raise FetchError(404, "injected not-found")
+
+
+def fetch_page_partial(params: dict) -> str:
+    """Short page: odd pages return page_size-1 rows (count mismatch
+    with the requested size). The reader accepts what arrived — page
+    truncation is an upstream property, not a task failure."""
+    page = int(params.get("page_number", 0))
+    if page % 2 == 1:
+        params = dict(params)
+        params["page_size"] = str(int(params.get("page_size", 25)) - 1)
+    return fetch_page(params)
+
+
+# Named fetchers selectable via .option("fetcher", <name>) — options are
+# strings, so injection is by registry key; entries are module-level
+# functions, picklable by reference into executor workers.
+FETCHERS = {
+    "synthetic": fetch_page,
+    "flaky": fetch_page_flaky,
+    "broken": fetch_page_broken,
+    "partial": fetch_page_partial,
+}
+
+
 @dataclass
 class PagePartition(InputPartition):
     page: int
@@ -141,7 +243,8 @@ class RestReviewsReader(DataSourceReader):
     def read(self, partition: PagePartition):
         params = dict(partition.params)
         params["page_number"] = str(partition.page)
-        payload = json.loads(fetch_page(params))
+        fetch = FETCHERS[self.options.get("fetcher", "synthetic")]
+        payload = json.loads(fetch_with_retry(fetch, params))
         for r in payload.get("result", []):
             yield (
                 r.get("review_id"),
@@ -181,10 +284,11 @@ class RestReviewsStreamReader(SimpleDataSourceStreamReader):
             "hotel_id": self.options.get("hotel_id", "1676161"),
             "page_size": self.options.get("pagesize", "25"),
         }
+        fetch = FETCHERS[self.options.get("fetcher", "synthetic")]
         out = []
         for page in range(first_page, first_page + n_pages):
             params["page_number"] = str(page)
-            payload = json.loads(fetch_page(params))
+            payload = json.loads(fetch_with_retry(fetch, params))
             for r in payload.get("result", []):
                 out.append(
                     (
