@@ -23,6 +23,25 @@ from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
 from az_datapipeline_sentiment_analysis_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# 10x key-shifted replication of SF_DIR (see benchdata.py), to surface
+# shuffle/skew costs the in-cache base scale hides. Skip with
+# SPARK_GRAFT_SKIP_SCALE=1.
+SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
+
+# heavier subset re-run at the replicated scale (single shot each)
+SCALE_HEADLINE = [
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "win_rank",
+    "window_tumbling",
+    "sentiment_score_sql",
+    "dedup_fingerprint",
+    "minhash_neardup",
+    "embed_cosine_topk",
+]
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -100,18 +119,52 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        ),
-        flush=True,
-    )
+
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
+        try:
+            from az_datapipeline_sentiment_analysis_spark.benchdata import ensure_scaled
+
+            t0 = time.perf_counter()
+            scale_dir = ensure_scaled(
+                spark, SF_DIR, SCALE_DIR, factor=SCALE_FACTOR
+            )
+            build_s = round(time.perf_counter() - t0, 3)
+            scale_timings: dict[str, float] = {}
+            for name in SCALE_HEADLINE:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = len(REGISTRY[name].fn(spark, scale_dir).collect())
+                scale_timings[name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# [x{SCALE_FACTOR}] {name}: {scale_timings[name]:.3f}s"
+                    f" ({n} rows)",
+                    flush=True,
+                )
+            payload.update(
+                {
+                    "scale_factor_x": SCALE_FACTOR,
+                    "scale_sf": (
+                        round(sf_val * SCALE_FACTOR, 3)
+                        if isinstance(sf_val, float)
+                        else sf_val
+                    ),
+                    "scale_build_seconds": build_s,
+                    "scale_value": round(sum(scale_timings.values()), 3),
+                    "scale_queries": scale_timings,
+                }
+            )
+        except Exception as e:  # never let the scale pass kill the bench
+            payload["scale_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":
