@@ -1432,11 +1432,71 @@ def embed_cosine_topk(spark, sf):
     return sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+_COSINE_SQL = """
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(c_vec)),
+                 i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_vec,
+                    x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c_vec,
+                    x -> CAST(x AS DOUBLE) * x)))), 6)
+"""
+
+
+def _lsh_oracle_sql(k: int) -> str:
+    """The full random-hyperplane LSH pipeline in DuckDB SQL.
+
+    The hyperplanes are fixed-seed constants, so bucket assignment is
+    deterministic arithmetic; 'probe home bucket + every 1-bit flip'
+    (multiprobe=1) is exactly 'Hamming(corpus_bucket, query_bucket)
+    <= 1'. Candidates are re-ranked by the same rounded double cosine
+    as the brute-force oracle — a complete equality check of candidate
+    generation AND ranking, not just a recall bound.
+    """
+    planes = sim._planes(64, sim.N_PLANES)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+          FROM b WHERE vec_id < 5),
+    cand AS (
+      SELECT q.q_id, c.vec_id, q.q_vec, c.embedding AS c_vec
+      FROM b c, q
+      WHERE c.vec_id <> q.q_id
+        AND bit_count(xor(c.bucket, q.q_bucket)) <= 1
+    ),
+    scored AS (
+      SELECT q_id, vec_id, {_COSINE_SQL} AS cosine FROM cand
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 @_q(
     "embed_ann_lsh",
-    None,
+    _lsh_oracle_sql(5),
     "Random-hyperplane LSH ANN (bucketed probe + exact re-rank) — the"
-    " scale path; recall vs brute force checked in tests.",
+    " scale path. Fully oracle-checked: fixed-seed hyperplanes make"
+    " buckets deterministic, and multiprobe=1 candidacy equals"
+    " Hamming(bucket_a, bucket_b) <= 1 in SQL. Recall vs brute force"
+    " additionally checked in tests.",
 )
 def embed_ann_lsh(spark, sf):
     e = _t(spark, sf, "embeddings")

@@ -638,44 +638,51 @@ def q20_part_promotion(spark, sf):
     GROUP BY s_name
     """,
     "TPC-H-Q21 shape: the hardest subquery pattern — EXISTS (another"
-    " supplier in the order) + NOT EXISTS (another LATE supplier),"
-    " compiled as a left-semi then a left-anti join, both equi on"
-    " l_orderkey with a suppkey-inequality residual (no nested"
-    " loops); all three lineitem scans shuffle on the same key so AQE"
-    " can co-plan them. Lateness adapted to shipdate vs orderdate+60d.",
+    " supplier in the order) + NOT EXISTS (another LATE supplier) —"
+    " decorrelated into per-order aggregates in ONE lineitem pass:"
+    " after the l_orderkey join, per-(order, supplier) then per-order"
+    " groupBys REUSE the join's hash partitioning (zero extra"
+    " exchanges), and the order qualifies iff it has >= 2 suppliers"
+    " and exactly one late one. Replaces the naive two distinct-pair"
+    " self-joins (each a full lineitem shuffle) with plain aggregation"
+    " — the decisive plan at 100 TB. Lateness adapted to shipdate vs"
+    " orderdate+60d.",
 )
 def q21_waiting_supplier(spark, sf):
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    late1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int").alias("is_late"),
     )
-    pairs = li.select(
-        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
-    ).distinct()
-    multi = late1.join(
-        pairs,
-        (F.col("l_orderkey") == F.col("p_ok")) & (F.col("l_suppkey") != F.col("p_sk")),
-        "left_semi",
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late"),
+        F.sum("is_late").alias("late_rows"),
     )
-    late_pairs = late1.select(
-        F.col("l_orderkey").alias("lp_ok"), F.col("l_suppkey").alias("lp_sk")
-    ).distinct()
-    sole = multi.join(
-        late_pairs,
-        (F.col("l_orderkey") == F.col("lp_ok"))
-        & (F.col("l_suppkey") != F.col("lp_sk")),
-        "left_anti",
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.sum(F.when(F.col("supp_late") == 1, F.col("late_rows"))).alias(
+            "numwait_rows"
+        ),
     )
+    # EXISTS other supplier <=> n_supp >= 2; NOT EXISTS other late
+    # supplier <=> the late-supplier set is exactly {l1.l_suppkey};
+    # COUNT(*) over qualifying l1 rows = that supplier's late rows
+    sole = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     s = F.broadcast(_t(spark, sf, "supplier").select("s_suppkey", "s_name"))
     return (
-        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        sole.join(s, sole.late_supp == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("numwait_rows").cast("long").alias("numwait"))
     )
 
 

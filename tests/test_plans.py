@@ -14,8 +14,9 @@ assert:
 * no broadcast-nested-loop or cartesian product sneaks in.
 
 Budgets were read off the audited plans (see VERDICT r1 plan audit):
-q3/q5/q8/q10 = 1 exchange each, q21 = 5 (lineitem self-joins keyed on
-l_orderkey + final sort).
+q3/q5/q8/q10 = 1 exchange each; q21 = 3 after the decorrelated rewrite
+(one lineitem/orders shuffle pair whose partitioning both groupBys
+reuse, plus the tiny final s_name agg).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ PLAN_BUDGETS = {
     "q5_local_supplier": (2, 5),
     "q8_market_share": (2, 7),
     "q10_returned_items": (2, 3),
-    "q21_waiting_supplier": (6, 4),
+    "q21_waiting_supplier": (4, 1),
 }
 
 
