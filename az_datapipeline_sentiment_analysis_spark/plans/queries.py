@@ -2133,8 +2133,11 @@ def _gate_priority(name: str) -> int:
         return 9  # already has a green driver row — re-check last
     if (name[0] == "q" and name[1:2].isdigit()) or name.startswith("subquery"):
         return 0  # TPC-H plan shapes + subquery decorrelation
-    if name in ("scan_partitioned", "join_bucketed", "scan_json", "rest_source_scan"):
-        return 1  # physical layout / staged sources
+    if name in (
+        "scan_partitioned", "join_bucketed", "scan_json", "rest_source_scan",
+        "scan_csv", "scan_orc", "compact_files",
+    ):
+        return 1  # physical layout / staged sources / file formats
     if name.startswith("stream_") or name == "pipeline_incremental_run":
         return 2  # native Structured Streaming entries
     if name.startswith(("embed_", "skew_", "editdist", "grouped_")):

@@ -365,3 +365,110 @@ def sort_paginate(spark, sf):
         .offset(20)
         .limit(10)
     )
+
+
+# =====================================================================
+# Additional file formats + physical maintenance (S18/S19 widened)
+# =====================================================================
+
+_CSV_STAGED: dict[str, str] = {}
+_ORC_STAGED: dict[str, str] = {}
+_COMPACTED: dict[str, str] = {}
+
+
+@_q(
+    "scan_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "CSV source with an EXPLICIT schema (never inferred in production"
+    " paths — inference is a full extra pass and can mistype): nation"
+    " staged as headered CSV once, then read back typed. At 100 TB CSV"
+    " is an ingest-only format (no column pruning, no predicate"
+    " pushdown, no splittable compression unless bzip2) — the engine's"
+    " bronze step rewrites it to parquet immediately (S18/S19).",
+)
+def scan_csv(spark, sf):
+    import tempfile
+
+    path = _CSV_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_csv_nation_")
+        _t(spark, sf, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+        _CSV_STAGED[sf] = path
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(path)
+
+
+@_q(
+    "scan_orc",
+    """
+    SELECT p_partkey, p_brand, p_size, ROUND(p_retailprice, 4) AS p_retailprice
+    FROM part WHERE p_size >= 25
+    """,
+    "ORC columnar source (the other big-data columnar format a"
+    " reference user migrating a warehouse would bring): part staged as"
+    " ORC once, read back with projection + predicate — both push into"
+    " the ORC reader (column pruning + min/max stripe skipping), same"
+    " as parquet.",
+)
+def scan_orc(spark, sf):
+    import tempfile
+
+    path = _ORC_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_orc_part_")
+        _t(spark, sf, "part").write.mode("overwrite").orc(path)
+        _ORC_STAGED[sf] = path
+    return (
+        spark.read.orc(path)
+        .filter(F.col("p_size") >= 25)
+        .select(
+            "p_partkey", "p_brand", "p_size",
+            F.round("p_retailprice", 4).alias("p_retailprice"),
+        )
+    )
+
+
+@_q(
+    "compact_files",
+    """
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    """,
+    "Small-files compaction (storage.compact): events deliberately"
+    " fragmented into 64 tiny files (a streaming sink's typical"
+    " aftermath), rewritten to size-targeted files in one distributed"
+    " job. The builder asserts the file count actually drops; the"
+    " oracle checks the rewrite is lossless. At 100 TB this is the"
+    " scheduled maintenance pass that keeps scan cost proportional to"
+    " bytes, not file-open round trips.",
+)
+def compact_files(spark, sf):
+    import os
+    import tempfile
+
+    from ..storage import compact
+
+    path = _COMPACTED.get(sf)
+    if path is None:
+        frag = tempfile.mkdtemp(prefix="sg_frag_events_")
+        dst = tempfile.mkdtemp(prefix="sg_compact_events_")
+        src = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+        n_before = len(
+            [f for f in os.listdir(frag) if f.endswith(".parquet")]
+        )
+        compact(spark, frag, dst)
+        n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+        assert n_after < n_before, (n_after, n_before)
+        _COMPACTED[sf] = dst
+        path = dst
+    df = spark.read.parquet(path)
+    return df.select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+    )

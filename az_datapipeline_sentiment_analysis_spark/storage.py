@@ -70,6 +70,39 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def compact(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction: rewrite ``src`` into ceil(total/target)
+    parquet files at ``dst``; returns the output file count.
+
+    The classic maintenance job for streaming/incremental sinks, whose
+    per-micro-batch commits strand thousands of tiny files — at scale,
+    scan cost is dominated by file-open overhead once files are much
+    smaller than ``target_file_bytes`` (default 128 MB, the usual HDFS/
+    object-store sweet spot). One distributed read + round-robin
+    repartition + write; no driver-side data movement.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_files
+
+
 def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle Exchange.
 

@@ -3,6 +3,8 @@ the join shuffle and directory partitioning prunes the scan."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -69,6 +71,22 @@ def test_unbucketed_join_does_shuffle(spark):
         assert storage.plan_has_shuffle(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_reduces_file_count_losslessly(spark, tmp_path):
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    frag = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    ev.repartition(16).write.parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    storage.compact(spark, frag, dst, target_file_bytes=128 << 20)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_after < n_before
+    got = spark.read.parquet(dst)
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).first()[0] == ev.select(
+        F.sum("event_id")
+    ).first()[0]
 
 
 def test_partitioned_write_prunes_scan(spark, tmp_path):
