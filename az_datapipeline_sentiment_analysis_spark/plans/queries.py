@@ -2135,7 +2135,7 @@ def _gate_priority(name: str) -> int:
         return 0  # TPC-H plan shapes + subquery decorrelation
     if name in (
         "scan_partitioned", "join_bucketed", "scan_json", "rest_source_scan",
-        "scan_csv", "scan_orc", "compact_files",
+        "scan_csv", "scan_orc", "compact_files", "scan_sorted_skip",
     ):
         return 1  # physical layout / staged sources / file formats
     if name.startswith("stream_") or name == "pipeline_incremental_run":

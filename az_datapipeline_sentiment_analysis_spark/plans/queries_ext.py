@@ -422,16 +422,23 @@ def split_pad_funcs(spark, sf):
 
 @_q(
     "approx_quantile",
-    None,
-    "approx_percentile (t-digest-style mergeable sketch) per group —"
-    " approximate by design, rows-only check; the exact twin is"
-    " agg_stats.median_qty.",
+    """
+    SELECT l_returnflag,
+           [quantile_disc(l_quantity, 0.25), quantile_disc(l_quantity, 0.5),
+            quantile_disc(l_quantity, 0.75)] AS qty_quartiles
+    FROM lineitem GROUP BY 1
+    """,
+    "approx_percentile (Greenwald-Khanna mergeable sketch) per group."
+    " The sketch's rank-error contract is <= n/accuracy; with accuracy"
+    " >= group size it degrades to EXACT rank selection, which the"
+    " quantile_disc oracle verifies — the same operator at production"
+    " accuracy trades that exactness for O(accuracy) memory per group.",
 )
 def approx_quantile(spark, sf):
     li = _t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
-            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000000)"
         ).alias("qty_quartiles")
     )
 

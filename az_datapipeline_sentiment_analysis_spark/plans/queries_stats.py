@@ -472,3 +472,51 @@ def compact_files(spark, sf):
         "event_id", "user_id", "event_type",
         F.round("value", 4).alias("value"),
     )
+
+
+_SORTED: dict[str, str] = {}
+
+
+@_q(
+    "scan_sorted_skip",
+    """
+    SELECT event_id, ts, ROUND(value, 4) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+    """,
+    "Data-skipping layout (storage.write_sorted): events range-"
+    " partitioned + sorted by ts so each parquet file covers a disjoint"
+    " time range; the ts range predicate is pushed to the reader"
+    " (asserted) where row-group min/max stats skip non-matching files"
+    " without reading them. The clustering complement to directory"
+    " partitioning for high-cardinality sort keys.",
+)
+def scan_sorted_skip(spark, sf):
+    import tempfile
+
+    from ..storage import formatted_plan, write_sorted
+
+    path = _SORTED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_sorted_events_")
+        write_sorted(
+            _t(spark, sf, "events").select("event_id", "ts", "value"),
+            path,
+            "ts",
+            n_files=8,
+        )
+        _SORTED[sf] = path
+    df = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "ts", F.round("value", 4).alias("value"))
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1].split(
+        "]"
+    )[0], "ts range predicate was not pushed to the parquet reader"
+    return df

@@ -53,6 +53,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype(float)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            # array columns arrive as numpy arrays (DuckDB) or lists
+            # (Spark); tuples make them sortable and comparable
+            df[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or (
+                    hasattr(v, "__len__") and hasattr(v, "dtype")
+                ) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
 
 

@@ -89,6 +89,36 @@ def test_compact_reduces_file_count_losslessly(spark, tmp_path):
     ).first()[0]
 
 
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "sorted_events")
+    storage.write_sorted(ev, path, "ts", n_files=6)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("ts")
+        stats = [
+            md.row_group(rg).column(ci).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        # TIMESTAMP_MICROS (not INT96) so min/max stats exist at all
+        assert all(s is not None for s in stats)
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) > 1
+    # each file covers a disjoint ts range -> range predicates skip
+    # whole files from footer stats alone
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+    # and the layout is lossless
+    assert spark.read.parquet(path).count() == ev.count()
+
+
 def test_partitioned_write_prunes_scan(spark, tmp_path):
     ev = table(spark, SF_SMOKE, "events").withColumn(
         "day", F.to_date(F.date_trunc("day", "ts"))
