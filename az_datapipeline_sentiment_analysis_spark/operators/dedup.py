@@ -178,9 +178,19 @@ def minhash_signatures(
             )
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    if src.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
-        src = src.repartition("id")  # AQE sizes the shuffle output
-    return src.mapInPandas(
+    # Pin the scan width explicitly (same pattern as simhash below): the
+    # kernel is CPU-bound, so one task per core is the floor, and a huge
+    # source keeps its own (size-bounded) partition count. An explicit
+    # count matters because ``repartition("id")`` with no number inherits
+    # the AQE initialPartitionNum — tuned wide for JVM shuffles — and
+    # hundreds of tiny Arrow batches make per-task Python overhead
+    # dominate; the persisted result would also pin that width for every
+    # downstream band-join stage (AQE cannot coalesce below a cache).
+    n_part = max(
+        src.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    return src.repartition(n_part, "id").mapInPandas(
         compute, schema="id long, shingles array<string>, sig array<long>"
     )
 
@@ -195,14 +205,36 @@ def minhash_pairs(
     """Near-dup pairs via banded LSH + exact verification.
 
     Plan shape (scales linearly in corpus size for bounded dup rate):
-      1. signature scan (mapInPandas, no shuffle)
+      0. EXACT-dedup pre-pass: group verbatim-identical texts by md5
+         fingerprint, keep one representative per group. Web-scale
+         corpora are dominated by exact copies; minhashing every copy
+         repeats identical signature work, and the LSH buckets then
+         hold whole copy-groups whose candidate pairs grow
+         quadratically in the duplication rate. Rep-level results are
+         expanded back to member-level pairs at the end, so the output
+         is IDENTICAL to running LSH over the raw corpus (exact copies
+         have exactly equal shingle sets, hence equal signatures,
+         bands, and Jaccard) — only the work is smaller.
+      1. signature scan over representatives (mapInPandas)
       2. explode to (band, band_hash) — shuffle on band key
       3. self-join within buckets -> candidate pairs (tiny vs n²)
       4. exact Jaccard verification of candidates only
+      5. expand: intra-group pairs (jaccard 1.0, only when the shingle
+         set is non-empty — two empty docs have undefined/0 overlap,
+         matching the raw-corpus semantics) + rep-pair cross products
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
     """
-    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col).persist()
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    )
+    reps = keyed.groupBy("fp").agg(
+        F.min("id").alias("rep_id"), F.first("text").alias("text")
+    )
+    members = keyed.select("fp", "id").persist()
+    sigs = minhash_signatures(reps, id_col="rep_id", text_col="text").persist()
     # bh = hash(slice) is the compact int the shuffle keys on; the join
     # ALSO requires the band slice itself to match, so a 32-bit hash
     # collision can never smuggle in a candidate whose band rows differ
@@ -236,7 +268,7 @@ def minhash_pairs(
     b = sigs.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    rep_pairs = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
@@ -246,7 +278,125 @@ def minhash_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            "jaccard",
+        )
+    )
+    # expansion back to member level. Intra-group: every ordered pair of
+    # exact copies is a near-dup at jaccard 1.0 (self-join is quadratic
+    # only WITHIN a copy-group — that is the output size itself, not
+    # wasted work). Cross-group: a verified rep pair holds for every
+    # (member_a, member_b) combination because members are verbatim
+    # copies of their representative.
+    rep_fp = reps.select("rep_id", "fp")
+    nonempty = sigs.filter(F.size("shingles") > 0).select(
+        F.col("id").alias("rep_id")
+    )
+    dup_members = members.join(
+        rep_fp.join(nonempty, "rep_id").select("fp"), "fp", "left_semi"
+    )
+    intra = (
+        dup_members.alias("x")
+        .join(dup_members.alias("y"), "fp")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.lit(round(1.0, 4)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cross = (
+        rep_pairs.join(
+            rep_fp.select(F.col("rep_id").alias("rep_a"), F.col("fp").alias("fp_a")),
+            "rep_a",
+        )
+        .join(
+            rep_fp.select(F.col("rep_id").alias("rep_b"), F.col("fp").alias("fp_b")),
+            "rep_b",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia")),
+            "fp_a",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib")),
+            "fp_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+# --- near-dup clustering (connected components) ----------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, comp) for every node in ``pairs``; comp = min node id
+    reachable in the undirected pair graph.
+
+    Near-dup PAIRS are rarely the deliverable — a pipeline keeps one
+    canonical doc per duplicate CLUSTER, which is the connected
+    components of the pair graph. Iterative min-label propagation:
+    each round every node takes the min of its own and its neighbors'
+    labels, converging in O(component diameter) rounds (near-dup
+    clusters are small and dense, so diameter is single-digit).
+
+    Scale shape: each round is one shuffle join (edges x labels, keyed
+    on node id) + one shuffle agg — no driver-side data. The driver
+    only compares a one-row aggregate per round for the fixed-point
+    test (sum of labels decreases monotonically, so equality means
+    converged). ``localCheckpoint`` breaks the growing lineage so round
+    N's plan doesn't replan rounds 1..N-1.
+    """
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur == prev:
+            edges.unpersist()
+            return labels
+        prev = cur
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+        " (component diameter exceeds max_iter)"
     )
 
 

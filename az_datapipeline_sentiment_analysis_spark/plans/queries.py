@@ -772,15 +772,11 @@ def ngram_jaccard_neardup(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
 
-def _minhash_oracle_sql(threshold: float) -> str:
-    """Full MinHash+LSH pipeline reproduced in DuckDB SQL.
-
-    Possible because every stage is deterministic: md5-derived shingle
-    hashes, fixed universal-hash constants, and a band-candidate rule
-    of 'all rows of some band agree' (the Spark join requires the band
-    slice itself to match, not just its 32-bit hash). The oracle is a
-    full equality check, not merely a precision invariant.
-    """
+def _minhash_pairs_ctes() -> str:
+    """The MinHash+LSH pipeline as a reusable DuckDB CTE chain ending in
+    ``pairs(doc_a, doc_b, jaccard)`` (unthresholded). Shared by the
+    pair-level oracle and the cluster-level (connected components)
+    oracle."""
     a, b = dd._hash_params()
     mins = ",\n             ".join(
         f"MIN(({int(a[k])} * h + {int(b[k])}) % 2147483647) AS s{k}"
@@ -796,7 +792,7 @@ def _minhash_oracle_sql(threshold: float) -> str:
         for bd in range(dd.N_BANDS)
     )
     return f"""
-    WITH t AS (
+    t AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
              generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS i
@@ -831,8 +827,47 @@ def _minhash_oracle_sql(threshold: float) -> str:
       FROM cand
       JOIN ss xs ON xs.doc_id = doc_a
       JOIN ss ys ON ys.doc_id = doc_b
-    )
+    )"""
+
+
+def _minhash_oracle_sql(threshold: float) -> str:
+    """Full MinHash+LSH pipeline reproduced in DuckDB SQL.
+
+    Possible because every stage is deterministic: md5-derived shingle
+    hashes, fixed universal-hash constants, and a band-candidate rule
+    of 'all rows of some band agree' (the Spark join requires the band
+    slice itself to match, not just its 32-bit hash). The oracle is a
+    full equality check, not merely a precision invariant.
+    """
+    return f"""
+    WITH {_minhash_pairs_ctes()}
     SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+def _minhash_cluster_oracle_sql(threshold: float) -> str:
+    """Connected components over the MinHash pair graph, as a DuckDB
+    recursive CTE: ``reach`` is the transitive closure of the
+    symmetrized edge set (quadratic in component size — fine for an
+    sf0.01 oracle, never the engine's plan), and a node's cluster id is
+    its minimum reachable node."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    np AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {threshold}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM np
+      UNION
+      SELECT doc_b, doc_a FROM np
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+    FROM comp
     """
 
 
@@ -903,6 +938,27 @@ def minhash_neardup(spark, sf):
 )
 def simhash_neardup(spark, sf):
     return dd.simhash_pairs(_t(spark, sf, "documents"))
+
+
+@_q(
+    "dedup_clusters",
+    _minhash_cluster_oracle_sql(0.3),
+    "Near-dup CLUSTERS: connected components over the MinHash pair graph"
+    " (iterative min-label propagation, one shuffle join + agg per round,"
+    " O(diameter) rounds), with per-cluster size. cluster_id = min doc_id"
+    " of the component = the canonical keeper a dedup pipeline retains."
+    " Oracle: DuckDB recursive-CTE transitive closure over the same"
+    " deterministic pair graph.",
+)
+def dedup_clusters(spark, sf):
+    pairs = dd.minhash_pairs(_t(spark, sf, "documents"), threshold=0.3)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("csize"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "csize",
+    )
 
 
 # =====================================================================

@@ -638,8 +638,13 @@ def grouped_zscore(spark, sf):
              "z": zv.round(4)}
         )
 
+    # explicit 32-way hash partitioning on the grouping key already
+    # satisfies applyInPandas's distribution requirement, so the grouped
+    # map runs as exactly 32 Python tasks (one per bucket) instead of
+    # one per shuffle partition — mostly-empty Arrow batches under a
+    # wide AQE initialPartitionNum are pure overhead
     coarse = ev.withColumn("bucket", F.col("user_id") % 32)
-    return coarse.groupBy("bucket").applyInPandas(
+    return coarse.repartition(32, "bucket").groupBy("bucket").applyInPandas(
         z, schema="event_id long, user_id long, z double"
     )
 

@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE on sizing shuffles at scale: with AQE coalescing on, the
+        # knob that matters for big inputs is
+        # spark.sql.adaptive.coalescePartitions.initialPartitionNum —
+        # start wide (it bounds parallelism BEFORE runtime stats exist)
+        # and let AQE coalesce down. It is deliberately NOT set here:
+        # at the tiny local scale most queries run at, a wide initial
+        # count explodes Python (Arrow) stages into mostly-empty tasks
+        # whose per-task overhead dominates. bench.py sets it for the
+        # replicated-scale pass; a real cluster deployment should set it
+        # proportional to input volume (e.g. bytes / 64MB), not cores.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

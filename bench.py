@@ -139,10 +139,16 @@ def main() -> None:
             build_s = round(time.perf_counter() - t0, 3)
             scale_timings: dict[str, float] = {}
             for name in SCALE_HEADLINE:
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                n = len(REGISTRY[name].fn(spark, scale_dir).collect())
-                scale_timings[name] = round(time.perf_counter() - t0, 3)
+                # best-of-2, same methodology as the base suite: first
+                # run pays cold page-cache reads + codegen (a cost a
+                # warm cluster pays once), second measures steady state
+                best, n = float("inf"), 0
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n = len(REGISTRY[name].fn(spark, scale_dir).collect())
+                    best = min(best, time.perf_counter() - t0)
+                scale_timings[name] = round(best, 3)
                 print(
                     f"# [x{SCALE_FACTOR}] {name}: {scale_timings[name]:.3f}s"
                     f" ({n} rows)",
