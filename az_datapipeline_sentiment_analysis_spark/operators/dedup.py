@@ -6,10 +6,10 @@ operator family an LLM-data pipeline needs:
 
 * exact dedup         — hash-groupBy on a normalized fingerprint; one
                         shuffle on the hash, arbitrarily scalable.
-* n-gram Jaccard      — exact pairwise similarity on word-shingle sets;
-                        the O(n²) *baseline* used to verify the
-                        approximate methods. Blocked by a cheap key to
-                        bound the quadratic term.
+* n-gram Jaccard      — exact pairwise similarity on word-shingle sets
+                        via an inverted-index equi-join (cost follows
+                        shared-shingle frequency, not n²); the baseline
+                        used to verify the approximate methods.
 * MinHash + LSH       — the 100 TB path: per-doc signature (linear
                         scan), banded bucketing (shuffle on band hash),
                         candidate pairs only within buckets, exact
@@ -44,16 +44,24 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
 
     ``sequence(1, n-2)`` + ``element_at`` keeps the whole thing inside
     codegen; docs shorter than the shingle width get an empty array.
+
+    The token array is materialized once per row (a lateral-style
+    nested expression): inlining the ``regexp_extract_all`` inside
+    every ``element_at`` of the transform lambda re-runs the regex per
+    token — measured ~5x slower on real text — because codegen does
+    not common-subexpression-eliminate across lambda boundaries.
     """
     tok = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
-    return df.withColumn(
-        out,
-        F.expr(
-            f"array_distinct(CASE WHEN size({tok}) < {SHINGLE_WIDTH} THEN array()"
-            f" ELSE transform(sequence(1, size({tok}) - {SHINGLE_WIDTH - 1}),"
-            f"   i -> concat_ws(' ', element_at({tok}, i), element_at({tok}, i + 1),"
-            f"        element_at({tok}, i + 2))) END)"
-        ),
+    build = (
+        f"array_distinct(CASE WHEN size(__toks) < {SHINGLE_WIDTH} THEN array()"
+        f" ELSE transform(sequence(1, size(__toks) - {SHINGLE_WIDTH - 1}),"
+        f"   i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),"
+        f"        element_at(__toks, i + 2))) END)"
+    )
+    return (
+        df.withColumn("__toks", F.expr(tok))
+        .withColumn(out, F.expr(build))
+        .drop("__toks")
     )
 
 
@@ -85,24 +93,55 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.1,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold.
+    """All pairs with shingle-set Jaccard >= threshold (exact).
 
-    Exact but quadratic: only for verification / small corpora. The
-    self-join shuffles both sides on nothing (cross by id inequality),
-    so Spark plans a broadcast-nested-loop at small sizes; at scale use
-    :func:`minhash_pairs`.
+    Inverted-index plan, NOT a cross join: explode each doc's distinct
+    shingles, self-join on the shingle value (an equi-join Catalyst can
+    hash-partition), and count matches per (doc_a, doc_b) — that count
+    IS the exact intersection size, and the set sizes ride along to
+    finish the Jaccard arithmetic. Only pairs that share at least one
+    shingle are ever materialized, so the cost is
+    O(sum over shingles of df(shingle)²) — linear-ish for natural text
+    where most shingles are rare — instead of O(n²) documents.
+
+    Caveats for the 100 TB reading: a shingle shared by k docs still
+    contributes k² join rows, so adversarially repetitive corpora (one
+    boilerplate phrase in every doc) degrade toward quadratic; that
+    skew is exactly what :func:`minhash_pairs` (banded LSH) avoids, and
+    AQE's skew-join split handles the moderate cases here. Requires
+    ``threshold > 0``: zero-overlap pairs never meet the index, which
+    matches any positive threshold but could not emit jaccard=0 rows.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = with_shingles(df, text_col).select(
-        F.col(id_col).alias("id"), "shingles"
-    ).filter(F.size("shingles") > 0)
-    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    if threshold <= 0:
+        raise ValueError("inverted-index Jaccard requires threshold > 0")
+    # explode_outer + isNotNull instead of plain explode: for explode,
+    # the InferFiltersFromGenerate rule synthesizes a size(arr)>0
+    # filter below the Generate, and predicate pushdown then re-inlines
+    # the ENTIRE shingling expression (regex + lambda) into that filter
+    # — tripling the per-row work (observed in the optimized plan).
+    # explode_outer is exempt from the rule, and the null-filter sits
+    # on the generated column, which cannot be pushed below the
+    # Generate. Empty-shingle docs contribute one null row, dropped
+    # here, so shingle-less docs still never reach the join.
+    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
+    ex = sh.select(
+        "id", F.size("shingles").alias("sz"),
+        F.explode_outer("shingles").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    a = ex.select(
+        F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"), "s"
+    )
+    b = ex.select(
+        F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"), "s"
+    )
+    inter = F.count("*")
+    union = F.first("sz_a") + F.first("sz_b") - inter
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(inter.cast("double") / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -755,18 +755,24 @@ def dedup_fingerprint(spark, sf):
       JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
       JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
     ),
-    ss AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+    ss AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ss GROUP BY doc_id),
     p AS (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-             ROUND(len(list_intersect(x.shs, y.shs)) * 1.0 /
-                   (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4)
-                 AS jaccard
-      FROM ss x JOIN ss y ON x.doc_id < y.doc_id
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n
+      FROM ss x JOIN ss y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.1
+    SELECT doc_a, doc_b,
+           ROUND(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+    FROM p
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.1
     """,
-    "Exact n-gram (word-trigram) Jaccard near-dup pairs — the O(n²)"
-    " verification baseline for MinHash.",
+    "Exact n-gram (word-trigram) Jaccard near-dup pairs via an"
+    " inverted-index equi-join on the shingle value (pair intersection"
+    " = match count), not a cross join — the exact verification"
+    " baseline for MinHash.",
 )
 def ngram_jaccard_neardup(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
