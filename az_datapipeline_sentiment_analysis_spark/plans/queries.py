@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -71,6 +72,30 @@ def _q(name: str, sql: str | None, doc: str = ""):
 POS_SQL = _sql_word_list(POSITIVE_WORDS)
 NEG_SQL = _sql_word_list(NEGATIVE_WORDS)
 STOP_SQL = _sql_word_list(STOPWORDS_EN)
+
+
+@_contextmanager
+def _few_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` low.
+
+    For iterative jobs (connected components) and stateful streaming,
+    the partition count is paid per round / per micro-batch (state
+    stores, task launches, localCheckpoint materialization) and AQE
+    either can't coalesce (streaming) or can't coalesce below a
+    checkpoint. On a vanilla 200-partition driver session that fixed
+    overhead dominates small inputs. Restores the caller's setting on
+    exit; production sizes this to data volume, not cores.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 # =====================================================================
@@ -958,7 +983,11 @@ def simhash_neardup(spark, sf):
 )
 def dedup_clusters(spark, sf):
     pairs = dd.minhash_pairs(_t(spark, sf, "documents"), threshold=0.3)
-    comp = dd.connected_components(pairs)
+    # label propagation pays its shuffle-partition count per ROUND
+    # (localCheckpoint materializes each one; AQE can't coalesce below
+    # a checkpoint) — pin it low for the iterative section
+    with _few_partitions(spark):
+        comp = dd.connected_components(pairs)
     sizes = comp.groupBy("comp").agg(F.count("*").alias("csize"))
     return comp.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table as _t
 from ..streaming import stream
-from .queries import NEG_SQL, POS_SQL, _q
+from .queries import NEG_SQL, POS_SQL, _few_partitions, _q
 
 # per-process cache: sf_dir -> staged streaming input dir
 _STAGED: dict[tuple[str, str], str] = {}
@@ -73,10 +73,11 @@ def _staged_events(spark: SparkSession, sf_dir: str, *, doubled: bool) -> str:
 
 def _drain(df: DataFrame, spark: SparkSession, *, mode: str) -> DataFrame:
     """Run an AvailableNow query into a memory sink; return its table."""
-    name = f"sg_{uuid.uuid4().hex[:12]}"
-    q = stream.start_to_memory(df, name, mode=mode)
-    q.awaitTermination(300)
-    return spark.table(name)
+    with _few_partitions(spark):
+        name = f"sg_{uuid.uuid4().hex[:12]}"
+        q = stream.start_to_memory(df, name, mode=mode)
+        q.awaitTermination(300)
+        return spark.table(name)
 
 
 @_q(
@@ -243,9 +244,10 @@ def pipeline_incremental_run(spark, sf):
         F.col("text").alias("text_column"),
         F.when(F.col("doc_id") % 3 == 0, 0).otherwise(1).alias("processed"),
     )
-    inc.init_source(spark, src, src_path)
-    n_first = inc.run_increment(spark, src_path, res_path)
-    n_second = inc.run_increment(spark, src_path, res_path)
+    with _few_partitions(spark):
+        inc.init_source(spark, src, src_path)
+        n_first = inc.run_increment(spark, src_path, res_path)
+        n_second = inc.run_increment(spark, src_path, res_path)
     assert n_first > 0 and n_second == 0, (n_first, n_second)
     out = (
         spark.read.schema(SENTIMENT_RESULTS)
