@@ -37,10 +37,13 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (columnar parquet scan, pushdown-capable).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long nanos (legacy conf,
-    runtime-settable) and truncate to a microsecond TimestampType —
-    exactly what DuckDB does on read, so oracle comparisons line up.
+    ``events.ts`` has shipped under three parquet encodings over time:
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read as long
+    nanos via the legacy conf and truncate to micros), TIMESTAMP(MICROS)
+    without timezone (Spark reads TIMESTAMP_NTZ), and TIMESTAMP(MICROS)
+    UTC. We normalize all three to a session-TZ ``TimestampType`` —
+    the session TZ is pinned UTC, which is exactly what DuckDB yields on
+    the same file, so oracle comparisons line up regardless of encoding.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,8 +51,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Session TZ is pinned UTC, so this is a pure type-tag change.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -303,7 +303,9 @@ def regexp_funcs(spark, sf):
 )
 def epoch_funcs(spark, sf):
     ev = _t(spark, sf, "events")
-    ms = F.unix_millis("ts")
+    # Cast defensively: unix_millis rejects TIMESTAMP_NTZ, and the
+    # testdata's parquet encoding of ts has changed between rounds.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     return ev.select(
         "event_id",
         ms.alias("ms"),
@@ -519,7 +521,7 @@ def set_union_distinct(spark, sf):
 def win_range_frame(spark, sf):
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_millis("ts"))
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
         .rangeBetween(-3600000, 0)
     )
     ev = _t(spark, sf, "events")
@@ -638,14 +640,19 @@ def grouped_zscore(spark, sf):
              "z": zv.round(4)}
         )
 
-    # explicit 32-way hash partitioning on the grouping key already
-    # satisfies applyInPandas's distribution requirement, so the grouped
-    # map runs as exactly 32 Python tasks (one per bucket) instead of
-    # one per shuffle partition — mostly-empty Arrow batches under a
-    # wide AQE initialPartitionNum are pure overhead
-    coarse = ev.withColumn("bucket", F.col("user_id") % 32)
-    return coarse.repartition(32, "bucket").groupBy("bucket").applyInPandas(
-        z, schema="event_id long, user_id long, z double"
+    # explicit hash partitioning on the grouping key already satisfies
+    # applyInPandas's distribution requirement, so the grouped map runs
+    # as exactly n_buckets Python tasks (one per bucket) instead of one
+    # per shuffle partition — mostly-empty Arrow batches under a wide
+    # AQE initialPartitionNum are pure overhead. Bucket count tracks the
+    # cluster's parallelism rather than a literal so it scales past
+    # local[32].
+    n_buckets = max(spark.sparkContext.defaultParallelism, 1)
+    coarse = ev.withColumn("bucket", F.col("user_id") % n_buckets)
+    return (
+        coarse.repartition(n_buckets, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(z, schema="event_id long, user_id long, z double")
     )
 
 

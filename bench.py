@@ -41,6 +41,10 @@ SCALE_HEADLINE = [
     "dedup_fingerprint",
     "minhash_neardup",
     "embed_cosine_topk",
+    # skew-visible measurements for the iterative CC loop and the
+    # inverted-index shingle join (VERDICT r2 advice #8)
+    "dedup_clusters",
+    "ngram_jaccard_neardup",
 ]
 
 HEADLINE = [
@@ -97,6 +101,7 @@ def main() -> None:
     spark = get_spark("bench")
     warmup(spark)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # best of 2: the first run of a query shape pays one-time
@@ -104,13 +109,18 @@ def main() -> None:
         # cluster where a query runs over thousands of partitions);
         # collect() forces full materialization of every operator
         best, n = float("inf"), 0
-        for _ in range(2):
-            # drop any persisted intermediates (e.g. minhash signatures)
-            # so rerun measures real work, not a data-cache hit
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = len(fn(spark, SF_DIR).collect())
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                # drop any persisted intermediates (e.g. minhash
+                # signatures) so rerun measures work, not a cache hit
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = len(fn(spark, SF_DIR).collect())
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # one bad query must not zero the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", flush=True)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
@@ -127,6 +137,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        payload["query_errors"] = errors
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALE"):
         try:
@@ -138,16 +150,26 @@ def main() -> None:
             )
             build_s = round(time.perf_counter() - t0, 3)
             scale_timings: dict[str, float] = {}
+            scale_errors: dict[str, str] = {}
             for name in SCALE_HEADLINE:
                 # best-of-2, same methodology as the base suite: first
                 # run pays cold page-cache reads + codegen (a cost a
                 # warm cluster pays once), second measures steady state
                 best, n = float("inf"), 0
-                for _ in range(2):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    n = len(REGISTRY[name].fn(spark, scale_dir).collect())
-                    best = min(best, time.perf_counter() - t0)
+                try:
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        n = len(REGISTRY[name].fn(spark, scale_dir).collect())
+                        best = min(best, time.perf_counter() - t0)
+                except Exception as e:
+                    scale_errors[name] = f"{type(e).__name__}: {e}"[:300]
+                    print(
+                        f"# [x{SCALE_FACTOR}] {name}: ERROR"
+                        f" {scale_errors[name]}",
+                        flush=True,
+                    )
+                    continue
                 scale_timings[name] = round(best, 3)
                 print(
                     f"# [x{SCALE_FACTOR}] {name}: {scale_timings[name]:.3f}s"
@@ -167,6 +189,8 @@ def main() -> None:
                     "scale_queries": scale_timings,
                 }
             )
+            if scale_errors:
+                payload["scale_query_errors"] = scale_errors
         except Exception as e:  # never let the scale pass kill the bench
             payload["scale_error"] = f"{type(e).__name__}: {e}"[:300]
 

@@ -84,3 +84,26 @@ def test_new_rows_after_convergence(spark, source_df, tmp_path):
     incremental.init_source(spark, merged, src)
     assert incremental.run_increment(spark, src, res) == 1
     assert _counts(spark, res) == (4, 4)
+
+
+def test_concurrent_writer_raises_and_lock_released(spark, source_df, tmp_path):
+    """Contended path of the single-writer guard: while one writer holds
+    the mkdir lock, a second overwrite of the same path must raise
+    ConcurrentWriterError (not interleave renames) — and a failed writer
+    must release the lock so later writers proceed."""
+    import os
+
+    src = str(tmp_path / "src")
+    lock = f"{src}__writelock"
+    os.mkdir(lock)  # first writer holds the swap lock
+    try:
+        with pytest.raises(incremental.ConcurrentWriterError):
+            incremental.init_source(spark, source_df, src)
+        assert not os.path.exists(src)  # blocked writer left no target
+    finally:
+        os.rmdir(lock)
+
+    # lock released -> the write goes through cleanly
+    incremental.init_source(spark, source_df, src)
+    assert spark.read.parquet(src).count() == 4
+    assert not os.path.exists(lock)  # happy path releases the lock too
