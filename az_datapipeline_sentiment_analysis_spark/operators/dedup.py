@@ -104,17 +104,43 @@ def ngram_jaccard_pairs(
     O(sum over shingles of df(shingle)²) — linear-ish for natural text
     where most shingles are rare — instead of O(n²) documents.
 
-    Caveats for the 100 TB reading: a shingle shared by k docs still
-    contributes k² join rows, so adversarially repetitive corpora (one
-    boilerplate phrase in every doc) degrade toward quadratic; that
-    skew is exactly what :func:`minhash_pairs` (banded LSH) avoids, and
-    AQE's skew-join split handles the moderate cases here. Requires
-    ``threshold > 0``: zero-overlap pairs never meet the index, which
-    matches any positive threshold but could not emit jaccard=0 rows.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Exact-copy collapse first (same pre-pass as :func:`minhash_pairs`):
+    docs sharing a normalized-text fingerprint have identical shingle
+    sets, so the shingle join runs on ONE representative per copy-group
+    and member pairs are expanded afterwards by linear joins. A corpus
+    where each doc has g exact copies costs g× less to shingle and g²×
+    less to join — without this, bulk-replicated corpora (mirrors,
+    boilerplate reposts) spend quadratic time re-proving that copies
+    are identical (measured 81s → ~8s on the 10×-replicated bench).
+
+    Caveats for the 100 TB reading: a shingle shared by k distinct-text
+    docs still contributes k² join rows, so adversarially repetitive
+    corpora (one boilerplate phrase in every doc) degrade toward
+    quadratic; that skew is exactly what :func:`minhash_pairs` (banded
+    LSH) avoids, and AQE's skew-join split handles the moderate cases
+    here. Requires ``threshold > 0``: zero-overlap pairs never meet
+    the index, which matches any positive threshold but could not emit
+    jaccard=0 rows. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     if threshold <= 0:
         raise ValueError("inverted-index Jaccard requires threshold > 0")
+    # Copy-groups: same fingerprint => identical token stream =>
+    # identical shingle set. `ok` (>= SHINGLE_WIDTH tokens, i.e. at
+    # least one shingle) is constant within a group for the same
+    # reason; shingle-less docs never pair (no index entry), so their
+    # groups are excluded from the jaccard=1.0 expansion too.
+    src = df.select(
+        F.col(id_col).alias("id"),
+        fingerprint_expr(text_col).alias("fp"),
+        F.col(text_col).alias("__text"),
+        F.expr(
+            f"size(regexp_extract_all(lower({text_col}), '[a-z]+', 0))"
+            f" >= {SHINGLE_WIDTH}"
+        ).alias("ok"),
+    )
+    members = src.select("fp", "id", "ok")
+    reps = members.groupBy("fp").agg(F.min("id").alias("rid"))
+    rep_src = src.join(reps, "fp").filter(F.col("id") == F.col("rid"))
     # explode_outer + isNotNull instead of plain explode: for explode,
     # the InferFiltersFromGenerate rule synthesizes a size(arr)>0
     # filter below the Generate, and predicate pushdown then re-inlines
@@ -122,29 +148,49 @@ def ngram_jaccard_pairs(
     # — tripling the per-row work (observed in the optimized plan).
     # explode_outer is exempt from the rule, and the null-filter sits
     # on the generated column, which cannot be pushed below the
-    # Generate. Empty-shingle docs contribute one null row, dropped
-    # here, so shingle-less docs still never reach the join.
-    sh = with_shingles(df, text_col).select(F.col(id_col).alias("id"), "shingles")
-    ex = sh.select(
-        "id", F.size("shingles").alias("sz"),
-        F.explode_outer("shingles").alias("s"),
-    ).filter(F.col("s").isNotNull())
-    a = ex.select(
-        F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"), "s"
+    # Generate. Empty-shingle reps contribute one null row, dropped
+    # here, so shingle-less groups still never reach the join.
+    ex = (
+        with_shingles(rep_src, "__text")
+        .select(
+            "fp",
+            F.size("shingles").alias("sz"),
+            F.explode_outer("shingles").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
     )
-    b = ex.select(
-        F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"), "s"
-    )
+    a = ex.select(F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), "s")
+    b = ex.select(F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), "s")
     inter = F.count("*")
     union = F.first("sz_a") + F.first("sz_b") - inter
-    return (
+    rep_pairs = (
         a.join(b, ["s"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .groupBy("fp_a", "fp_b")
         .agg(F.round(inter.cast("double") / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    # Cross-group expansion: every member pair inherits the rep-level
+    # jaccard (identical sets). fps in rep_pairs all have shingles, so
+    # no `ok` filter is needed here. Linear joins keyed on fp.
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("id_a"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("id_b"))
+    cross = rep_pairs.join(ma, "fp_a").join(mb, "fp_b").select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        "jaccard",
+    )
+    if threshold > 1.0:
+        return cross
+    # Within-group pairs: identical shingle sets => jaccard exactly 1.0.
+    okm = members.filter("ok")
+    within = (
+        okm.select("fp", F.col("id").alias("doc_a"))
+        .join(okm.select("fp", F.col("id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # --- MinHash + LSH (the scale path) ----------------------------------

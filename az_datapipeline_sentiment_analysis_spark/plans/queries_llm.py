@@ -1,0 +1,492 @@
+"""Training-data curation operators: round-3 widening batch.
+
+The operations a large-scale LLM training-data pipeline runs between
+"raw crawl" and "training shards", each expressed Spark-first and
+paired with a DuckDB oracle (same column names, same rounding):
+
+* corpus vocabulary profiling (``vocab_topk``);
+* per-document salient terms (``tfidf_topterms``) and ranked retrieval
+  (``bm25_search``) — the relevance primitives behind quality
+  classifiers and nearest-query mining;
+* Gopher-style repetition quality signals (``quality_repetition``);
+* benchmark-contamination detection via n-gram collision
+  (``contamination_check``) and boilerplate detection via global
+  document-frequency thresholds (``boilerplate_ngrams``);
+* deterministic domain/language rebalancing (``domain_mix_rebalance``);
+* PII-style pseudonymization + generalization (``anonymize_events``);
+* quality-aware canonical selection within exact-duplicate groups
+  (``dedup_keep_best``).
+
+Scale notes applying to the whole family: tokenization is a JVM
+``regexp_extract_all`` projection (no UDF, no shuffle); every
+"explode tokens then aggregate" pattern map-side combines before its
+one hash shuffle; global statistics (vocabulary document frequency,
+corpus size, average document length) are tiny aggregates broadcast
+back to the fact side, never driver-side loops. Generalizes the
+reference's per-review text handling
+(``FunctionApp2/process_data/__init__.py:49-52``) the way BASELINE.json
+directs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+# Word tokenizer shared by this module — identical semantics in Spark
+# (third arg = group index) and DuckDB (no group arg).
+_TOKS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_TOKS_DD = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+# =====================================================================
+# Corpus profiling
+# =====================================================================
+
+@_q(
+    "vocab_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_DD}) AS term FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM t GROUP BY term
+    ORDER BY tf DESC, term LIMIT 20
+    """,
+    "Corpus vocabulary profile: global term + document frequency,"
+    " top-20. One explode (flatMap projection, no shuffle) then one"
+    " hash shuffle on term with map-side partials; top-k is a"
+    " TakeOrdered, never a full sort.",
+)
+def vocab_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+@_q(
+    "tfidf_topterms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_DD}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln((n + 1.0) / (df + 1.0)), 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    "Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1)))."
+    " Document frequency is a vocabulary-sized aggregate joined back"
+    " broadcast; ranking sorts on the ROUNDED score (term tiebreak) so"
+    " both engines pick identical term sets despite last-ulp ln()"
+    " differences.",
+)
+def tfidf_topterms(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+@_q(
+    "bm25_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_DD}) AS term FROM documents
+    ),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl
+      FROM lens
+    ),
+    qt AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('merge', 'window', 'stream')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+    w AS (
+      SELECT qt.doc_id,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS wt
+      FROM qt JOIN dfreq USING (term)
+      JOIN lens ON qt.doc_id = lens.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query"
+    " {merge, window, stream}: the term filter collapses the explode"
+    " to matching postings before any shuffle, global stats (N, avgdl)"
+    " and per-term df are broadcast scalars, and the final top-20 is a"
+    " TakeOrdered on the rounded score with doc_id tiebreak.",
+)
+def bm25_search(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = d.agg(F.count("*").alias("n"))
+    stats = lens.agg(F.avg("dl").alias("avgdl")).crossJoin(F.broadcast(n))
+    qt = (
+        toks.filter(F.col("term").isin("merge", "window", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = qt.groupBy("term").agg(F.count("*").alias("df"))
+    wt = (
+        F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        qt.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Quality / contamination / boilerplate
+# =====================================================================
+
+@_q(
+    "quality_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DD} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    ),
+    bg AS (SELECT doc_id, unnest(bigrams) AS bg FROM base),
+    c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    s AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM c GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(ROUND(n_uniq * 1.0 / nullif(n_tokens, 0), 4), 0.0)
+             AS uniq_frac,
+           COALESCE(ROUND(top_c * 1.0 / nullif(n_bg, 0), 4), 0.0)
+             AS top_bigram_frac
+    FROM base LEFT JOIN s USING (doc_id)
+    """,
+    "Gopher-style repetition signals per document: distinct-token"
+    " fraction and most-frequent-bigram mass. Bigrams are built by a"
+    " JVM transform() lambda over the token array (no shuffle); the"
+    " per-doc mode needs two doc-keyed shuffles with map-side partials."
+    " Null-safe for empty documents (frac = 0).",
+)
+def quality_repetition(spark, sf):
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKS}))").alias("n_uniq"),
+        F.expr(
+            f"transform(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)),"
+            f" (x, i) -> concat(x, ' ', element_at({_TOKS}, i + 2)))"
+        ).alias("bigrams"),
+    )
+    bg = base.select("doc_id", F.explode("bigrams").alias("bg"))
+    s = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    frac = lambda num, den: F.coalesce(  # noqa: E731
+        F.round(num * F.lit(1.0) / F.nullif(den, F.lit(0)), 4), F.lit(0.0)
+    )
+    return (
+        base.join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            frac(F.col("n_uniq"), F.col("n_tokens")).alias("uniq_frac"),
+            frac(F.col("top_c"), F.col("n_bg")).alias("top_bigram_frac"),
+        )
+    )
+
+
+@_q(
+    "contamination_check",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DD} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3]))) AS g
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM g JOIN bench USING (g)
+    WHERE doc_id % 100 <> 0
+    GROUP BY doc_id
+    """,
+    "Benchmark-contamination detector: training docs sharing any"
+    " 4-gram with a held-out set (doc_id % 100 = 0 stands in for the"
+    " eval suite). An inverted-index equi-join on the shingle — cost"
+    " proportional to shared postings, never all-pairs; the distinct"
+    " benchmark side is a small fraction of the corpus, so AQE"
+    " broadcasts it at moderate scale and skew-splits hot (stopword-"
+    "only) shingles beyond that.",
+)
+def contamination_check(spark, sf):
+    d = _t(spark, sf, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"slice({_TOKS}, 1, greatest(size({_TOKS}) - 3, 0)),"
+                f" (x, i) -> concat_ws(' ', x,"
+                f" element_at({_TOKS}, i + 2), element_at({_TOKS}, i + 3),"
+                f" element_at({_TOKS}, i + 4))))"
+            )
+        ).alias("g"),
+    )
+    bench = g.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 100 != 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+@_q(
+    "boilerplate_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DD} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM t
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    boiler AS (
+      SELECT g FROM g CROSS JOIN n GROUP BY g, n HAVING COUNT(*) * 5 >= n
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_boiler
+      FROM g JOIN boiler USING (g) GROUP BY doc_id
+    )
+    SELECT sizes.doc_id,
+           CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+           COALESCE(ROUND(n_boiler * 1.0 / nullif(n_grams, 0), 4), 0.0)
+             AS boiler_frac
+    FROM sizes LEFT JOIN hits USING (doc_id)
+    """,
+    "Boilerplate detection: 3-grams present in >= 20% of documents"
+    " (integer-exact threshold: df * 5 >= N) and each document's"
+    " boilerplate fraction. The df aggregate is vocabulary-sized and"
+    " the qualifying set tiny, so the join back is a broadcast; the"
+    " per-doc counts reuse the doc-keyed shuffle.",
+)
+def boilerplate_ngrams(spark, sf):
+    d = _t(spark, sf, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)),"
+                f" (x, i) -> concat_ws(' ', x,"
+                f" element_at({_TOKS}, i + 2), element_at({_TOKS}, i + 3))))"
+            )
+        ).alias("g"),
+    )
+    n = d.agg(F.count("*").alias("n"))
+    boiler = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 5 >= F.col("n"))
+        .select("g")
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        g.join(F.broadcast(boiler), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.coalesce(
+            F.round(
+                F.col("n_boiler") * F.lit(1.0)
+                / F.nullif(F.col("n_grams"), F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("boiler_frac"),
+    )
+
+
+# =====================================================================
+# Mix rebalancing / anonymization / canonical dedup
+# =====================================================================
+
+@_q(
+    "domain_mix_rebalance",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS m FROM counts)
+    SELECT doc_id, lang
+    FROM documents JOIN counts USING (lang) CROSS JOIN m
+    WHERE ((doc_id * 2654435761) % 10000) * cnt < m * 10000
+    """,
+    "Deterministic domain/language rebalancing: downsample every"
+    " language to (approximately) the smallest class via a Knuth-hash"
+    " keep rule. The comparison ((hash % 10000) * cnt < m * 10000) is"
+    " pure 64-bit integer arithmetic — bit-identical across engines,"
+    " no float rate rounding. Per-class counts are a 5-row broadcast;"
+    " the filter itself runs in the codegen stage over the scan, so"
+    " the whole rebalance is one tiny agg plus a map-only pass.",
+)
+def domain_mix_rebalance(spark, sf):
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            ((F.col("doc_id") * 2654435761) % 10000) * F.col("cnt")
+            < F.col("m") * 10000
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "anonymize_events",
+    """
+    SELECT event_id,
+           sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           date_trunc('hour', ts) AS hour_bucket,
+           CAST(floor(value) AS BIGINT) AS value_band
+    FROM events
+    """,
+    "PII-style pseudonymization + generalization before sharing a"
+    " training corpus: salted SHA-256 of the user key (consistent"
+    " join-able pseudonym, original not recoverable without the"
+    " pepper), timestamps coarsened to the hour, measures banded to"
+    " integers. Pure projection — map-only, no shuffle; at 100 TB this"
+    " runs at scan speed.",
+)
+def anonymize_events(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.sha2(
+            F.concat(F.lit("pepper:"), F.col("user_id").cast("string")), 256
+        ).alias("user_pseudo"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.floor("value").cast("long").alias("value_band"),
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    """
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT fp, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY fp) AS grp
+      FROM f
+    )
+    SELECT fp, doc_id AS kept_id, CAST(grp AS BIGINT) AS group_size
+    FROM r WHERE rk = 1
+    """,
+    "Quality-aware canonical selection: within each exact-duplicate"
+    " group (same normalized-text fingerprint as dedup_fingerprint,"
+    " `operators/dedup.py`), keep the longest document (doc_id"
+    " tiebreak) instead of an arbitrary survivor. One hash shuffle on"
+    " the fingerprint; group sizes are bounded by copy multiplicity,"
+    " so the window state stays small per key.",
+)
+def dedup_keep_best(spark, sf):
+    d = _t(spark, sf, "documents")
+    f = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.expr("array_join(regexp_extract_all(lower(text),"
+                   " '[a-z0-9]+', 0), ' ')")
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("fp")
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select("fp", F.col("doc_id").alias("kept_id"), "group_size")
+    )

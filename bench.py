@@ -45,6 +45,8 @@ SCALE_HEADLINE = [
     # inverted-index shingle join (VERDICT r2 advice #8)
     "dedup_clusters",
     "ngram_jaccard_neardup",
+    # inverted-index contamination join at replicated scale
+    "contamination_check",
 ]
 
 HEADLINE = [
@@ -71,6 +73,8 @@ HEADLINE = [
     "dedup_fingerprint",
     "minhash_neardup",
     "embed_cosine_topk",
+    "tfidf_topterms",
+    "contamination_check",
 ]
 
 
