@@ -232,16 +232,27 @@ def bm25_search(spark, sf):
 )
 def quality_repetition(spark, sf):
     d = _t(spark, sf, "documents")
-    base = d.select(
+    # Tokens materialized ONCE as a column: textually inlining the
+    # regex into every element_at/size reference re-runs it per token
+    # (CollapseProject keeps a separate project for a non-cheap alias
+    # referenced multiple times, so the column form is evaluated once —
+    # same pitfall documented at operators/dedup.py with_shingles).
+    base = d.withColumn("__toks", F.expr(_TOKS)).select(
         "doc_id",
-        F.expr(f"size({_TOKS})").alias("n_tokens"),
-        F.expr(f"size(array_distinct({_TOKS}))").alias("n_uniq"),
+        F.expr("size(__toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(__toks))").alias("n_uniq"),
         F.expr(
-            f"transform(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)),"
-            f" (x, i) -> concat(x, ' ', element_at({_TOKS}, i + 2)))"
+            "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
         ).alias("bigrams"),
     )
-    bg = base.select("doc_id", F.explode("bigrams").alias("bg"))
+    # explode_outer + isNotNull: plain explode's synthesized
+    # size(arr)>0 filter is pushdown-inlined through the projects and
+    # re-evaluates the gram build (and regex) once more per row — see
+    # operators/dedup.py ngram_jaccard_pairs for the full account.
+    bg = base.select(
+        "doc_id", F.explode_outer("bigrams").alias("bg")
+    ).filter(F.col("bg").isNotNull())
     s = (
         bg.groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
@@ -289,17 +300,22 @@ def quality_repetition(spark, sf):
 )
 def contamination_check(spark, sf):
     d = _t(spark, sf, "documents")
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"slice({_TOKS}, 1, greatest(size({_TOKS}) - 3, 0)),"
-                f" (x, i) -> concat_ws(' ', x,"
-                f" element_at({_TOKS}, i + 2), element_at({_TOKS}, i + 3),"
-                f" element_at({_TOKS}, i + 4))))"
-            )
-        ).alias("g"),
+    # Tokens materialized once (see quality_repetition note).
+    g = (
+        d.withColumn("__toks", F.expr(_TOKS))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "array_distinct(transform("
+                    "slice(__toks, 1, greatest(size(__toks) - 3, 0)),"
+                    " (x, i) -> concat_ws(' ', x,"
+                    " element_at(__toks, i + 2), element_at(__toks, i + 3),"
+                    " element_at(__toks, i + 4))))"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
     )
     bench = g.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
     return (
@@ -343,16 +359,21 @@ def contamination_check(spark, sf):
 )
 def boilerplate_ngrams(spark, sf):
     d = _t(spark, sf, "documents")
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"slice({_TOKS}, 1, greatest(size({_TOKS}) - 2, 0)),"
-                f" (x, i) -> concat_ws(' ', x,"
-                f" element_at({_TOKS}, i + 2), element_at({_TOKS}, i + 3))))"
-            )
-        ).alias("g"),
+    # Tokens materialized once (see quality_repetition note).
+    g = (
+        d.withColumn("__toks", F.expr(_TOKS))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "array_distinct(transform("
+                    "slice(__toks, 1, greatest(size(__toks) - 2, 0)),"
+                    " (x, i) -> concat_ws(' ', x,"
+                    " element_at(__toks, i + 2), element_at(__toks, i + 3))))"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
     )
     n = d.agg(F.count("*").alias("n"))
     boiler = (

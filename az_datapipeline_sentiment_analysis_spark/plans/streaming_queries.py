@@ -259,3 +259,97 @@ def pipeline_incremental_run(spark, sf):
     rows = out.collect()  # materialize before the temp dir is removed
     _sh.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@_q(
+    "stream_stateful_totals",
+    """
+    SELECT user_id,
+           2 * COUNT(*) AS n_events,
+           ROUND(2 * SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "Custom stateful streaming operator (applyInPandasWithState):"
+    " per-user running count + value sum accumulated ACROSS two"
+    " micro-batches (the backlog holds every event twice, one slice"
+    " per batch), update-mode emissions drained to memory and reduced"
+    " to each key's final state. After the drain the state must equal"
+    " the doubled batch totals (the oracle). State is two numbers per"
+    " key, hash-partitioned by user_id across executors — the"
+    " arbitrary-accumulator generalization of the reference's"
+    " processed-flag bookkeeping (SURVEY §2.2 streaming rows).",
+)
+def stream_stateful_totals(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=True))
+    sink = _drain(stream.running_user_totals(src), spark, mode="update")
+    # update mode emits once per (batch, key); the final state per key
+    # is the emission with the highest running count (strictly
+    # increasing, so max_by is deterministic).
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("tv"),
+        )
+        .select("user_id", "n_events", F.round("tv", 4).alias("total_value"))
+    )
+
+
+@_q(
+    "stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delay_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+    """,
+    "Stream-stream interval join (click -> purchase attribution within"
+    " 2 hours, per user): two watermarked file-source streams joined on"
+    " user_id with an event-time range condition, append mode. The"
+    " watermark + range bound is what makes the join state FINITE at"
+    " 100 TB — each side buffers only rows younger than watermark +"
+    " interval, keyed by user_id across executors; an unbounded"
+    " stream-stream join would grow state forever. Drained"
+    " AvailableNow, the emitted pairs must equal the batch interval"
+    " join (the oracle).",
+)
+def stream_stream_join(spark, sf):
+    staged = _staged_events(spark, sf, doubled=False)
+    a = (
+        stream.stream_events(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("uid_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "24 hours")
+    )
+    b = (
+        stream.stream_events(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("uid_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "24 hours")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "uid_a = uid_b AND ts_b > ts_a"
+            " AND ts_b <= ts_a + interval 120 minutes"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("uid_a").alias("user_id"),
+        (F.unix_millis("ts_b") - F.unix_millis("ts_a"))
+        .cast("long")
+        .alias("delay_ms"),
+    )
+    return _drain(joined, spark, mode="append")
