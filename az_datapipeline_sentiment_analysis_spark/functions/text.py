@@ -71,11 +71,33 @@ def _lexicon_count_expr(col: str, words: tuple[str, ...]) -> Column:
     )
 
 
+def lexicon_count_on_tokens(toks_col: str, words: tuple[str, ...]) -> Column:
+    """Lexicon hit count over an ALREADY-tokenized array column.
+
+    Prefer this when a query needs several counts over the same text:
+    tokenize once into a column, count many times. The single-column
+    `_lexicon_count_expr` re-runs the tokenizer regex per count — fine
+    for one count, 4-6x wasted regex work for sentiment/lang-id shapes
+    (CollapseProject keeps a materialized token column evaluated once
+    because a non-cheap alias referenced more than once is not inlined).
+    """
+    arr = f"array({_sql_word_list(words)})"
+    return F.expr(f"size(filter({toks_col}, t -> array_contains({arr}, t)))")
+
+
 def sentiment_components_expr(col: str = "text") -> tuple[Column, Column]:
     """(pos_count, neg_count) as JVM columns."""
     return (
         _lexicon_count_expr(col, POSITIVE_WORDS),
         _lexicon_count_expr(col, NEGATIVE_WORDS),
+    )
+
+
+def sentiment_components_on_tokens(toks_col: str) -> tuple[Column, Column]:
+    """(pos_count, neg_count) over a pre-tokenized array column."""
+    return (
+        lexicon_count_on_tokens(toks_col, POSITIVE_WORDS),
+        lexicon_count_on_tokens(toks_col, NEGATIVE_WORDS),
     )
 
 
@@ -206,9 +228,23 @@ def lang_id_expr(col: str = "text") -> Column:
     """Heuristic language ID: CJK chars -> zh, else argmax stopword hits
     with fixed priority en > es > de > fr, else 'und'."""
     hits = {k: _lexicon_count_expr(col, v) for k, v in LANG_LEXICONS.items()}
+    return _lang_id_from_hits(col, hits)
+
+
+def lang_id_on_tokens(text_col: str, toks_col: str) -> Column:
+    """lang_id_expr over a pre-tokenized array column (one regex pass
+    instead of four; the CJK probe still reads the raw text)."""
+    hits = {
+        k: lexicon_count_on_tokens(toks_col, v)
+        for k, v in LANG_LEXICONS.items()
+    }
+    return _lang_id_from_hits(text_col, hits)
+
+
+def _lang_id_from_hits(text_col: str, hits: dict) -> Column:
     en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
     return (
-        F.when(F.col(col).rlike(_CJK_RANGE), F.lit("zh"))
+        F.when(F.col(text_col).rlike(_CJK_RANGE), F.lit("zh"))
         .when((en >= es) & (en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((es >= de) & (es >= fr) & (es > 0), F.lit("es"))
         .when((de >= fr) & (de > 0), F.lit("de"))

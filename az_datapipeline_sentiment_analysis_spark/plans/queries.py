@@ -41,8 +41,12 @@ from ..functions.text import (
     sentiment_confidence_expr,
     sentiment_label_expr,
     sentiment_pandas_udf,
+    lang_id_on_tokens,
+    lexicon_count_on_tokens,
+    sentiment_components_on_tokens,
     stopword_ratio_expr,
     token_count_expr,
+    tokens_expr,
     _CJK_RANGE,
     _sql_word_list,
 )
@@ -1313,10 +1317,11 @@ def sentiment_score(spark, sf):
 )
 def sentiment_score_sql(spark, sf):
     d = _t(spark, sf, "documents")
-    pos, neg = sentiment_components_expr("text")
-    # materialize pos/neg ONCE; referencing the raw expressions in the
-    # label/confidence trees would re-evaluate the tokenizer ~6x
-    counted = d.select(
+    # tokenize ONCE into a column, then count both lexicons over it —
+    # one regex pass per row instead of two; pos/neg are likewise
+    # materialized so the label/confidence trees don't re-count
+    pos, neg = sentiment_components_on_tokens("__toks")
+    counted = d.withColumn("__toks", tokens_expr("text")).select(
         F.col("doc_id").cast("string").alias("record_id"),
         pos.alias("pos"),
         neg.alias("neg"),
@@ -1407,8 +1412,13 @@ _LANG_HIT = (
     " generalized).",
 )
 def lang_id(spark, sf):
-    return _t(spark, sf, "documents").select(
-        "doc_id", lang_id_expr("text").alias("lang_pred")
+    # one tokenizer pass feeds all four language lexicon counts
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("__toks", tokens_expr("text"))
+        .select(
+            "doc_id", lang_id_on_tokens("text", "__toks").alias("lang_pred")
+        )
     )
 
 
@@ -1453,11 +1463,33 @@ def language_filter(spark, sf):
 )
 def text_quality(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select(
+    # tokenize once; materialize the two (rounded) ratios so the
+    # composite score reuses them instead of re-deriving regex counts —
+    # the expr-composition form ran the tokenizer/alpha regexes 3x
+    stop_hits = lexicon_count_on_tokens("__toks", STOPWORDS_EN)
+    n_toks = F.expr("size(__toks)")
+    base = d.withColumn("__toks", tokens_expr("text")).select(
         "doc_id",
+        F.length("text").alias("n"),
         alpha_ratio_expr("text").alias("alpha_ratio"),
-        stopword_ratio_expr("text").alias("stopword_ratio"),
-        quality_score_expr("text").alias("quality"),
+        F.round(
+            F.when(n_toks == 0, F.lit(0.0)).otherwise(
+                stop_hits.cast("double") / n_toks
+            ),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    length_term = F.least(F.col("n"), F.lit(400)).cast("double") / F.lit(400.0)
+    return base.select(
+        "doc_id",
+        "alpha_ratio",
+        "stopword_ratio",
+        F.round(
+            0.5 * F.col("alpha_ratio")
+            + 0.3 * length_term
+            + 0.2 * (1.0 - F.col("stopword_ratio")),
+            6,
+        ).alias("quality"),
     )
 
 
@@ -2053,16 +2085,20 @@ def scan_json(spark, sf):
 )
 def tokenize_ngrams(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # token array materialized once — inlining the regex into every
+    # element_at of the bigram lambda re-runs it per token position
+    # (see operators/dedup.py with_shingles)
     bigrams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1),"
-        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
         " ELSE array() END"
     )
-    return d.select(
+    return d.withColumn(
+        "__toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).select(
         "doc_id",
-        F.expr(f"greatest(size({toks}) - 1, 0)").cast("long").alias("n_bigrams"),
+        F.expr("greatest(size(__toks) - 1, 0)").cast("long").alias("n_bigrams"),
         F.expr(f"size(array_distinct({bigrams}))")
         .cast("long")
         .alias("n_unique_bigrams"),

@@ -336,14 +336,17 @@ def epoch_funcs(spark, sf):
 )
 def array_setops(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = "array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"
-    return d.select(
+    # distinct-token array materialized once for both set operations
+    return d.withColumn(
+        "__toks",
+        F.expr("array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))"),
+    ).select(
         "doc_id",
         F.expr(
-            f"array_join(array_sort(array_intersect({toks},"
+            "array_join(array_sort(array_intersect(__toks,"
             " array('the','and','of','to','in'))), ',')"
         ).alias("common_stops"),
-        F.expr(f"size(array_union({toks}, array('the','and')))")
+        F.expr("size(array_union(__toks, array('the','and')))")
         .cast("long")
         .alias("n_union"),
     )
