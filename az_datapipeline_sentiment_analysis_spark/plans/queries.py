@@ -2064,6 +2064,47 @@ def scan_json(spark, sf):
     )
 
 
+CORRUPT_PAYLOAD = "/root/repo/tests/fixtures/corrupt_records.jsonl"
+
+
+@_q(
+    "scan_json_corrupt",
+    f"""
+    WITH raw AS (
+      SELECT unnest(string_split(content, chr(10))) AS line
+      FROM read_text('{CORRUPT_PAYLOAD}')
+    ),
+    l AS (SELECT line FROM raw WHERE length(trim(line)) > 0)
+    SELECT CASE WHEN json_valid(line)
+                THEN CAST(json_extract(line, '$.id') AS BIGINT) END AS id,
+           CASE WHEN json_valid(line)
+                THEN ROUND(CAST(json_extract(line, '$.v') AS DOUBLE), 4)
+                END AS v,
+           NOT json_valid(line) AS is_corrupt
+    FROM l
+    """,
+    "PERMISSIVE-mode corrupt-record quarantine (SURVEY §4.3: per-record"
+    " quarantine instead of the reference's abort-all at"
+    " FunctionApp2/process_data/__init__.py:71-80): malformed JSON"
+    " lines land with null fields and a populated _corrupt_record"
+    " instead of failing the scan — at 100 TB one bad line must never"
+    " kill a job. Oracle re-derives the same verdict per line via"
+    " json_valid.",
+)
+def scan_json_corrupt(spark, sf):
+    df = (
+        spark.read.schema("id long, v double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(CORRUPT_PAYLOAD)
+    )
+    return df.select(
+        "id",
+        F.round("v", 4).alias("v"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
 @_q(
     "tokenize_ngrams",
     """
