@@ -809,6 +809,61 @@ def sketch_hll(spark, sf):
 
 
 @_q(
+    "sketch_theta_distinct",
+    """
+    SELECT n_name, COUNT(DISTINCT c_custkey) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "Apache DataSketches Theta distinct-count per nation: unlike HLL,"
+    " theta sketches support set INTERSECTION/DIFFERENCE between"
+    " pre-aggregated partials (audience-overlap shapes). Below the"
+    " sketch's nominal capacity (lgK=14 -> 16384 retained hashes) the"
+    " sketch is in exact mode, so the gate-scale result hash-matches"
+    " COUNT(DISTINCT) — the same plan at 100 TB degrades gracefully to"
+    " a bounded-error estimate with fixed sketch memory per group.",
+)
+def sketch_theta_distinct(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr("theta_sketch_estimate(theta_sketch_agg(c_custkey, 14))")
+            .cast("long")
+            .alias("n_cust")
+        )
+    )
+
+
+@_q(
+    "sketch_kll_quantiles",
+    """
+    SELECT event_type,
+           [quantile_disc(value, 0.25), quantile_disc(value, 0.5),
+            quantile_disc(value, 0.75)] AS value_quartiles
+    FROM events GROUP BY event_type
+    """,
+    "Apache DataSketches KLL quantiles of event value per type — the"
+    " modern mergeable quantile sketch (tighter error/space than"
+    " Greenwald-Khanna, partials merge across partitions/days). With"
+    " k=8192 the sketch retains every gate-scale group outright, so"
+    " the quartiles are exact data values matching quantile_disc; at"
+    " 100 TB the identical plan gives rank-error eps ~ 1.7%/sqrt(k)"
+    " with O(k) memory per group.",
+)
+def sketch_kll_quantiles(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(value, 8192), array(0.25, 0.5, 0.75))"
+        ).alias("value_quartiles")
+    )
+
+
+@_q(
     "agg_bool",
     """
     SELECT c_mktsegment,
