@@ -47,6 +47,9 @@ SCALE_HEADLINE = [
     "ngram_jaccard_neardup",
     # inverted-index contamination join at replicated scale
     "contamination_check",
+    # streaming state operator at replicated scale (AvailableNow drain
+    # of 10x the events through the windowed-agg state store)
+    "stream_tumbling_agg",
 ]
 
 HEADLINE = [

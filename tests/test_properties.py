@@ -157,3 +157,53 @@ def test_union_by_name_with_missing_columns(spark, texts):
     assert u.count() == len(texts[:half]) + len(texts[half:])
     got = u.filter(F.col("doc_id") >= 1000).select("text").collect()
     assert all(r.text is None for r in got)
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_ngram_jaccard_copy_collapse_matches_bruteforce(spark, texts):
+    """The exact-copy collapse pre-pass must be output-invariant: pairs
+    from the rep-level join + member expansion equal a brute-force
+    all-pairs Jaccard over the raw corpus (duplicates forced into the
+    input so every expansion path — within-group 1.0 pairs, cross-group
+    inheritance — is exercised)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs = list(texts) + [t for t in texts[::3]]  # forced exact copies
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+
+    def sh(t):
+        toks = re.findall("[a-z]+", (t or "").lower())
+        return {
+            " ".join(toks[i : i + dd.SHINGLE_WIDTH])
+            for i in range(len(toks) - dd.SHINGLE_WIDTH + 1)
+        }
+
+    sets = [sh(t) for t in docs]
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            # HALF_UP to mirror Spark's round() on doubles (Python's
+            # built-in round is banker's and diverges at e.g. 1/32)
+            jac = float(
+                Decimal(inter / (len(a) + len(b) - inter)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if jac >= 0.1:
+                exp[(i, j)] = jac
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, (k, got[k], exp[k])
