@@ -511,3 +511,50 @@ def dedup_keep_best(spark, sf):
         .filter(F.col("rk") == 1)
         .select("fp", F.col("doc_id").alias("kept_id"), "group_size")
     )
+
+
+@_q(
+    "char_entropy",
+    r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ),
+    ent AS (
+      SELECT doc_id,
+             ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy
+      FROM (SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+            FROM freq)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+    "Character-level Shannon entropy per document — the cheap"
+    " gibberish/compression-quality signal (low entropy = repeated"
+    " filler, very high = binary junk in a text field). Char explode"
+    " (flatMap, no shuffle) then two doc-keyed hash aggs with map-side"
+    " partials; at 100 TB this is one linear pass plus shuffles"
+    " proportional to distinct (doc, char) pairs (~doc_count * 60).",
+)
+def char_entropy(spark, sf):
+    d = _t(spark, sf, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode_outer(F.expr(r"regexp_extract_all(text, '[\\s\\S]', 0)"))
+        .alias("ch"),
+    ).filter(F.col("ch").isNotNull())
+    freq = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+    )
+    return d.select("doc_id").join(ent, "doc_id", "left").select(
+        "doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy")
+    )
