@@ -166,3 +166,57 @@ def test_stateful_running_totals(spark, events_dir):
     g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
     w = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
     assert g == w
+
+
+def test_stream_stream_interval_join_across_batches(spark, events_dir):
+    """Stream-stream interval join with per-side watermarks over THREE
+    chronological micro-batches: a click buffered in batch 1 must still
+    join a purchase arriving in batch 2/3 (join state retention), and
+    with in-order slices nothing is dropped, so the emitted pairs equal
+    the batch interval join exactly."""
+    def side(event_type, id_alias, uid, ts):
+        return (
+            stream.stream_events(spark, events_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(uid),
+                F.col("ts").alias(ts),
+            )
+            .withWatermark(ts, "24 hours")
+        )
+
+    joined = side("click", "click_id", "uid_a", "ts_a").join(
+        side("purchase", "purchase_id", "uid_b", "ts_b"),
+        F.expr(
+            "uid_a = uid_b AND ts_b > ts_a"
+            " AND ts_b <= ts_a + interval 120 minutes"
+        ),
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in _run(joined, spark, "t_ssjoin").collect()
+    }
+
+    ev = spark.read.schema(stream.EVENTS_SCHEMA).parquet(events_dir)
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts_b"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("interval 120 minutes")),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
