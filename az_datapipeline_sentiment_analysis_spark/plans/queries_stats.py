@@ -520,3 +520,84 @@ def scan_sorted_skip(spark, sf):
         "]"
     )[0], "ts range predicate was not pushed to the parquet reader"
     return df
+
+
+_ZORDERED: dict[str, str] = {}
+
+
+@_q(
+    "scan_zorder_skip",
+    """
+    WITH b AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events
+    )
+    SELECT event_id, user_id, ts, ROUND(value, 4) AS value
+    FROM events, b
+    WHERE user_id >= umin + (umax - umin) * 25 // 100
+      AND user_id <= umin + (umax - umin) * 45 // 100
+      AND ts >= make_timestamp(tmin + (tmax - tmin) * 30 // 100)
+      AND ts <= make_timestamp(tmin + (tmax - tmin) * 55 // 100)
+    """,
+    "Z-order (Morton-curve) clustered layout (storage.write_zorder):"
+    " events rewritten so each parquet file covers a small rectangle of"
+    " the (user_id, ts) space — range predicates on EITHER column skip"
+    " files via footer min/max (both asserted from the footers at build"
+    " time), where a plain sort only ever skips on its one sort key."
+    " The stock-Spark equivalent of Delta/Iceberg OPTIMIZE ZORDER;"
+    " predicate bounds are integer arithmetic on the column extremes so"
+    " the oracle computes the identical window.",
+)
+def scan_zorder_skip(spark, sf):
+    import datetime
+    import tempfile
+
+    from ..storage import formatted_plan, write_zorder, zorder_skippable_files
+
+    ev = _t(spark, sf, "events")
+    r = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
+    ).first()
+    umin, umax, tmin, tmax = (int(x) for x in r)
+    lo_u = umin + (umax - umin) * 25 // 100
+    hi_u = umin + (umax - umin) * 45 // 100
+    lo_t = tmin + (tmax - tmin) * 30 // 100
+    hi_t = tmin + (tmax - tmin) * 55 // 100
+
+    path = _ZORDERED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_zorder_events_")
+        write_zorder(
+            ev.select("event_id", "user_id", "ts", "value"),
+            path, "user_id", "ts", bits=8, n_files=16,
+        )
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        m_u, tot = zorder_skippable_files(path, "user_id", lo_u, hi_u)
+        m_t, _ = zorder_skippable_files(
+            path, "ts",
+            epoch + datetime.timedelta(microseconds=lo_t),
+            epoch + datetime.timedelta(microseconds=hi_t),
+        )
+        # the layout's reason to exist: EACH single-column range
+        # predicate must rule out files from the footers alone
+        assert m_u < tot, f"user_id predicate skipped nothing ({m_u}/{tot})"
+        assert m_t < tot, f"ts predicate skipped nothing ({m_t}/{tot})"
+        _ZORDERED[sf] = path
+
+    df = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+            & (F.col("ts") >= F.timestamp_micros(F.lit(lo_t)))
+            & (F.col("ts") <= F.timestamp_micros(F.lit(hi_t)))
+        )
+        .select("event_id", "user_id", "ts", F.round("value", 4).alias("value"))
+    )
+    plan = formatted_plan(df)
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "user_id" in pushed and "ts" in pushed, (
+        "range predicates were not pushed to the parquet reader"
+    )
+    return df

@@ -102,6 +102,115 @@ def write_sorted(
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    *,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustering on TWO columns so range
+    predicates on EITHER column skip files via parquet min/max stats.
+
+    A single-column sort (``write_sorted``) gives perfect skipping on
+    the sort key and none on anything else; interleaving the bits of
+    two order-preserving bucket ids makes each output file cover a
+    small rectangle of the (c1, c2) space, so both columns keep
+    locality — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER,
+    implemented here with stock Spark: ``width_bucket`` for the
+    order-preserving bucketing (min/max are two driver-side scalars),
+    a JVM ``aggregate`` lambda for the bit interleave, then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the z-value
+    (no global sort barrier). Timestamp columns are bucketed on their
+    epoch value; INT96 is disabled for the write so the stats exist.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+
+    def _num(col: str) -> str:
+        # order-preserving numeric view (timestamps -> epoch seconds)
+        return f"cast({col} as double)"
+
+    r = df.agg(
+        F.expr(f"min({_num(c1)})"), F.expr(f"max({_num(c1)})"),
+        F.expr(f"min({_num(c2)})"), F.expr(f"max({_num(c2)})"),
+    ).first()
+    lo1, hi1, lo2, hi2 = (float(x) for x in r)
+    n = 1 << bits
+    # width_bucket returns 1..n+1 (n+1 for v == hi); clamp into 0..n-1
+    b1 = (
+        f"least(cast(width_bucket({_num(c1)}, {lo1!r}, {hi1!r}, {n}) - 1"
+        f" as bigint), {n - 1})"
+    )
+    b2 = (
+        f"least(cast(width_bucket({_num(c2)}, {lo2!r}, {hi2!r}, {n}) - 1"
+        f" as bigint), {n - 1})"
+    )
+    z = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint),"
+        f" (acc, i) -> acc"
+        f" + shiftleft(({b1} >> i) & 1, 2 * i)"
+        f" + shiftleft(({b2} >> i) & 1, 2 * i + 1))"
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            df.withColumn("__z", F.expr(z))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def zorder_skippable_files(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(matching_files, total_files) from parquet footer min/max for a
+    range predicate ``lo <= col <= hi`` — measures layout skipping
+    without running Spark (what the reader's row-group filter will do)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _norm(v):
+        # parquet TIMESTAMP stats decode tz-aware (isAdjustedToUTC) or
+        # naive depending on writer flags; compare everything in UTC
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=datetime.timezone.utc)
+        return v
+
+    lo, hi = _norm(lo), _norm(hi)
+    total = match = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(root, f))
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    fmin = None
+                    break
+                smin, smax = _norm(st.min), _norm(st.max)
+                fmin = smin if fmin is None else min(fmin, smin)
+                fmax = smax if fmax is None else max(fmax, smax)
+            if fmin is None or (fmax >= lo and fmin <= hi):
+                match += 1
+    return match, total
+
+
 def compact(
     spark,
     src: str,
