@@ -2324,9 +2324,15 @@ _DRIVER_GREEN_R2 = frozenset(
 # r1-green, but materially changed in r2 (full banded-LSH DuckDB oracles
 # for minhash/simhash; inverted-index rewrite of ngram jaccard) — their
 # last driver check predates the current code, so re-verify them in the
-# front window.
+# front window. char_entropy / scan_zorder_skip are the two highest-risk
+# round-3 additions (float-sum rounding; layout machinery) — float them
+# above the older locally-green scalar entries so the 50-entry window
+# reaches them this round.
 _RECHECK = frozenset(
-    {"minhash_neardup", "simhash_neardup", "ngram_jaccard_neardup"}
+    {
+        "minhash_neardup", "simhash_neardup", "ngram_jaccard_neardup",
+        "char_entropy", "scan_zorder_skip",
+    }
 )
 
 
