@@ -558,3 +558,95 @@ def char_entropy(spark, sf):
     return d.select("doc_id").join(ent, "doc_id", "left").select(
         "doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy")
     )
+
+
+@_q(
+    "dataset_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "Deterministic train/val/test assignment (80/10/10) by Knuth"
+    " multiplicative hash — reproducible across runs, engines, and"
+    " re-shuffles of the input (unlike randomSplit, whose assignment"
+    " depends on partitioning). Evaluates in the codegen stage over"
+    " the scan: zero shuffle, the split of a 100 TB corpus costs one"
+    " map-only pass.",
+)
+def dataset_split(spark, sf):
+    d = _t(spark, sf, "documents")
+    h = (F.col("doc_id") * 2654435761) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@_q(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(tok AS BIGINT) AS n_tokens,
+           CAST((cum - tok) // 2048 AS BIGINT) AS bin_id,
+           CAST((cum - tok) % 2048 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    "Sequence packing for training shards: concatenate the corpus in"
+    " doc_id order and chop into fixed 2048-token bins — each doc gets"
+    " the bin and offset where it starts (docs may straddle bins, like"
+    " pretraining concat-and-chunk). The global running sum is a"
+    " DISTRIBUTED two-phase prefix-sum, not a single-partition window:"
+    " per-range-bucket local cumsums (window partitioned by bucket)"
+    " plus bucket base offsets from a bucket-count-sized cumulative"
+    " join — an orderBy-only window would serialize the whole corpus"
+    " through one task at 100 TB.",
+)
+def pack_sequences(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+        .alias("tok"),
+        (F.col("doc_id") / 100).cast("long").alias("bkt"),
+    )
+    # phase 1: per-bucket totals -> cumulative base offset per bucket
+    # (bucket table is |docs|/100 rows; its own ordered window is tiny)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        t.groupBy("bkt")
+        .agg(F.sum("tok").alias("btok"))
+        .withColumn("base", F.coalesce(F.sum("btok").over(wb), F.lit(0)))
+        .select("bkt", "base")
+    )
+    # phase 2: local cumsum within each bucket + broadcast base join
+    wl = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        t.withColumn("lcum", F.sum("tok").over(wl))
+        .join(F.broadcast(bases), "bkt")
+        .withColumn("cum", F.col("base") + F.col("lcum"))
+    )
+    start = F.col("cum") - F.col("tok")
+    return cum.select(
+        "doc_id",
+        F.col("tok").cast("long").alias("n_tokens"),
+        (start / 2048).cast("long").alias("bin_id"),
+        (start % 2048).cast("long").alias("bin_offset"),
+    )
