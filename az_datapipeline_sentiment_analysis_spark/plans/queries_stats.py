@@ -601,3 +601,115 @@ def scan_zorder_skip(spark, sf):
         "range predicates were not pushed to the parquet reader"
     )
     return df
+
+
+@_q(
+    "scan_dpp",
+    """
+    WITH dim(event_type, is_conversion) AS (
+      SELECT * FROM (VALUES ('click', 0), ('view', 0), ('signup', 1),
+                            ('purchase', 1), ('error', 0))
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN dim d
+      ON e.event_type = d.event_type AND d.is_conversion = 1
+    GROUP BY e.event_type
+    """,
+    "Dynamic partition pruning: the fact side is the directory-"
+    " partitioned events layout and the ONLY selective predicate lives"
+    " on the joined dimension (is_conversion = 1) — Catalyst plants a"
+    " dynamicpruning subquery (asserted) that broadcasts the dim's"
+    " surviving keys to the fact scan at runtime, so only matching"
+    " partitions are listed/read even though no static filter mentions"
+    " them. At 100 TB this is what keeps star-join scans proportional"
+    " to the dimension filter's selectivity.",
+)
+def scan_dpp(spark, sf):
+    import tempfile
+
+    from ..storage import write_partitioned
+
+    path = _PARTITIONED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_part_events_")
+        write_partitioned(
+            _t(spark, sf, "events").select(
+                "event_id", "user_id", "value", "event_type"
+            ),
+            path,
+            partition_cols=["event_type"],
+        )
+        _PARTITIONED[sf] = path
+    dim = spark.createDataFrame(
+        [("click", 0), ("view", 0), ("signup", 1), ("purchase", 1),
+         ("error", 0)],
+        "event_type string, is_conversion int",
+    )
+    df = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("is_conversion") == 1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "expected a dynamic-partition-pruning subquery on the fact scan"
+    )
+    return df
+
+
+@_q(
+    "join_bloom_runtime",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    "Runtime bloom-filter join: the selective predicate sits on the"
+    " orders side, and Catalyst injects a bloom_filter_agg subquery"
+    " whose might_contain probe (asserted) pre-filters lineitem rows"
+    " BEFORE the join shuffle — at 100 TB most non-matching fact rows"
+    " never leave the scan stage. Local thresholds are lowered to"
+    " exercise the path the defaults reserve for 10 GB+ scans;"
+    " broadcast is disabled because the rewrite targets shuffle joins.",
+)
+def join_bloom_runtime(spark, sf):
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = _t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = _t(spark, sf, "lineitem")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "expected a runtime bloom-filter probe on the lineitem scan"
+        )
+        return df
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
