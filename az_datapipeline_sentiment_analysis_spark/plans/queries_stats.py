@@ -713,3 +713,71 @@ def join_bloom_runtime(spark, sf):
             prev_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+@_q(
+    "scd2_dim_merge",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 4) AS c_acctbal
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal + 500, 4) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM dim d ANTI JOIN upd u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-01 00:00:00',
+           FALSE
+    FROM dim d SEMI JOIN upd u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd
+    """,
+    "Slowly-changing-dimension Type 2 merge"
+    " (streaming/incremental.scd2_merge): a deterministic update batch"
+    " (balance bumps on every 10th customer + brand-new keys) applied"
+    " to the customer dimension with full history — superseded versions"
+    " closed with valid_to, new versions opened, untouched rows passed"
+    " through. One semi-join + one anti-join on the key (shared"
+    " partitioning) + union; the audit-trail complement to the Type-1"
+    " idempotent merge the incremental pipeline uses.",
+)
+def scd2_dim_merge(spark, sf):
+    from ..streaming.incremental import scd2_merge
+
+    c = _t(spark, sf, "customer")
+    dim = c.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") + 500, 4).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_merge(
+        dim,
+        upd,
+        key_col="c_custkey",
+        effective_date="2024-06-01",
+        initial_date="2024-01-01",
+    )
