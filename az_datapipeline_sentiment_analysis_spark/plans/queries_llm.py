@@ -34,6 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as _t
+from ..functions.text import alpha_ratio_expr
 from .queries import _q
 
 # Word tokenizer shared by this module — identical semantics in Spark
@@ -649,4 +650,69 @@ def pack_sequences(spark, sf):
         F.col("tok").cast("long").alias("n_tokens"),
         (start / 2048).cast("long").alias("bin_id"),
         (start % 2048).cast("long").alias("bin_offset"),
+    )
+
+
+@_q(
+    "quality_filter_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             {_TOKS_DD} AS toks
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6)
+               AS alpha_ratio,
+             len(toks) AS n_tokens,
+             COALESCE(ROUND(len(list_distinct(toks)) * 1.0
+                            / nullif(len(toks), 0), 4), 0.0) AS uniq_frac
+      FROM t
+    )
+    SELECT doc_id,
+           (n_tokens >= 10 AND n_tokens <= 100000
+            AND alpha_ratio >= 0.5 AND uniq_frac >= 0.2) AS keep,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                WHEN uniq_frac < 0.2 THEN 'repetitive'
+                ELSE 'ok' END AS reason
+    FROM sig
+    """,
+    "The keep/drop decision a curation pipeline actually materializes:"
+    " length, alpha-ratio and distinct-token-fraction rules composed"
+    " into a boolean gate plus a first-failing-rule reason column (for"
+    " drop-rate dashboards per reason). Single scan, one tokenizer"
+    " pass, no shuffle — the map-only filter stage in front of every"
+    " training-shard writer.",
+)
+def quality_filter_gate(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = d.withColumn("__toks", F.expr(_TOKS)).select(
+        "doc_id",
+        alpha_ratio_expr("text").alias("alpha_ratio"),
+        F.expr("size(__toks)").alias("n_tokens"),
+        F.coalesce(
+            F.round(
+                F.expr("size(array_distinct(__toks))") * F.lit(1.0)
+                / F.nullif(F.expr("size(__toks)"), F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("uniq_frac"),
+    )
+    nt, ar, uf = F.col("n_tokens"), F.col("alpha_ratio"), F.col("uniq_frac")
+    return sig.select(
+        "doc_id",
+        ((nt >= 10) & (nt <= 100000) & (ar >= 0.5) & (uf >= 0.2))
+        .alias("keep"),
+        F.when(nt < 10, "too_short")
+        .when(nt > 100000, "too_long")
+        .when(ar < 0.5, "low_alpha")
+        .when(uf < 0.2, "repetitive")
+        .otherwise("ok")
+        .alias("reason"),
     )
