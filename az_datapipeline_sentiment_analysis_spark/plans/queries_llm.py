@@ -114,8 +114,12 @@ def tfidf_topterms(spark, sf):
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
+    # no broadcast hint on dfreq: the vocabulary is small here but
+    # grows to ~1e8 terms on a web corpus, where a forced broadcast
+    # would OOM the executors — AQE picks broadcast vs shuffle from
+    # the runtime size (it still broadcasts at test scale)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -620,11 +624,18 @@ def dataset_split(spark, sf):
 )
 def pack_sequences(spark, sf):
     d = _t(spark, sf, "documents")
+    # Bucket width scales with corpus size so the phase-1 bucket table
+    # stays ~thousands of rows at any scale (a FIXED width would grow
+    # it linearly until its ordered window became a single-task
+    # bottleneck). Any width yields the same global cumsum, so the
+    # output — and oracle parity — is width-invariant.
+    n_docs = d.count()
+    width = max(100, n_docs // 4096)
     t = d.select(
         "doc_id",
         F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
         .alias("tok"),
-        (F.col("doc_id") / 100).cast("long").alias("bkt"),
+        (F.col("doc_id") / width).cast("long").alias("bkt"),
     )
     # phase 1: per-bucket totals -> cumulative base offset per bucket
     # (bucket table is |docs|/100 rows; its own ordered window is tiny)
