@@ -291,7 +291,14 @@ def media_features(df: DataFrame, *, dim: int = 8) -> DataFrame:
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8) >> shift
                 hist = np.bincount(arr, minlength=dim)[:dim]
-                feats.append((hist / len(b)).round(6).tolist())
+                # half-UP to 6 decimals (floor(x*1e6+0.5)) rather than
+                # numpy's banker's rounding: SQL engines round halves
+                # away from zero, and cross-engine oracle checks need
+                # the tie rule to agree (1/128 = 0.0078125 is a real
+                # tie at this resolution).
+                feats.append(
+                    (np.floor(hist / len(b) * 1e6 + 0.5) / 1e6).tolist()
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.select("doc_id", "payload").mapInPandas(

@@ -2321,17 +2321,44 @@ _DRIVER_GREEN_R2 = frozenset(
 )
 
 
-# r1-green, but materially changed in r2 (full banded-LSH DuckDB oracles
-# for minhash/simhash; inverted-index rewrite of ngram jaccard) — their
-# last driver check predates the current code, so re-verify them in the
-# front window. char_entropy / scan_zorder_skip are the two highest-risk
-# round-3 additions (float-sum rounding; layout machinery) — float them
-# above the older locally-green scalar entries so the 50-entry window
-# reaches them this round.
+# Round-3 driver sample (CORRECTNESS_r03.json): 44 hash-green + 3
+# rows-only-by-design (sentiment_mllib, multimodal_meta_stub,
+# sketch_hll — no SQL-expressible oracle; their rows-only driver rows
+# are as strong as they can get). All rotate to the back so round 4's
+# 50-entry window reaches the 13 never-sampled entries plus this
+# round's additions. The 3 round-3 ERR entries (approx_quantile,
+# sketch_kll_quantiles, multimodal_features — array-typed outputs broke
+# the driver canonicalizer) are NOT here: their outputs were flattened
+# to scalar columns this round and they re-verify via _RECHECK.
+_DRIVER_GREEN_R3 = frozenset(
+    {
+        "stream_stateful_totals", "stream_stream_join",
+        "ngram_jaccard_neardup", "minhash_neardup", "simhash_neardup",
+        "char_entropy", "scan_zorder_skip", "multimodal_meta",
+        "multimodal_meta_stub", "multimodal_framesample", "time_rollup",
+        "map_funcs", "scan_json_corrupt", "tokenize_ngrams", "agg_stats",
+        "corr_stats", "win_ntile", "agg_argmax", "sample_hash",
+        "sample_stratified", "explode_pos", "win_first_last",
+        "regexp_funcs", "epoch_funcs", "array_setops", "null_funcs",
+        "bitwise_funcs", "split_pad_funcs", "join_full_outer",
+        "join_cross", "set_union_distinct", "win_range_frame",
+        "histogram_bins", "unpivot_measures", "agg_collect_ordered",
+        "sketch_theta_distinct", "agg_bool", "gapfill_daily",
+        "vocab_topk", "tfidf_topterms", "bm25_search",
+        "quality_repetition", "contamination_check", "boilerplate_ngrams",
+        "domain_mix_rebalance", "sentiment_mllib", "sketch_hll",
+    }
+)
+
+
+# Materially changed since their last driver row, so re-verify in the
+# front window: the three round-3 ERR queries now emit flat scalar
+# columns (q25/q50/q75, f0..f7) instead of array<double>, and
+# multimodal_features gained a full DuckDB oracle (the corpus is pure
+# ASCII, so the byte histogram is SQL-expressible).
 _RECHECK = frozenset(
     {
-        "minhash_neardup", "simhash_neardup", "ngram_jaccard_neardup",
-        "char_entropy", "scan_zorder_skip",
+        "approx_quantile", "sketch_kll_quantiles", "multimodal_features",
     }
 )
 
@@ -2340,7 +2367,11 @@ def _gate_priority(name: str) -> int:
     """Bucket rank for driver-gate iteration order (stable within bucket)."""
     if name in _RECHECK:
         return 4  # changed since last driver check — re-verify this round
-    if name in _DRIVER_GREEN_R1 or name in _DRIVER_GREEN_R2:
+    if (
+        name in _DRIVER_GREEN_R1
+        or name in _DRIVER_GREEN_R2
+        or name in _DRIVER_GREEN_R3
+    ):
         return 9  # already has a driver row — re-check last
     if (name[0] == "q" and name[1:2].isdigit()) or name.startswith("subquery"):
         return 0  # TPC-H plan shapes + subquery decorrelation

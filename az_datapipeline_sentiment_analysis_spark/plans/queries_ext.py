@@ -429,22 +429,31 @@ def split_pad_funcs(spark, sf):
     "approx_quantile",
     """
     SELECT l_returnflag,
-           [quantile_disc(l_quantity, 0.25), quantile_disc(l_quantity, 0.5),
-            quantile_disc(l_quantity, 0.75)] AS qty_quartiles
+           quantile_disc(l_quantity, 0.25) AS q25,
+           quantile_disc(l_quantity, 0.5) AS q50,
+           quantile_disc(l_quantity, 0.75) AS q75
     FROM lineitem GROUP BY 1
     """,
     "approx_percentile (Greenwald-Khanna mergeable sketch) per group."
     " The sketch's rank-error contract is <= n/accuracy; with accuracy"
     " >= group size it degrades to EXACT rank selection, which the"
     " quantile_disc oracle verifies — the same operator at production"
-    " accuracy trades that exactness for O(accuracy) memory per group.",
+    " accuracy trades that exactness for O(accuracy) memory per group."
+    " The quartiles are projected to scalar columns (one sketch agg,"
+    " three element_at's) so result frames stay flat/hashable.",
 )
 def approx_quantile(spark, sf):
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    qs = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000000)"
-        ).alias("qty_quartiles")
+        ).alias("_qs")
+    )
+    return qs.select(
+        "l_returnflag",
+        F.col("_qs")[0].alias("q25"),
+        F.col("_qs")[1].alias("q50"),
+        F.col("_qs")[2].alias("q75"),
     )
 
 
@@ -727,17 +736,43 @@ def multimodal_framesample(spark, sf):
 
 @_q(
     "multimodal_features",
-    None,
+    """
+    WITH chars AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(range(1, length(text) + 1)) AS pos
+      FROM documents
+    ),
+    bins AS (
+      SELECT doc_id, n, ascii(substring(text, pos, 1)) // 32 AS bin
+      FROM chars
+    )
+    SELECT doc_id,
+           ROUND(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) / MAX(n), 6) AS f0,
+           ROUND(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) / MAX(n), 6) AS f1,
+           ROUND(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) / MAX(n), 6) AS f2,
+           ROUND(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) / MAX(n), 6) AS f3,
+           ROUND(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) / MAX(n), 6) AS f4,
+           ROUND(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) / MAX(n), 6) AS f5,
+           ROUND(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) / MAX(n), 6) AS f6,
+           ROUND(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) / MAX(n), 6) AS f7
+    FROM bins GROUP BY doc_id
+    """,
     "Deterministic stub feature extraction from binary payloads"
     " (8-bin byte histogram via vectorized numpy in mapInPandas) —"
-    " the embedding-model slot; rows-only check (feature values are"
-    " engine-internal).",
+    " the embedding-model slot. The feature vector is projected to"
+    " scalar columns f0..f7 so the result frame stays hashable, and"
+    " because the synthetic corpus is pure ASCII the byte histogram"
+    " is fully oracle-checkable in SQL (char-position unnest).",
 )
 def multimodal_features(spark, sf):
     from ..operators import multimodal as mm
 
     d = mm.with_binary_payload(_t(spark, sf, "documents"))
-    return mm.media_features(d)
+    feats = mm.media_features(d)
+    return feats.select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @_q(
@@ -841,8 +876,9 @@ def sketch_theta_distinct(spark, sf):
     "sketch_kll_quantiles",
     """
     SELECT event_type,
-           [quantile_disc(value, 0.25), quantile_disc(value, 0.5),
-            quantile_disc(value, 0.75)] AS value_quartiles
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.5) AS q50,
+           quantile_disc(value, 0.75) AS q75
     FROM events GROUP BY event_type
     """,
     "Apache DataSketches KLL quantiles of event value per type — the"
@@ -851,15 +887,20 @@ def sketch_theta_distinct(spark, sf):
     " k=8192 the sketch retains every gate-scale group outright, so"
     " the quartiles are exact data values matching quantile_disc; at"
     " 100 TB the identical plan gives rank-error eps ~ 1.7%/sqrt(k)"
-    " with O(k) memory per group.",
+    " with O(k) memory per group. The sketch is aggregated ONCE and"
+    " probed three times in a downstream project, keeping the output"
+    " flat scalar columns.",
 )
 def sketch_kll_quantiles(spark, sf):
     ev = _t(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr(
-            "kll_sketch_get_quantile_double("
-            "kll_sketch_agg_double(value, 8192), array(0.25, 0.5, 0.75))"
-        ).alias("value_quartiles")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value, 8192)").alias("_sk")
+    )
+    return sk.select(
+        "event_type",
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.25)").alias("q25"),
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.5)").alias("q50"),
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.75)").alias("q75"),
     )
 
 
