@@ -111,7 +111,7 @@ def ngram_jaccard_pairs(
     where each doc has g exact copies costs g× less to shingle and g²×
     less to join — without this, bulk-replicated corpora (mirrors,
     boilerplate reposts) spend quadratic time re-proving that copies
-    are identical (measured 81s → ~8s on the 10×-replicated bench).
+    are identical (measured 81s → 5s on the 10×-replicated bench).
 
     Caveats for the 100 TB reading: a shingle shared by k distinct-text
     docs still contributes k² join rows, so adversarially repetitive

@@ -419,15 +419,20 @@ def boilerplate_ngrams(spark, sf):
     m AS (SELECT MIN(cnt) AS m FROM counts)
     SELECT doc_id, lang
     FROM documents JOIN counts USING (lang) CROSS JOIN m
-    WHERE ((doc_id * 2654435761) % 10000) * cnt < m * 10000
+    WHERE (((doc_id % 10000) * 5761) % 10000) * cnt < m * 10000
     """,
     "Deterministic domain/language rebalancing: downsample every"
-    " language to (approximately) the smallest class via a Knuth-hash"
-    " keep rule. The comparison ((hash % 10000) * cnt < m * 10000) is"
-    " pure 64-bit integer arithmetic — bit-identical across engines,"
-    " no float rate rounding. Per-class counts are a 5-row broadcast;"
-    " the filter itself runs in the codegen stage over the scan, so"
-    " the whole rebalance is one tiny agg plus a map-only pass.",
+    " language to (approximately) the smallest class via a"
+    " multiplicative-hash keep rule. The hash is computed in modular"
+    " form — ((doc_id % 10000) * (2654435761 % 10000)) % 10000, equal"
+    " to (doc_id * 2654435761) % 10000 by modular arithmetic — so the"
+    " intermediate product is bounded by 10000^2 and can never wrap"
+    " int64 (the naive product overflows for doc_id >~ 3.5e9, i.e."
+    " exactly at the corpus sizes this targets). Pure integer"
+    " arithmetic, bit-identical across engines, no float rate"
+    " rounding. Per-class counts are a 5-row broadcast; the filter"
+    " itself runs in the codegen stage over the scan, so the whole"
+    " rebalance is one tiny agg plus a map-only pass.",
 )
 def domain_mix_rebalance(spark, sf):
     d = _t(spark, sf, "documents")
@@ -437,7 +442,7 @@ def domain_mix_rebalance(spark, sf):
         d.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(m))
         .filter(
-            ((F.col("doc_id") * 2654435761) % 10000) * F.col("cnt")
+            (((F.col("doc_id") % 10000) * 5761) % 10000) * F.col("cnt")
             < F.col("m") * 10000
         )
         .select("doc_id", "lang")
@@ -569,21 +574,25 @@ def char_entropy(spark, sf):
     "dataset_split",
     """
     SELECT doc_id, lang,
-           CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+                WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
-    "Deterministic train/val/test assignment (80/10/10) by Knuth"
+    "Deterministic train/val/test assignment (80/10/10) by"
     " multiplicative hash — reproducible across runs, engines, and"
     " re-shuffles of the input (unlike randomSplit, whose assignment"
-    " depends on partitioning). Evaluates in the codegen stage over"
-    " the scan: zero shuffle, the split of a 100 TB corpus costs one"
-    " map-only pass.",
+    " depends on partitioning). Computed in modular form"
+    " (((doc_id % 100) * 61) % 100 == (doc_id * 2654435761) % 100 by"
+    " modular arithmetic) so the intermediate never exceeds 100^2 —"
+    " the naive int64 product wraps for doc_id >~ 3.5e9, silently in"
+    " Spark and as an error in ANSI/DuckDB. Evaluates in the codegen"
+    " stage over the scan: zero shuffle, the split of a 100 TB corpus"
+    " costs one map-only pass.",
 )
 def dataset_split(spark, sf):
     d = _t(spark, sf, "documents")
-    h = (F.col("doc_id") * 2654435761) % 100
+    h = ((F.col("doc_id") % 100) * 61) % 100
     return d.select(
         "doc_id",
         "lang",

@@ -17,6 +17,8 @@ MinHash.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import functions as F
 
 from ..catalog import table as _t
@@ -655,10 +657,19 @@ def scan_dpp(spark, sf):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+    # Plan-shape check is advisory, not load-bearing: an optimizer
+    # behavior change across Spark versions/configs should degrade to
+    # a perf warning, never a query error (the pytest mirror asserts
+    # the plan shape hard; see tests/test_plans.py).
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), (
-        "expected a dynamic-partition-pruning subquery on the fact scan"
-    )
+    if "dynamicpruning" not in plan.lower():
+        warnings.warn(
+            "scan_dpp: no dynamic-partition-pruning subquery in the "
+            "executed plan — results are still correct but the fact "
+            "scan reads all partitions",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return df
 
 
@@ -702,10 +713,17 @@ def join_bloom_runtime(spark, sf):
                 F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
             )
         )
+        # Advisory plan-shape check (see scan_dpp): a missing bloom
+        # probe is a perf regression, not a correctness failure.
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "might_contain" in plan, (
-            "expected a runtime bloom-filter probe on the lineitem scan"
-        )
+        if "might_contain" not in plan:
+            warnings.warn(
+                "join_bloom_runtime: no runtime bloom-filter probe in "
+                "the executed plan — join is still correct but "
+                "non-matching lineitem rows reach the shuffle",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
     finally:
         spark.conf.set(

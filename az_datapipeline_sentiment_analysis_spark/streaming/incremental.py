@@ -186,33 +186,56 @@ def scd2_merge(
 
     Complements :func:`merge_results` (Type 1: overwrite in place) with
     the audit-trail semantics a warehouse dimension needs. Set-at-a-
-    time plan: one semi-join + one anti-join of the dim against the
-    update keys (same shuffle partitioning reused for both) and a
-    union — no row-at-a-time driver logic; on Delta/Iceberg the same
-    shape becomes MERGE WHEN MATCHED UPDATE SET valid_to ... plus an
-    INSERT of the new versions.
+    time plan: one semi-join + one anti-join of the CURRENT dim slice
+    against the update keys (same shuffle partitioning reused for both)
+    and a union — no row-at-a-time driver logic; on Delta/Iceberg the
+    same shape becomes MERGE WHEN MATCHED UPDATE SET valid_to ... plus
+    an INSERT of the new versions.
+
+    Composable across batches: if ``dim`` already carries the SCD
+    columns (valid_from/valid_to/is_current — i.e. it is the output of
+    a previous merge), historical (is_current = false) rows pass
+    through verbatim and current rows KEEP their existing valid_from;
+    ``initial_date`` only stamps a plain non-SCD snapshot. ``updates``
+    must be a plain snapshot batch (any SCD columns it carries are
+    ignored and restamped).
     """
+    scd_cols = ("valid_from", "valid_to", "is_current")
+    val_cols = [
+        c for c in dim.columns if c != key_col and c not in scd_cols
+    ]
+    if all(c in dim.columns for c in scd_cols):
+        base = dim.select(key_col, *val_cols, *scd_cols)
+    else:
+        base = dim.select(
+            key_col,
+            *val_cols,
+            F.lit(initial_date).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    history = base.filter(~F.col("is_current"))
+    current = base.filter(F.col("is_current"))
     keys = updates.select(key_col).distinct()
-    val_cols = [c for c in dim.columns if c != key_col]
-    untouched = dim.join(keys, key_col, "left_anti").select(
-        key_col,
-        *val_cols,
-        F.lit(initial_date).cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    closed = dim.join(keys, key_col, "left_semi").select(
-        key_col,
-        *val_cols,
-        F.lit(initial_date).cast("timestamp").alias("valid_from"),
-        F.lit(effective_date).cast("timestamp").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    untouched = current.join(keys, key_col, "left_anti")
+    closed = (
+        current.join(keys, key_col, "left_semi")
+        .withColumn("valid_to", F.lit(effective_date).cast("timestamp"))
+        .withColumn("is_current", F.lit(False))
     )
     opened = updates.select(
         key_col,
-        *[c for c in updates.columns if c != key_col],
+        *[
+            c
+            for c in updates.columns
+            if c != key_col and c not in scd_cols
+        ],
         F.lit(effective_date).cast("timestamp").alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return untouched.unionByName(closed).unionByName(opened)
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(opened)
+    )

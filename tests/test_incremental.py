@@ -107,3 +107,50 @@ def test_concurrent_writer_raises_and_lock_released(spark, source_df, tmp_path):
     incremental.init_source(spark, source_df, src)
     assert spark.read.parquet(src).count() == 4
     assert not os.path.exists(lock)  # happy path releases the lock too
+
+
+def test_scd2_merge_successive_batches(spark):
+    """scd2_merge must compose: applying batch 2 to batch 1's output
+    keeps closed history verbatim, preserves surviving rows'
+    valid_from, and closes/reopens only the re-updated keys."""
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, seg string"
+    )
+    upd1 = spark.createDataFrame([(2, "b2"), (4, "d")], "id long, seg string")
+    v1 = incremental.scd2_merge(
+        dim, upd1, key_col="id", effective_date="2024-06-01",
+        initial_date="2024-01-01",
+    )
+    rows1 = {(r.id, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+             for r in v1.collect()}
+    assert rows1 == {
+        (1, "a", "2024-01-01 00:00:00", "None", True),
+        (3, "c", "2024-01-01 00:00:00", "None", True),
+        (2, "b", "2024-01-01 00:00:00", "2024-06-01 00:00:00", False),
+        (2, "b2", "2024-06-01 00:00:00", "None", True),
+        (4, "d", "2024-06-01 00:00:00", "None", True),
+    }
+
+    # batch 2 re-updates key 2 and touches key 1 for the first time
+    upd2 = spark.createDataFrame([(2, "b3"), (1, "a2")], "id long, seg string")
+    v2 = incremental.scd2_merge(
+        v1, upd2, key_col="id", effective_date="2024-09-01",
+        initial_date="IGNORED",  # must not be used on SCD input
+    )
+    rows2 = {(r.id, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+             for r in v2.collect()}
+    assert rows2 == {
+        # closed history from batch 1 passes through verbatim
+        (2, "b", "2024-01-01 00:00:00", "2024-06-01 00:00:00", False),
+        # untouched current keeps ITS OWN valid_from (4 opened in batch 1)
+        (3, "c", "2024-01-01 00:00:00", "None", True),
+        (4, "d", "2024-06-01 00:00:00", "None", True),
+        # re-updated keys: old current closed at batch-2 date
+        (1, "a", "2024-01-01 00:00:00", "2024-09-01 00:00:00", False),
+        (2, "b2", "2024-06-01 00:00:00", "2024-09-01 00:00:00", False),
+        (1, "a2", "2024-09-01 00:00:00", "None", True),
+        (2, "b3", "2024-09-01 00:00:00", "None", True),
+    }
+    # exactly one current version per live key
+    cur = v2.filter(F.col("is_current")).groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)

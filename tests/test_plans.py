@@ -70,3 +70,19 @@ def test_flagship_q1_single_exchange(spark):
     plan = _formatted_plan(spark, "q1_pricing_summary")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
     assert "HashAggregate" in plan
+
+
+def test_scan_dpp_plan_has_dynamic_pruning(spark):
+    # The registry query only WARNS on a missing pruning subquery (an
+    # optimizer change must degrade to perf, not a query error at gate
+    # time); the hard assert lives here where the Spark version is
+    # pinned.
+    df = REGISTRY["scan_dpp"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_bloom_runtime_plan_has_probe(spark):
+    df = REGISTRY["join_bloom_runtime"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan
