@@ -799,3 +799,56 @@ def scd2_dim_merge(spark, sf):
         effective_date="2024-06-01",
         initial_date="2024-01-01",
     )
+
+
+# =====================================================================
+# JDBC scan over embedded Derby (reference S7, executed for real)
+# =====================================================================
+
+@_q(
+    "jdbc_scan",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE n_chars >= 100
+    """,
+    "The reference's SQL-source scan (S7: SELECT id, text_column FROM"
+    " SourceTable WHERE processed = 0 over pymssql, reference"
+    " FunctionApp2/process_data/__init__.py:40-43) executed through a"
+    " REAL JDBC database: the documents table is seeded into Spark's"
+    " bundled embedded Derby via spark.write.jdbc, then read back with"
+    " spark.read.jdbc striped into 4 doc_id range-partitions — the"
+    " database sees N concurrent range-scans instead of the"
+    " reference's single serial cursor, and the filter + projection"
+    " are pushed into Derby's SQL (PushedFilters on the JDBCRelation,"
+    " hard-asserted in tests/test_sources.py). Swap the url for a real"
+    " warehouse at deployment; the plan shape is identical.",
+)
+def jdbc_scan(spark, sf):
+    import warnings
+
+    from ..sources.jdbc import DERBY_DRIVER, derby_url, read_jdbc
+
+    url = derby_url(spark, sf, "documents")
+    df = read_jdbc(
+        spark,
+        url,
+        "documents",
+        partition_column="doc_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=4,
+        properties={"driver": DERBY_DRIVER},
+    )
+    out = df.filter(F.col("n_chars") >= 100).select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "GreaterThanOrEqual(n_chars,100)" not in plan:
+        warnings.warn(
+            "jdbc_scan: n_chars filter was not pushed into the JDBC "
+            "source — results are still correct but the database ships "
+            "unfiltered rows",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return out

@@ -12,15 +12,66 @@ predicate pushed down to the database AND parallelizes the pull:
   numeric key — either way the database sees N range-scans instead of
   one giant cursor, and executors ingest concurrently.
 
-No JDBC driver jar ships in this environment, so there is no live
-test; ``tests/test_sources.py::test_jdbc_option_plumbing`` asserts the
-option wiring without connecting. At deployment, pass the driver via
-``spark.jars`` and a real ``url``.
+Spark's own distribution bundles Apache Derby (the Hive-metastore
+default), so the path IS exercised live: :func:`seed_derby` loads a
+parquet table into an embedded-Derby database and the ``jdbc_scan``
+registry query reads it back through ``spark.read.jdbc`` with the
+filter and projection pushed into the database (asserted in
+``tests/test_sources.py``). At deployment, swap the url/driver for the
+real warehouse; everything else is identical.
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+# sf-dir -> seeded embedded-Derby database path. Embedded Derby allows
+# one booting JVM per database; caching per scale factor keeps repeat
+# registry invocations (driver gate, bench, tests) on one database.
+_DERBY_DBS: dict[tuple[str, str], str] = {}
+
+
+def derby_url(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Seed an embedded-Derby database with ``table`` from ``sf_dir``
+    (once per (sf, table)) and return its JDBC url.
+
+    The seed write itself goes through ``spark.write.jdbc`` — the
+    executable proof of the write half of the JDBC contract. The write
+    is coalesced to one partition: embedded Derby serializes writers
+    anyway, and the seed is a test fixture, not the scale path (a real
+    warehouse load keeps the default parallel writers).
+    """
+    from ..catalog import table as _t
+
+    key = (sf_dir, table)
+    path = _DERBY_DBS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_derby_") + "/db"
+        src = _t(spark, sf_dir, table)
+        if table == "documents":
+            src = src.select("doc_id", "lang", "n_chars")
+            col_types = "doc_id BIGINT, lang VARCHAR(16), n_chars BIGINT"
+        else:
+            col_types = None
+        w = (
+            src.coalesce(1)
+            .write.format("jdbc")
+            .option("url", f"jdbc:derby:{path};create=true")
+            .option("dbtable", table)
+            .option("driver", DERBY_DRIVER)
+            .mode("overwrite")
+        )
+        if col_types:
+            # Spark maps StringType to CLOB on Derby; VARCHAR keeps the
+            # column filter/compare-friendly DB-side.
+            w = w.option("createTableColumnTypes", col_types)
+        w.save()
+        _DERBY_DBS[key] = path
+    return f"jdbc:derby:{path}"
 
 
 def read_jdbc(

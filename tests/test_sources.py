@@ -321,3 +321,28 @@ def test_sink_helpers(spark, tmp_path):
     assert spark.read.parquet(p).count() == d.count() * 2
     j = sinks.to_json_rows(d).collect()
     assert all(r.json.startswith("{") for r in j)
+
+
+def test_jdbc_derby_roundtrip_and_pushdown(spark):
+    """The live JDBC path: seed embedded Derby from parquet, read back
+    partitioned, and verify the filter reaches the database."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+    from az_datapipeline_sentiment_analysis_spark.catalog import table as _t
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE as sfd
+
+    df = REGISTRY["jdbc_scan"].fn(spark, sfd)
+    # 4 range-partitions on doc_id -> parallel ingest
+    assert df.rdd.getNumPartitions() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    got = {(r.doc_id, r.lang, r.n_chars) for r in df.collect()}
+    want = {
+        (r.doc_id, r.lang, r.n_chars)
+        for r in _t(spark, sfd, "documents")
+        .filter(F.col("n_chars") >= 100)
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    assert got == want and len(got) > 0
