@@ -227,6 +227,18 @@ def _minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> list:
     return ((a[:, None] * hv[None, :] + b[:, None]) % _P31).min(axis=1).tolist()
 
 
+def _scan_width(df: DataFrame) -> int:
+    """Partition width for a CPU-bound Python signature scan: total
+    cores (defaultParallelism = sum of executor cores on a cluster).
+    One task per core is both the floor (full CPU utilization) and
+    roughly the ceiling (more tasks just shrink Arrow batches until
+    per-task Python overhead dominates — e.g. a vanilla session's 200
+    shuffle partitions would make 200 tiny batches at gate scale).
+    Read from config, never from ``df.rdd``, which under AQE executes
+    the upstream plan just to report a partition count."""
+    return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def minhash_signatures(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -265,17 +277,17 @@ def minhash_signatures(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     # Pin the scan width explicitly (same pattern as simhash below): the
     # kernel is CPU-bound, so one task per core is the floor, and a huge
-    # source keeps its own (size-bounded) partition count. An explicit
+    # corpus keeps the cluster's configured shuffle width. An explicit
     # count matters because ``repartition("id")`` with no number inherits
     # the AQE initialPartitionNum — tuned wide for JVM shuffles — and
     # hundreds of tiny Arrow batches make per-task Python overhead
     # dominate; the persisted result would also pin that width for every
     # downstream band-join stage (AQE cannot coalesce below a cache).
-    n_part = max(
-        src.rdd.getNumPartitions(),
-        df.sparkSession.sparkContext.defaultParallelism,
-    )
-    return src.repartition(n_part, "id").mapInPandas(
+    # Config-derived only — probing the input via df.rdd would, under
+    # AQE, EXECUTE the upstream plan just to read its partition count
+    # (measured: it doubled this operator's wall time when the input is
+    # the exact-dedup groupBy).
+    return src.repartition(_scan_width(df), "id").mapInPandas(
         compute, schema="id long, shingles array<string>, sig array<long>"
     )
 
@@ -528,13 +540,9 @@ def simhash_signatures(
             ]
             yield pd.DataFrame({"id": pdf["id"], "simhash": vals})
 
-    spark = df.sparkSession
-    n_part = max(
-        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
-    )
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .repartition(n_part, "id")
+        .repartition(_scan_width(df), "id")
         .mapInPandas(compute, schema="id long, simhash long")
     )
 

@@ -1,0 +1,255 @@
+"""Third widening batch: distribution analytics and corpus statistics.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). Window percentile ranks, exact median/percentile
+aggregates, robust IQR outlier filtering, embedding centroids, and
+bigram PMI collocation mining — the dashboard / corpus-analysis
+follow-ons to the reference's Grafana read workload
+(applications/applications.tf:135-145) and the statistics a training-
+data curation pass reports on every shard.
+
+Everything is JVM-side built-ins (no Python in the hot path) with a
+DuckDB oracle twin; float outputs are rounded in BOTH engines so the
+driver's value hash compares stable digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+
+# =====================================================================
+# Window percentile family (percent_rank / cume_dist / nth_value)
+# =====================================================================
+
+@_q(
+    "win_percentiles",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    "Relative-standing window functions: percent_rank and cume_dist"
+    " over a (totalprice, orderkey) total order per priority class,"
+    " plus nth_value over the full frame. The orderkey tiebreak makes"
+    " the rank deterministic (percent_rank over a non-unique order is"
+    " engine-dependent); one hash-partitioned sort per priority class,"
+    " the same single-shuffle shape as win_rank.",
+)
+def win_percentiles(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
+
+
+# =====================================================================
+# Exact median / interpolated percentile aggregates
+# =====================================================================
+
+@_q(
+    "agg_median",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           ROUND(AVG(l_quantity), 4) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "EXACT median and interpolated p90 per group (Spark median() /"
+    " percentile() vs DuckDB median / quantile_cont — both linear-"
+    " interpolation, so the twins hash-match). Exact percentiles"
+    " buffer each group's values; that is the honest contract (the"
+    " bounded-memory alternative is approx_quantile/sketch_kll, both"
+    " also in the registry) — here groups are few and the agg stays"
+    " one partial+final shuffle.",
+)
+def agg_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.avg("l_quantity"), 4).alias("mean"),
+    )
+
+
+# =====================================================================
+# Robust outlier filter (Tukey fences per group)
+# =====================================================================
+
+@_q(
+    "iqr_outlier_filter",
+    """
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type, ROUND(value, 4) AS value
+    FROM events JOIN s USING (event_type)
+    WHERE value < q1 - 1.5 * (q3 - q1)
+       OR value > q3 + 1.5 * (q3 - q1)
+    """,
+    "Robust outlier detection with Tukey fences: per-type quartiles"
+    " (tiny aggregate, broadcast back) and a codegen'd filter keeps"
+    " rows outside [q1 - 1.5 IQR, q3 + 1.5 IQR] — the standard"
+    " numeric-quality gate before training-data statistics. Two"
+    " passes over events: one small agg + one map-side filtered scan"
+    " (the per-group stats join is a broadcast, so no fact shuffle"
+    " at any scale).",
+)
+def iqr_outlier_filter(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+# =====================================================================
+# Embedding centroids (per-label element-wise mean)
+# =====================================================================
+
+@_q(
+    "embed_centroid",
+    """
+    WITH u AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           ROUND(AVG(v), 4) AS centroid_v,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM u GROUP BY label, pos
+    """,
+    "Per-label embedding centroid via posexplode + (label, dim) hash"
+    " agg — the distributed class-prototype / k-means-update shape"
+    " (the IVF quantizer in operators/similarity.py fits on a bounded"
+    " sample; this is the full-corpus exact counterpart). No driver"
+    " collect: the shuffle carries one partial sum per (label, dim)"
+    " per partition — labels x 64 dims regardless of corpus size, so"
+    " the reduce side is constant-bounded at 100 TB.",
+)
+def embed_centroid(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 4).alias("centroid_v"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+# =====================================================================
+# Bigram PMI (collocation mining over the token stream)
+# =====================================================================
+
+@_q(
+    "bigram_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_uni,
+                   (SELECT SUM(c_ab) FROM big) AS n_big)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(log2((c_ab * 1.0 / n_big)
+                 / ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni))), 4) AS pmi
+    FROM big
+    JOIN uni ua ON big.w1 = ua.w
+    JOIN uni ub ON big.w2 = ub.w
+    CROSS JOIN tot
+    WHERE c_ab >= 10
+    """,
+    "Pointwise mutual information of adjacent token pairs — the"
+    " collocation / multi-word-expression miner (tokenizer-merge-rule"
+    " candidates in a training pipeline). One tokenize pass"
+    " (materialized __toks column, posexplode), bigrams via lead()"
+    " over the per-doc position order, then two hash aggs; unigram"
+    " stats join back onto the bigram table (AQE broadcasts: the"
+    " vocabulary is sublinear in corpus size) and the two scalar"
+    " totals are a literal broadcast. The c_ab >= 10 support floor is"
+    " a deterministic threshold, not a float-ordered top-k, so output"
+    " membership is engine-stable.",
+)
+def bigram_pmi(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos", "w"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(wspec))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c_ab").alias("n_big"))
+    )
+    p_ab = F.col("c_ab") / F.col("n_big")
+    p_a = F.col("ua.c") / F.col("n_uni")
+    p_b = F.col("ub.c") / F.col("n_uni")
+    return (
+        big.join(uni.alias("ua"), F.col("w1") == F.col("ua.w"))
+        .join(uni.alias("ub"), F.col("w2") == F.col("ub.w"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") >= 10)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.log2(p_ab / (p_a * p_b)), 4).alias("pmi"),
+        )
+    )

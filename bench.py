@@ -50,6 +50,13 @@ SCALE_HEADLINE = [
     # streaming state operator at replicated scale (AvailableNow drain
     # of 10x the events through the windowed-agg state store)
     "stream_tumbling_agg",
+    # heavy curation operators (VERDICT r3 #5): distributed prefix-sum
+    # packing, broadcast-stats BM25 ranking, composed quality gate,
+    # inverted-index boilerplate detection
+    "pack_sequences",
+    "bm25_search",
+    "quality_filter_gate",
+    "boilerplate_ngrams",
 ]
 
 HEADLINE = [
@@ -78,6 +85,10 @@ HEADLINE = [
     "embed_cosine_topk",
     "tfidf_topterms",
     "contamination_check",
+    "pack_sequences",
+    "bm25_search",
+    "quality_filter_gate",
+    "boilerplate_ngrams",
 ]
 
 

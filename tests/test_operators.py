@@ -482,3 +482,58 @@ def test_scan_partitioned_prunes_and_preserves_rows(spark):
         .count()
     )
     assert got.count() == direct
+
+
+# --- approximate-sketch error bounds ---------------------------------
+
+def test_approx_distinct_within_documented_error(spark):
+    """approx_count_distinct's documented contract is rsd <= 5% (the
+    default). The driver's check for this query is rows-only by design;
+    this pins the ACCURACY so the approximation can't silently
+    degrade."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+    from az_datapipeline_sentiment_analysis_spark.catalog import table as _t
+
+    approx = {
+        r.o_orderpriority: r.n_cust_approx
+        for r in REGISTRY["approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in _t(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        # 4 sigma of the documented 5% rsd — deterministic for a fixed
+        # dataset/implementation, loose enough to survive HLL++ bias
+        # correction changes
+        assert abs(est - exact[k]) <= max(2.0, 0.20 * exact[k]), (
+            k, est, exact[k],
+        )
+
+
+def test_sketch_hll_within_documented_error(spark):
+    """DataSketches HLL at the default lgK=12: rsd ~ 1.04/sqrt(4096) =
+    1.6%; assert a loose 4-sigma envelope against the exact count."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+    from az_datapipeline_sentiment_analysis_spark.catalog import table as _t
+
+    approx = {
+        r.o_orderpriority: r.n_cust_hll
+        for r in REGISTRY["sketch_hll"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in _t(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2.0, 0.065 * exact[k]), (
+            k, est, exact[k],
+        )
