@@ -253,3 +253,105 @@ def bigram_pmi(spark, sf):
             F.round(F.log2(p_ab / (p_a * p_b)), 4).alias("pmi"),
         )
     )
+
+
+# =====================================================================
+# VARIANT semi-structured type (Spark 4) and DataFrame.transpose
+# =====================================================================
+
+@_q(
+    "variant_funcs",
+    """
+    SELECT event_id,
+           event_type AS t,
+           ROUND(value, 4) AS v,
+           CAST(user_id AS BIGINT) AS u,
+           (event_type = 'purchase') AS is_purchase
+    FROM events
+    """,
+    "Spark 4 VARIANT round-trip: each event serialized to JSON,"
+    " parsed into the binary VARIANT encoding (parse_json), then"
+    " field-extracted with typed variant_get paths — the open-schema"
+    " ingestion shape (store first, type at read) that replaces"
+    " stringly json_tuple pipelines. VARIANT keeps values pre-parsed"
+    " binary, so repeated path access skips re-tokenizing the JSON"
+    " text (the scan_json/json_funcs twins cover the classic path)."
+    " The oracle is the typed identity: extraction must reproduce the"
+    " original columns exactly.",
+)
+def variant_funcs(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = ev.select(
+        "event_id",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    "event_type",
+                    F.round("value", 4).alias("value"),
+                    "user_id",
+                )
+            )
+        ).alias("var"),
+    )
+    return v.select(
+        "event_id",
+        F.expr("variant_get(var, '$.event_type', 'string')").alias("t"),
+        F.expr("variant_get(var, '$.value', 'double')").alias("v"),
+        F.expr("variant_get(var, '$.user_id', 'long')").alias("u"),
+        (
+            F.expr("variant_get(var, '$.event_type', 'string')")
+            == "purchase"
+        ).alias("is_purchase"),
+    )
+
+
+@_q(
+    "df_transpose",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 4) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 4) AS sum_price,
+             ROUND(AVG(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+    FROM a
+    UNION ALL
+    SELECT 'sum_price',
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+    FROM a
+    UNION ALL
+    SELECT 'avg_disc',
+           MAX(CASE WHEN l_returnflag = 'A' THEN avg_disc END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN avg_disc END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN avg_disc END)
+    FROM a
+    """,
+    "DataFrame.transpose (Spark 4): flip a small per-flag metrics"
+    " aggregate so metrics become rows and flags become columns — the"
+    " report/crosstab presentation step. Transpose materializes the"
+    " input on the driver-side plan (column names come from data), so"
+    " it is strictly a SMALL-result operator: correct use is after an"
+    " aggregation has reduced to dashboard size, never on a fact"
+    " table — the pre-aggregate here reduces lineitem to 3 rows"
+    " first. Oracle: conditional-aggregation pivot of the same"
+    " metrics.",
+)
+def df_transpose(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()

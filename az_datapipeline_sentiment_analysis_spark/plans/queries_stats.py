@@ -852,3 +852,111 @@ def jdbc_scan(spark, sf):
             stacklevel=2,
         )
     return out
+
+
+# =====================================================================
+# XML source (Spark 4 native) and binaryFile directory ingest
+# =====================================================================
+
+_XML_STAGED: dict[str, str] = {}
+_BIN_STAGED: dict[str, str] = {}
+
+
+@_q(
+    "scan_xml",
+    """
+    SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id,
+           ROUND(value, 4) AS value
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    """,
+    "Native XML source (built into Spark 4 — no spark-xml package):"
+    " the conversion-event slice staged once as <row> elements, read"
+    " back with an EXPLICIT schema (schema inference over XML costs a"
+    " full extra pass at scale, so production scans always pin one)."
+    " XML is row-major text: no column pruning or predicate pushdown"
+    " exists, which is exactly why the bronze step rewrites to parquet"
+    " immediately (same argument as scan_csv; reference S18/S19).",
+)
+def scan_xml(spark, sf):
+    import tempfile
+
+    path = _XML_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_xml_events_")
+        (
+            _t(spark, sf, "events")
+            .filter(F.col("event_type").isin("signup", "purchase"))
+            .select(
+                "event_id",
+                "event_type",
+                "user_id",
+                F.round("value", 4).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "row")
+            .save(path)
+        )
+        _XML_STAGED[sf] = path
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(
+            "event_id long, event_type string, user_id long, value double"
+        )
+        .load(path)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@_q(
+    "scan_binary_files",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 40
+    """,
+    "binaryFile directory ingest — the load-a-directory-of-media"
+    " pattern (images/audio land as one row per file with content:"
+    " binary + file metadata, feeding the multimodal operators in"
+    " operators/multimodal.py). A 40-file fixture is staged once (one"
+    " file per document, named <doc_id>.txt); the scan parses doc_id"
+    " back out of the path and fingerprints the bytes, and the oracle"
+    " checks byte length + md5 against the source-of-truth table. At"
+    " scale binaryFile parallelizes per-file and supports"
+    " pathGlobFilter/recursiveFileLookup partition discovery; files"
+    " >> 2 GB belong in the frame/chunk path instead.",
+)
+def scan_binary_files(spark, sf):
+    import os
+    import tempfile
+
+    path = _BIN_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_binfiles_")
+        rows = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()  # 40-row fixture staging, not a data path
+        )
+        for r in rows:
+            with open(os.path.join(path, f"{r.doc_id}.txt"), "wb") as f:
+                f.write((r.text or "").encode())
+        _BIN_STAGED[sf] = path
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(path)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
