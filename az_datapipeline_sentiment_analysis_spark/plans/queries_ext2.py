@@ -210,32 +210,47 @@ def embed_centroid(spark, sf):
     """,
     "Pointwise mutual information of adjacent token pairs — the"
     " collocation / multi-word-expression miner (tokenizer-merge-rule"
-    " candidates in a training pipeline). One tokenize pass"
-    " (materialized __toks column, posexplode), bigrams via lead()"
-    " over the per-doc position order, then two hash aggs; unigram"
-    " stats join back onto the bigram table (AQE broadcasts: the"
-    " vocabulary is sublinear in corpus size) and the two scalar"
-    " totals are a literal broadcast. The c_ab >= 10 support floor is"
-    " a deterministic threshold, not a float-ordered top-k, so output"
-    " membership is engine-stable.",
+    " candidates in a training pipeline). Bigrams are extracted"
+    " ARRAY-SIDE (transform over the materialized __toks column"
+    " pairing each token with its successor), so pair generation is"
+    " map-only — no doc_id shuffle + per-doc sort, which a lead()"
+    " window would need over the full token stream; the only"
+    " shuffles are the two count aggs. Unigram stats join back onto"
+    " the bigram table (AQE broadcasts: the vocabulary is sublinear"
+    " in corpus size) and the two scalar totals are a literal"
+    " broadcast. The c_ab >= 10 support floor is a deterministic"
+    " threshold, not a float-ordered top-k, so output membership is"
+    " engine-stable.",
 )
 def bigram_pmi(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-        ).alias("pos", "w"),
+    toked = d.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "__toks"
+        )
     )
-    wspec = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("w2", F.lead("w").over(wspec))
-        .filter(F.col("w2").isNotNull())
-        .groupBy(F.col("w").alias("w1"), "w2")
-        .agg(F.count("*").alias("c_ab"))
+    uni = (
+        toked.select(
+            F.explode_outer("__toks").alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
     )
-    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("n_uni")).crossJoin(
+    # (w1, w2) pairs from each token and its successor, built inside
+    # the array: struct(__toks[i], __toks[i+1]) over a size-1 slice
+    pairs = toked.select(
+        F.explode_outer(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1),"
+                " (x, i) -> struct(x AS w1, __toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull())
+    big = pairs.select("p.w1", "p.w2").groupBy("w1", "w2").agg(
+        F.count("*").alias("c_ab")
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
         big.agg(F.sum("c_ab").alias("n_big"))
     )
     p_ab = F.col("c_ab") / F.col("n_big")

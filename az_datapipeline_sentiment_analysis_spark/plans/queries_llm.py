@@ -629,7 +629,11 @@ def dataset_split(spark, sf):
     " per-range-bucket local cumsums (window partitioned by bucket)"
     " plus bucket base offsets from a bucket-count-sized cumulative"
     " join — an orderBy-only window would serialize the whole corpus"
-    " through one task at 100 TB.",
+    " through one task at 100 TB. Measured scaling (local[32],"
+    " key-shifted replication of sf0.1): base 0.47s / 5k docs, 10x"
+    " 1.40s / 50k, 100x 6.08s / 500k — 4.3x time for the last 10x of"
+    " data, i.e. sublinear all the way (fixed stage overhead still"
+    " amortizing).",
 )
 def pack_sequences(spark, sf):
     d = _t(spark, sf, "documents")
