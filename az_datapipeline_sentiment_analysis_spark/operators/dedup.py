@@ -329,6 +329,13 @@ def minhash_pairs(
          matching the raw-corpus semantics) + rep-pair cross products
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
+
+    Measured scaling (local[32], key-shifted replication of sf0.1):
+    10× = 4.3s / 251k pairs; 100× = 217s / 27.31M pairs. Like
+    ngram_jaccard_pairs, the 100× point is OUTPUT-bound — replication
+    gives every doc 100 exact copies, so member-pair expansion is
+    quadratic in copy multiplicity (109× more output rows) while the
+    signature/banding work on representatives stays linear.
     """
     keyed = df.select(
         F.col(id_col).alias("id"),
