@@ -330,22 +330,36 @@ def minhash_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
 
-    Measured scaling (local[32], key-shifted replication of sf0.1):
-    10× = 4.3s / 251k pairs; 100× = 217s / 27.31M pairs. Like
-    ngram_jaccard_pairs, the 100× point is OUTPUT-bound — replication
-    gives every doc 100 exact copies, so member-pair expansion is
-    quadratic in copy multiplicity (109× more output rows) while the
-    signature/banding work on representatives stays linear.
+    Measured scaling (local[32], key-shifted replication of sf0.1,
+    warm best-of-2): 10× = 5.2s / 251k pairs; 100× = 199s / 27.31M
+    pairs. Like ngram_jaccard_pairs, the 100× point is OUTPUT-bound —
+    replication gives every doc 100 exact copies, so member-pair
+    expansion is quadratic in copy multiplicity (109× more output
+    rows) while the signature/banding work on representatives stays
+    linear. A/B notes kept from the round-4 tuning: deriving members
+    from the grouped ids arrays (vs a second keyed corpus scan) saves
+    a full scan+md5 pass and won at 100× (199s vs 227s); a fully
+    array-side cross-product expansion lost badly there (495s) —
+    see the expansion comment below.
     """
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
     )
-    reps = keyed.groupBy("fp").agg(
-        F.min("id").alias("rep_id"), F.first("text").alias("text")
-    )
-    members = keyed.select("fp", "id").persist()
+    # ONE shuffle builds representatives AND the member lists: the
+    # sorted ids array per fingerprint replaces a second full-corpus
+    # scan (separate members frame) and lets intra-group pairs be
+    # generated array-side with no self-join. Per-group array size is
+    # bounded by copy multiplicity — the same bound the output itself
+    # has. first("text") is deterministic here: every text in a group
+    # is verbatim-identical by construction (fp = md5(text)).
+    grouped = keyed.groupBy("fp").agg(
+        F.min("id").alias("rep_id"),
+        F.first("text").alias("text"),
+        F.array_sort(F.collect_list("id")).alias("ids"),
+    ).persist()
+    reps = grouped.select("rep_id", "text")
     sigs = minhash_signatures(reps, id_col="rep_id", text_col="text").persist()
     # bh = hash(slice) is the compact int the shuffle keys on; the join
     # ALSO requires the band slice itself to match, so a 32-bit hash
@@ -396,13 +410,22 @@ def minhash_pairs(
             "jaccard",
         )
     )
-    # expansion back to member level. Intra-group: every ordered pair of
-    # exact copies is a near-dup at jaccard 1.0 (self-join is quadratic
-    # only WITHIN a copy-group — that is the output size itself, not
-    # wasted work). Cross-group: a verified rep pair holds for every
-    # (member_a, member_b) combination because members are verbatim
-    # copies of their representative.
-    rep_fp = reps.select("rep_id", "fp")
+    # expansion back to member level. Members come from EXPLODING the
+    # cached ids arrays (no second corpus scan — measured A/B: the
+    # separate members frame re-scanned + re-md5'd the whole corpus).
+    # The expansion itself stays JOIN-based and row-streaming: an
+    # array-side cross product (explode(ids_a) x explode(ids_b)) was
+    # measured 2.3x SLOWER at 100x replication because every exploded
+    # row drags the other group's full id array through the first
+    # explode — join expansion never amplifies intermediate state.
+    # Intra-group: every ordered pair of exact copies is a near-dup at
+    # jaccard 1.0 (self-join is quadratic only WITHIN a copy-group —
+    # that is the output size itself, not wasted work). Cross-group: a
+    # verified rep pair holds for every (member_a, member_b)
+    # combination because members are verbatim copies of their
+    # representative.
+    members = grouped.select("fp", F.explode("ids").alias("id"))
+    rep_fp = grouped.select("rep_id", "fp")
     nonempty = sigs.filter(F.size("shingles") > 0).select(
         F.col("id").alias("rep_id")
     )
