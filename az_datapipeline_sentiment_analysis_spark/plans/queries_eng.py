@@ -1,0 +1,1051 @@
+"""Fourth widening batch: event-flow and data-engineering analytics.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). Sessionization, funnel conversion, cohort retention,
+period-over-period deltas, LOCF imputation, data profiling, DQ rule
+checks, co-occurrence mining, scalers/bucketizers, and the hash /
+higher-order-lambda scalar families — the behavioral-analytics read
+workload a Grafana-style dashboard issues against the events stream
+(reference: applications/applications.tf:135-145 provisions exactly
+such a dashboard over the pipeline's result DB), generalized the way
+SURVEY.md §2.2 directs.
+
+Scale notes (100 TB): every query here is one hash-partitioned shuffle
+keyed on the natural entity key (user_id / order month / rule id) with
+map-side partial aggregation; sessionization and LOCF are single-sort
+window scans per user partition; nothing collects to the driver and
+nothing is quadratic. Float outputs are rounded in BOTH engines so the
+driver's value hash compares stable digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+
+# =====================================================================
+# Sessionization (gap-based, batch twin of stream_session_agg)
+# =====================================================================
+
+@_q(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    "Gap-based sessionization (30-min inactivity closes a session):"
+    " lag-diff flags session starts, a running sum numbers them, then"
+    " one group-by per (user, session). The batch twin of"
+    " stream_session_agg's F.session_window. Scale: a single sort"
+    " within each user's hash partition plus one co-keyed group-by —"
+    " the window and the aggregation share the user_id partitioning,"
+    " so the whole query is one shuffle.",
+)
+def sessionize_events(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap_s <= 1800, F.lit(0)).otherwise(F.lit(1))
+    sess_no = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "ts", "event_id", sess_no.alias("session_no"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+# =====================================================================
+# Funnel conversion (ordered step matching per user)
+# =====================================================================
+
+@_q(
+    "funnel_steps",
+    """
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts >= tv.t_view
+      GROUP BY e.user_id
+    ), tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= tc.t_click
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM tv
+    UNION ALL
+    SELECT '2_click', COUNT(*) FROM tc
+    UNION ALL
+    SELECT '3_purchase', COUNT(*) FROM tp
+    """,
+    "Ordered funnel (view -> click-after-view -> purchase-after-click):"
+    " each stage is the previous stage's users joined back to the event"
+    " log with a 'happened at or after my prior step' predicate, then"
+    " one row per stage with the surviving-user count. Scale: the three"
+    " aggregations and two joins all key on user_id, so AQE plans one"
+    " partitioning reused across stages; per-stage frames shrink"
+    " monotonically and the stage tables are orders of magnitude"
+    " smaller than the log.",
+)
+def funnel_steps(spark, sf):
+    e = _t(spark, sf, "events")
+    tv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        e.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, label):
+        return df.agg(
+            F.lit(label).alias("stage"), F.count("*").alias("n_users")
+        )
+
+    return (
+        stage(tv, "1_view")
+        .unionByName(stage(tc, "2_click"))
+        .unionByName(stage(tp, "3_purchase"))
+    )
+
+
+# =====================================================================
+# Cohort retention (weekly)
+# =====================================================================
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week,
+                         date_trunc('week', e.ts)) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    "Weekly cohort retention: cohort = Monday of each user's first"
+    " event week, offset = whole weeks between that and the activity"
+    " week, cell = distinct active users. Scale: first-touch extraction"
+    " and the activity join both key on user_id (one co-partitioned"
+    " shuffle); the distinct-count keys on the tiny (cohort, offset)"
+    " grid with map-side partial distincts.",
+)
+def retention_cohorts(spark, sf):
+    e = _t(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# =====================================================================
+# Period-over-period delta (month-over-month revenue)
+# =====================================================================
+
+@_q(
+    "period_over_period",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             ROUND(SUM(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           ROUND(
+             (revenue - LAG(revenue) OVER (ORDER BY month))
+               / LAG(revenue) OVER (ORDER BY month), 6) AS mom_change
+    FROM monthly
+    """,
+    "Month-over-month revenue with lag and relative delta; the change"
+    " ratio is computed from the ROUNDED monthly totals on both"
+    " engines, so the quotient compares exactly. Scale: the window"
+    " runs over the post-aggregation frame (one row per month — tiny"
+    " by construction), so the unpartitioned ORDER BY is safe; the"
+    " heavy lifting is the map-side partial SUM per month.",
+)
+def period_over_period(spark, sf):
+    o = _t(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
+    )
+
+
+# =====================================================================
+# LOCF imputation (last observation carried forward)
+# =====================================================================
+
+@_q(
+    "locf_impute",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(last_value(CASE WHEN event_type <> 'error' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 4) AS value_filled,
+           CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT)
+             AS was_imputed
+    FROM events
+    """,
+    "Last-observation-carried-forward: readings from 'error' events are"
+    " treated as missing and replaced by the user's most recent valid"
+    " value (null until one exists). F.last(ignorenulls) over a running"
+    " row frame — the canonical Spark LOCF. Scale: one sort per"
+    " user_id hash partition, map-side only after the shuffle, no"
+    " state beyond the frame's single carried value.",
+)
+def locf_impute(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    valid = F.when(F.col("event_type") != "error", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.last(valid, ignorenulls=True).over(w), 4).alias(
+            "value_filled"
+        ),
+        F.when(F.col("event_type") == "error", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("was_imputed"),
+    )
+
+
+# =====================================================================
+# Table profiling (per-column null / distinct counts)
+# =====================================================================
+
+@_q(
+    "profile_table",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(c_custkey) AS nn_custkey,
+             COUNT(DISTINCT c_custkey) AS nd_custkey,
+             COUNT(*) - COUNT(c_name) AS nn_name,
+             COUNT(DISTINCT c_name) AS nd_name,
+             COUNT(*) - COUNT(c_nationkey) AS nn_nationkey,
+             COUNT(DISTINCT c_nationkey) AS nd_nationkey,
+             COUNT(*) - COUNT(c_acctbal) AS nn_acctbal,
+             COUNT(DISTINCT c_acctbal) AS nd_acctbal,
+             COUNT(*) - COUNT(c_mktsegment) AS nn_mktsegment,
+             COUNT(DISTINCT c_mktsegment) AS nd_mktsegment
+      FROM customer
+    )
+    SELECT 'c_custkey' AS col_name, n AS n_rows,
+           nn_custkey AS n_nulls, nd_custkey AS n_distinct FROM a
+    UNION ALL SELECT 'c_name', n, nn_name, nd_name FROM a
+    UNION ALL SELECT 'c_nationkey', n, nn_nationkey, nd_nationkey FROM a
+    UNION ALL SELECT 'c_acctbal', n, nn_acctbal, nd_acctbal FROM a
+    UNION ALL SELECT 'c_mktsegment', n, nn_mktsegment, nd_mktsegment FROM a
+    """,
+    "Single-scan data-profiling summary: row count, null count, and"
+    " exact distinct count for every column of a table, emitted one row"
+    " per column. The five COUNT(DISTINCT)s compile to one Expand-based"
+    " multi-distinct aggregate (one scan, x5 row multiplication before"
+    " partial aggregation) — at 100 TB you'd swap exact distincts for"
+    " approx_count_distinct, which drops the Expand entirely; the exact"
+    " form is kept here because the oracle hash-checks it.",
+)
+def profile_table(spark, sf):
+    c = _t(spark, sf, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    aggs = [F.count("*").alias("n")]
+    for col in cols:
+        aggs.append(
+            (F.count("*") - F.count(col)).alias(f"nn_{col}")
+        )
+        aggs.append(F.countDistinct(col).alias(f"nd_{col}"))
+    a = c.agg(*aggs)
+    parts = [
+        a.select(
+            F.lit(col).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            F.col(f"nn_{col}").alias("n_nulls"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+        )
+        for col in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# =====================================================================
+# Data-quality rule checks (violation counts per rule)
+# =====================================================================
+
+@_q(
+    "dq_checks",
+    """
+    WITH li AS (
+      SELECT
+        SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS r1,
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS r2,
+        SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS r3,
+        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS r4
+      FROM lineitem
+    ), oo AS (
+      SELECT SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS r5
+      FROM orders
+    ), orphan AS (
+      SELECT COUNT(*) AS r6 FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'lineitem.quantity_nonpositive' AS rule,
+           CAST(r1 AS BIGINT) AS violations FROM li
+    UNION ALL SELECT 'lineitem.discount_out_of_range', CAST(r2 AS BIGINT) FROM li
+    UNION ALL SELECT 'lineitem.price_nonpositive', CAST(r3 AS BIGINT) FROM li
+    UNION ALL SELECT 'lineitem.null_orderkey', CAST(r4 AS BIGINT) FROM li
+    UNION ALL SELECT 'orders.totalprice_nonpositive', CAST(r5 AS BIGINT) FROM oo
+    UNION ALL SELECT 'lineitem.orphan_orderkey', CAST(r6 AS BIGINT) FROM orphan
+    """,
+    "Declarative data-quality gate: five single-scan conditional-sum"
+    " rules plus one referential-integrity anti-join, emitted as one"
+    " (rule, violations) row each — the shape of a Deequ/Great-"
+    "Expectations check suite compiled to Spark. Scale: the conditional"
+    " sums fold into ONE pass per table (map-side partials, 1-row"
+    " result); the orphan check is a broadcast-able anti join on the"
+    " orders key set.",
+)
+def dq_checks(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    oo = _t(spark, sf, "orders")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    li_agg = li.agg(
+        cnt(F.col("l_quantity") <= 0).alias("r1"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("r2"),
+        cnt(F.col("l_extendedprice") <= 0).alias("r3"),
+        cnt(F.col("l_orderkey").isNull()).alias("r4"),
+    )
+    oo_agg = oo.agg(cnt(F.col("o_totalprice") <= 0).alias("r5"))
+    orphan = (
+        li.join(oo, li.l_orderkey == oo.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("r6"))
+    )
+    rows = [
+        li_agg.select(F.lit("lineitem.quantity_nonpositive").alias("rule"),
+                      F.col("r1").alias("violations")),
+        li_agg.select(F.lit("lineitem.discount_out_of_range").alias("rule"),
+                      F.col("r2").alias("violations")),
+        li_agg.select(F.lit("lineitem.price_nonpositive").alias("rule"),
+                      F.col("r3").alias("violations")),
+        li_agg.select(F.lit("lineitem.null_orderkey").alias("rule"),
+                      F.col("r4").alias("violations")),
+        oo_agg.select(F.lit("orders.totalprice_nonpositive").alias("rule"),
+                      F.col("r5").alias("violations")),
+        orphan.select(F.lit("lineitem.orphan_orderkey").alias("rule"),
+                      F.col("r6").alias("violations")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# =====================================================================
+# Market-basket co-occurrence mining
+# =====================================================================
+
+@_q(
+    "basket_pairs",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS support
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    "Market-basket pair mining: parts co-occurring in the same order,"
+    " kept at support >= 2. The self-join keys on l_orderkey, so both"
+    " sides share one hash partitioning and the pair expansion is"
+    " bounded by basket size squared (baskets are ~7 items — a"
+    " constant), never |lineitem|^2; the pair count then aggregates"
+    " with map-side partials. This is the candidate-generation step of"
+    " FP-growth-style frequent-itemset mining expressed relationally.",
+)
+def basket_pairs(spark, sf):
+    d = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+# =====================================================================
+# Min-max scaling (per-group feature normalization)
+# =====================================================================
+
+@_q(
+    "minmax_scaler",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - MIN(c_acctbal) OVER w)
+                 / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w), 6)
+             AS acctbal_scaled
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    "Per-segment min-max normalization to [0,1] — the feature-scaling"
+    " pass of an ML data-prep pipeline. A whole-partition window frame"
+    " (no ORDER BY) computes the group extrema without a join; one"
+    " shuffle on the segment key. At 100 TB with few groups you'd"
+    " compute extrema in a 5-row aggregate and broadcast-join it back"
+    " instead — same result, no wide window partitions; the window"
+    " form is used here to exercise the unordered-frame path.",
+)
+def minmax_scaler(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    lo, hi = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round((F.col("c_acctbal") - lo) / (hi - lo), 6).alias(
+            "acctbal_scaled"
+        ),
+    )
+
+
+# =====================================================================
+# Equal-frequency bucketing (exact-decile discretization)
+# =====================================================================
+
+@_q(
+    "quantile_bucketing",
+    """
+    WITH b AS (
+      SELECT [ROUND(quantile_cont(l_extendedprice, 0.1), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.2), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.3), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.4), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.6), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.7), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.8), 4),
+              ROUND(quantile_cont(l_extendedprice, 0.9), 4)] AS cuts
+      FROM lineitem
+    )
+    SELECT CAST(1 + len(list_filter(b.cuts, c -> l.l_extendedprice > c))
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l.l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l.l_extendedprice), 2) AS max_price
+    FROM lineitem l CROSS JOIN b
+    GROUP BY 1
+    """,
+    "Equal-frequency decile discretization without a global sort: exact"
+    " interpolated deciles come from one distributed percentile"
+    " aggregate, are ROUNDed to 4 digits on both engines (so the cut"
+    " points compare identically), then every row's bucket is 'one plus"
+    " the number of cuts below it' via a broadcast of the 9-value cut"
+    " array. This replaces the naive ntile-over-everything plan, whose"
+    " single-partition window sort is the classic scale killer.",
+)
+def quantile_bucketing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cuts = li.agg(
+        F.round(
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            )[0], 4).alias("c1"),
+        *[
+            F.round(
+                F.expr(
+                    "percentile(l_extendedprice,"
+                    " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+                )[i], 4).alias(f"c{i+1}")
+            for i in range(1, 9)
+        ],
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(
+            F.col("l_extendedprice") > F.col(f"c{i}"), 1
+        ).otherwise(0)
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# =====================================================================
+# Contingency cross-tab (segment x region)
+# =====================================================================
+
+@_q(
+    "cross_tab",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           SUM(CASE WHEN r.r_name = 'AFRICA' THEN 1 ELSE 0 END) AS africa,
+           SUM(CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE 0 END) AS america,
+           SUM(CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END) AS asia,
+           SUM(CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END) AS europe,
+           SUM(CASE WHEN r.r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END)
+             AS middle_east
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    "Customer-count contingency table (market segment x region) via"
+    " groupBy().pivot() with the value list pinned — pinning skips the"
+    " extra distinct-values job AND makes the output schema static, so"
+    " the pivot compiles to a single pass of conditional aggregates."
+    " The two dim joins broadcast (nation=25, region=5 rows).",
+)
+def cross_tab(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    out = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .pivot("r_name", regions)
+        .count()
+    )
+    renames = {
+        "AFRICA": "africa", "AMERICA": "america", "ASIA": "asia",
+        "EUROPE": "europe", "MIDDLE EAST": "middle_east",
+    }
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot-count emits null for empty cells; the oracle's conditional
+    # SUM emits 0 — normalize to 0
+    return out.select(
+        "mktsegment",
+        *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in renames.values()],
+    )
+
+
+# =====================================================================
+# Cryptographic hash scalar family
+# =====================================================================
+
+@_q(
+    "hash_funcs",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(length(md5(c_name)) AS BIGINT) AS md5_len
+    FROM customer
+    """,
+    "Deterministic content-hash scalars (md5 / sha-256 hex) — the"
+    " fingerprinting primitive behind dedup keys, bucket assignment,"
+    " and PII-safe join keys. Pure map-side codegen’d expressions; both"
+    " engines emit lowercase hex so the hashes compare byte-identical.",
+)
+def hash_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(F.md5("c_name")).cast("long").alias("md5_len"),
+    )
+
+
+# =====================================================================
+# Higher-order array lambdas (transform / filter / aggregate)
+# =====================================================================
+
+@_q(
+    "array_lambda_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_pos,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * x)), 4) AS l2sq,
+           ROUND(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                 AS DOUBLE), 6) AS max_abs,
+           CAST(COALESCE(list_position(
+                 list_transform(embedding, x -> x < 0), true), 0)
+                AS BIGINT) AS first_neg_idx
+    FROM embeddings
+    """,
+    "Higher-order array lambdas over the embedding column: filter"
+    " (positive-component count), transform+aggregate (l2-norm squared"
+    " with an explicit float->double cast so both engines accumulate in"
+    " double), transform+max (amplitude), and position-of-first-match."
+    " All JVM-side Catalyst HigherOrderFunctions — no UDF, fully"
+    " codegen'd, map-only.",
+)
+def array_lambda_funcs(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("long")
+        .alias("n_pos"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, CAST(0 AS DOUBLE),"
+                " (acc, x) -> acc + CAST(x AS DOUBLE) * x)"
+            ),
+            4,
+        ).alias("l2sq"),
+        F.round(
+            F.expr("array_max(transform(embedding, x -> abs(x)))")
+            .cast("double"),
+            6,
+        ).alias("max_abs"),
+        F.expr("array_position(transform(embedding, x -> x < 0), true)")
+        .cast("long")
+        .alias("first_neg_idx"),
+    )
+
+
+# =====================================================================
+# PII redaction (training-data scrubbing pass)
+# =====================================================================
+
+@_q(
+    "pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+               '@example.com tel 555-' ||
+               lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones
+    FROM aug
+    """,
+    "PII scrubbing for training corpora: email- and phone-shaped spans"
+    " replaced with typed placeholder tokens, plus per-doc redaction"
+    " counts for audit. (The corpus is synthetic, so a deterministic"
+    " PII-bearing suffix is appended first — the scrubber then has"
+    " something real to find.) Pure regexp_replace/extract_all"
+    " built-ins, map-only, no shuffle; the regex subset used is"
+    " identical under Java regex and RE2.",
+)
+def pii_redact(spark, sf):
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# =====================================================================
+# Text normalization (casing / punctuation / whitespace canon)
+# =====================================================================
+
+@_q(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    "Canonical text normalization for dedup keys and tokenizer input:"
+    " lowercase, strip non-alphanumerics, collapse runs of spaces,"
+    " trim — then a token count over the normalized form. Map-only"
+    " codegen'd regexp chain; the canonical form is what the"
+    " fingerprint/minhash operators key on, so normalization must be"
+    " bit-stable across engines (it is: the regex subset avoids every"
+    " Java-vs-RE2 divergence).",
+)
+def text_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    )
+
+
+# =====================================================================
+# Unigram language-model quality score (two-phase, broadcast stats)
+# =====================================================================
+
+@_q(
+    "unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ), freq AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(c) AS n FROM freq
+    )
+    SELECT tok.doc_id,
+           ROUND(AVG(ln(freq.c / tot.n)), 4) AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM tok JOIN freq ON tok.token = freq.token CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    "Unigram-LM quality score: corpus-wide token frequencies (phase 1,"
+    " map-side combined agg over a tiny vocabulary) become per-token"
+    " log-probabilities; each document then averages the log-prob of"
+    " its tokens (phase 2) — the cheap perplexity proxy used to rank"
+    " documents for curation. The vocab table broadcasts (it is"
+    " vocabulary-sized, not corpus-sized), so the scoring join adds no"
+    " shuffle beyond the per-doc aggregation.",
+)
+def unigram_logprob(spark, sf):
+    d = _t(spark, sf, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_logprob"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+# =====================================================================
+# Embedding int8 quantization (flat scalar audit columns)
+# =====================================================================
+
+@_q(
+    "embed_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127 AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                     AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(embedding,
+                x -> floor(CAST(x AS DOUBLE) / scale + 0.5) = 0))
+                AS BIGINT) AS n_zero,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                     AS BIGINT))) AS BIGINT) AS q_max
+    FROM q
+    """,
+    "Symmetric int8 quantization of the embedding column — the storage"
+    " compaction step before ANN indexing at the 100 TB tier (4x"
+    " smaller vectors, SIMD-friendly dot products). Emits per-vector"
+    " scale plus flat integer audit columns (sum / zero-count / max of"
+    " the quantized values) rather than the int8 array itself, so the"
+    " driver can hash the result. floor(x/scale + 0.5) is used instead"
+    " of round() on BOTH engines — half-up rounding defined identically"
+    " everywhere. Map-only higher-order lambdas, no shuffle.",
+)
+def embed_quantize_int8(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    scale = (
+        F.expr(
+            "CAST(array_max(transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127"
+        )
+    ).alias("scale")
+    q = e.select("vec_id", scale, "embedding")
+    qexpr = "floor(CAST(x AS DOUBLE) / scale + 0.5)"
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.expr(
+            f"aggregate(embedding, 0L, (acc, x) -> acc + CAST({qexpr} AS BIGINT))"
+        ).alias("q_sum"),
+        F.expr(f"size(filter(embedding, x -> {qexpr} = 0))")
+        .cast("long")
+        .alias("n_zero"),
+        F.expr(
+            f"array_max(transform(embedding, x -> CAST({qexpr} AS BIGINT)))"
+        ).alias("q_max"),
+    )
+
+
+# =====================================================================
+# Schema-evolution scan (mergeSchema over heterogenous parquet)
+# =====================================================================
+
+_MERGED_STAGED: dict[str, str] = {}
+
+
+@_q(
+    "scan_merge_schema",
+    """
+    SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS DOUBLE), c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    "Schema-evolution read: two parquet generations with different"
+    " column sets (an old writer emitted acctbal, a new one emits"
+    " mktsegment) land in one directory; mergeSchema=true reconciles"
+    " them into the union schema with nulls for absent columns — the"
+    " Spark idiom for reading a dataset whose schema widened over time."
+    " mergeSchema costs a footer read per file at planning time, so"
+    " production pins the merged schema explicitly once known; the"
+    " staged dir is written once per scale factor and cached.",
+)
+def scan_merge_schema(spark, sf):
+    import tempfile
+
+    path = _MERGED_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_merged_customer_")
+        c = _t(spark, sf, "customer")
+        c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_acctbal"
+        ).write.mode("overwrite").parquet(path + "/gen=old")
+        c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_mktsegment"
+        ).write.mode("append").parquet(path + "/gen=new")
+        _MERGED_STAGED[sf] = path
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+# =====================================================================
+# CDC apply (insert / update / delete batch onto a snapshot)
+# =====================================================================
+
+@_q(
+    "cdc_apply",
+    """
+    WITH changes AS (
+      SELECT c_custkey, 'D' AS op,
+             CAST(NULL AS DOUBLE) AS new_acctbal
+      FROM customer WHERE c_custkey % 100 < 5
+      UNION ALL
+      SELECT c_custkey, 'U', ROUND(c_acctbal + 1000.0, 2)
+      FROM customer WHERE c_custkey % 100 BETWEEN 5 AND 9
+      UNION ALL
+      SELECT 900000 + n_nationkey, 'I', CAST(n_nationkey AS DOUBLE) * 10
+      FROM nation
+    )
+    SELECT s.c_custkey,
+           ROUND(CASE WHEN ch.op = 'U' THEN ch.new_acctbal
+                      ELSE s.c_acctbal END, 2) AS acctbal,
+           s.c_mktsegment AS mktsegment
+    FROM customer s LEFT JOIN changes ch ON s.c_custkey = ch.c_custkey
+    WHERE ch.op IS NULL OR ch.op = 'U'
+    UNION ALL
+    SELECT c_custkey, ROUND(new_acctbal, 2), 'NEW'
+    FROM changes WHERE op = 'I'
+    """,
+    "Change-data-capture apply: a batch of I/U/D change rows (derived"
+    " deterministically here; in production the Debezium/CDC feed)"
+    " merged onto a snapshot — deletes drop, updates overwrite the"
+    " changed column, inserts append. One left join on the snapshot key"
+    " plus a union; the change batch is broadcast-able (CDC batches are"
+    " micro-batch sized, orders of magnitude smaller than the"
+    " snapshot), so the merge costs one snapshot scan. This is the"
+    " vanilla-Spark equivalent of Delta MERGE INTO (reference S16's"
+    " UPDATE ... WHERE id IN (...) flag flip).",
+)
+def cdc_apply(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    deletes = c.filter(F.col("c_custkey") % 100 < 5).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_acctbal"),
+    )
+    updates = c.filter(
+        (F.col("c_custkey") % 100 >= 5) & (F.col("c_custkey") % 100 <= 9)
+    ).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("new_acctbal"),
+    )
+    inserts = n.select(
+        (F.lit(900000) + F.col("n_nationkey").cast("long")).alias(
+            "c_custkey"
+        ),
+        F.lit("I").alias("op"),
+        (F.col("n_nationkey").cast("double") * 10).alias("new_acctbal"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    ch = F.broadcast(changes.filter(F.col("op") != "I")).alias("ch")
+    merged = (
+        c.alias("s")
+        .join(ch, F.col("s.c_custkey") == F.col("ch.c_custkey"), "left")
+        .filter(F.col("ch.op").isNull() | (F.col("ch.op") == "U"))
+        .select(
+            F.col("s.c_custkey").alias("c_custkey"),
+            F.round(
+                F.when(
+                    F.col("ch.op") == "U", F.col("ch.new_acctbal")
+                ).otherwise(F.col("s.c_acctbal")),
+                2,
+            ).alias("acctbal"),
+            F.col("s.c_mktsegment").alias("mktsegment"),
+        )
+    )
+    ins = changes.filter(F.col("op") == "I").select(
+        "c_custkey",
+        F.round("new_acctbal", 2).alias("acctbal"),
+        F.lit("NEW").alias("mktsegment"),
+    )
+    return merged.unionByName(ins)

@@ -8,7 +8,7 @@ failure mode). The repo's pytest parity mirror is more lenient (it maps
 lists to tuples first), so this tool exists to reproduce the driver's
 exact failure surface before the gate does.
 
-Usage: python tools/driver_gate_mirror.py [N=50] [SF_DIR]
+Usage: python tools/driver_gate_mirror.py [N=50 | name1,name2,...] [SF_DIR]
 Prints one line per query: OK / ROWS / SCHEMA / VALUES / ERR.
 """
 
@@ -62,7 +62,7 @@ def _eq(a, b) -> bool:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -75,7 +75,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    names = list(qs)[:n]
+    names = list(qs)[: int(arg)] if arg.isdigit() else arg.split(",")
     bad = 0
     for name in names:
         try:
