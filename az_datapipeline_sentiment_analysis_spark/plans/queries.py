@@ -2365,10 +2365,26 @@ _RECHECK = frozenset(
 )
 
 
+# Added late in round 4, AFTER the 50-slot window was already full of
+# never-sampled entries: deferred behind every unsampled entry (but
+# ahead of the re-check greens) so they queue for round 5's window
+# instead of displacing entries that would otherwise get their first
+# driver row this round. All are green in the local strict-mirror
+# sweep (tools/driver_gate_mirror.py) at sf0.001/0.01.
+_DEFER_R5 = frozenset(
+    {
+        "interval_concurrency", "mode_per_group", "heavy_hitters",
+        "sample_weighted", "cumulative_distinct_users",
+    }
+)
+
+
 def _gate_priority(name: str) -> int:
     """Bucket rank for driver-gate iteration order (stable within bucket)."""
     if name in _RECHECK:
         return 4  # changed since last driver check — re-verify this round
+    if name in _DEFER_R5:
+        return 8  # added after the round-4 window filled — next round
     if (
         name in _DRIVER_GREEN_R1
         or name in _DRIVER_GREEN_R2

@@ -1049,3 +1049,210 @@ def cdc_apply(spark, sf):
         F.lit("NEW").alias("mktsegment"),
     )
     return merged.unionByName(ins)
+
+
+# =====================================================================
+# Interval concurrency (sweep-line overlap counting)
+# =====================================================================
+
+@_q(
+    "interval_concurrency",
+    """
+    WITH deltas AS (
+      SELECT o_orderdate AS day, 1 AS d FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 7 DAY, -1 FROM orders
+    ), daily AS (
+      SELECT day, SUM(d) AS dd FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_active
+    FROM daily
+    """,
+    "Sweep-line interval overlap: each order holds a 7-day fulfillment"
+    " window; +1/-1 boundary deltas aggregate per day and a running sum"
+    " yields the number of concurrently open orders at every change"
+    " point (concurrency is constant between deltas, so change points"
+    " fully describe the curve). Scale: the unpartitioned cumulative"
+    " window runs over the POST-aggregation frame — one row per"
+    " distinct day, bounded by the calendar, not the fact table; the"
+    " heavy work is the map-side delta aggregation.",
+)
+def interval_concurrency(spark, sf):
+    o = _t(spark, sf, "orders")
+    starts = o.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("d")
+    )
+    ends = o.select(
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.lit(-1).alias("d"),
+    )
+    daily = (
+        starts.unionByName(ends).groupBy("day").agg(F.sum("d").alias("dd"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", F.sum("dd").over(w).cast("long").alias("n_active")
+    )
+
+
+# =====================================================================
+# Per-group mode (most frequent value, deterministic tiebreak)
+# =====================================================================
+
+@_q(
+    "mode_per_group",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM cnt
+    )
+    SELECT user_id, event_type AS mode_event, n FROM r WHERE rk = 1
+    """,
+    "Per-user modal event type: count per (user, type), then rank"
+    " within user by (count desc, type) — the lexicographic tiebreak"
+    " makes the mode engine-independent where counts tie (Spark's"
+    " mode() and DuckDB's mode() both break ties arbitrarily, so"
+    " neither is used). Two co-keyed shuffles; the ranking window"
+    " partitions on user_id with a bounded frame (one row per event"
+    " type).",
+)
+def mode_per_group(spark, sf):
+    e = _t(spark, sf, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+# =====================================================================
+# Heavy hitters (frequency-threshold frequent items)
+# =====================================================================
+
+@_q(
+    "heavy_hitters",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT SUM(n) AS tot, AVG(n) AS mean_n FROM c
+    )
+    SELECT l_partkey, n, ROUND(n / tot, 6) AS freq
+    FROM c CROSS JOIN t
+    WHERE n >= 1.15 * mean_n
+    """,
+    "Frequency-threshold heavy hitters: exact per-key counts, the"
+    " global mean broadcast back as a scalar, keep keys at least 15%"
+    " above the mean — a scale-invariant rule (an absolute frequency"
+    " floor goes empty or universal as the key universe changes). At"
+    " 100 TB the exact groupBy is replaced by the two-phase"
+    " Misra-Gries/count-min candidate pass ONLY when the key universe"
+    " itself is corpus-scale (URLs, shingles); for bounded universes"
+    " (SKUs, hosts) this single map-side-combined aggregate is already"
+    " optimal — the count table is universe-sized, not corpus-sized.",
+)
+def heavy_hitters(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"), F.avg("n").alias("mean_n"))
+    ratio = F.col("n") / F.col("tot")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n") >= 1.15 * F.col("mean_n"))
+        .select("l_partkey", "n", F.round(ratio, 6).alias("freq"))
+    )
+
+
+# =====================================================================
+# Deterministic weighted sampling
+# =====================================================================
+
+@_q(
+    "sample_weighted",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               ::UBIGINT % 1000000 AS DOUBLE) / 1000000
+          < o_totalprice / 650000
+    """,
+    "Weight-proportional Bernoulli sampling with a DETERMINISTIC coin:"
+    " the md5 of the row key supplies a uniform [0,1) draw, kept when"
+    " below the row's weight (price-proportional here) — reproducible"
+    " across runs, engines, and partitionings, unlike rand()-based"
+    " sampling. Map-only, no shuffle; the same keyed-hash-as-uniform"
+    " trick behind sample_hash and dataset_split, generalized to"
+    " per-row acceptance probabilities.",
+)
+def sample_weighted(spark, sf):
+    o = _t(spark, sf, "orders")
+    draw = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000000"
+        ).cast("double")
+        / 1000000
+    )
+    return (
+        o.filter(draw < F.col("o_totalprice") / 650000)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+# =====================================================================
+# Cumulative distinct users (first-touch trick)
+# =====================================================================
+
+@_q(
+    "cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT d0 AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    "Cumulative distinct users per day WITHOUT a distinct-over-window:"
+    " a user contributes to the cumulative count exactly once, on their"
+    " first-activity day, so first-touch extraction + daily new-user"
+    " counts + a running sum replaces the quadratic count(distinct)"
+    " OVER (ORDER BY day) — the standard rewrite that makes growth"
+    " curves computable at scale. The cumulative window again runs on"
+    " the calendar-bounded post-agg frame.",
+)
+def cumulative_distinct_users(spark, sf):
+    e = _t(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    daily = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
