@@ -2374,7 +2374,7 @@ _RECHECK = frozenset(
 _DEFER_R5 = frozenset(
     {
         "interval_concurrency", "mode_per_group", "heavy_hitters",
-        "sample_weighted", "cumulative_distinct_users",
+        "sample_weighted", "cumulative_distinct_users", "graph_pagerank",
     }
 )
 
