@@ -86,3 +86,40 @@ def test_join_bloom_runtime_plan_has_probe(spark):
     df = REGISTRY["join_bloom_runtime"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    # window (user_id) and group-by (user_id, session_no) must share one
+    # hash partitioning: a second Exchange means the co-keyed design
+    # regressed into separate shuffles
+    plan = _formatted_plan(spark, "sessionize_events")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 1, plan
+
+
+def test_quantile_bucketing_no_window_sort(spark):
+    # the operator's reason to exist: decile assignment WITHOUT an
+    # ntile-style global-sort window — a Window node appearing here
+    # means the scale-killing plan came back
+    plan = _formatted_plan(spark, "quantile_bucketing")
+    assert "Window" not in plan, plan
+
+
+def test_heavy_hitters_broadcasts_scalar(spark):
+    # the 1-row global-stats frame must broadcast (nested-loop join on
+    # a single row is the intended shape; a shuffle join here would
+    # repartition the whole count table against one row)
+    plan = _formatted_plan(spark, "heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_no_cartesian(spark):
+    plan = _formatted_plan(spark, "funnel_steps")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_apply_broadcasts_changes(spark):
+    # the CDC batch is micro-batch sized; it must broadcast so the
+    # merge costs one snapshot scan
+    plan = _formatted_plan(spark, "cdc_apply")
+    assert "BroadcastHashJoin" in plan, plan
