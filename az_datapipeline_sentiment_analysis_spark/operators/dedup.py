@@ -294,15 +294,17 @@ def minhash_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard from the
     EXACT shingle sets (so precision is 1.0; LSH only affects recall).
 
-    Measured scaling (local[32], key-shifted replication of sf0.1,
-    warm best-of-2): 10× = 5.2s / 251k pairs; 100× = 199s / 27.31M
-    pairs. Like ngram_jaccard_pairs, the 100× point is OUTPUT-bound —
-    replication gives every doc 100 exact copies, so member-pair
-    expansion is quadratic in copy multiplicity (109× more output
-    rows) while the signature/banding work on representatives stays
-    linear. A/B notes kept from the round-4 tuning: deriving members
-    from the grouped ids arrays (vs a second keyed corpus scan) saves
-    a full scan+md5 pass and won at 100× (199s vs 227s); a fully
+    Measured scaling (local[32], key-shifted replication of sf0.1):
+    10× = 4.2s / 251k pairs; 100× = 7.8s / 27.31M pairs (48g driver
+    heap) — near-flat because the signature/banding work runs on
+    representatives (constant under replication) and only the linear
+    member-pair expansion grows. With the pre-rewrite Python signature
+    kernel the same points were 5.2s and 199s: the 100× run was
+    dominated by Python-worker signature work that the JVM expression
+    path eliminates. A/B notes kept from the round-4 tuning (measured
+    with the old kernel, ordering still holds): deriving members from
+    the grouped ids arrays (vs a second keyed corpus scan) saves a
+    full scan+md5 pass and won at 100× (199s vs 227s); a fully
     array-side cross-product expansion lost badly there (495s) —
     see the expansion comment below.
     """
