@@ -572,8 +572,36 @@ def simhash_pairs(
     the standard heuristic (a pair must agree on >=1 chunk); verified
     pairs are exact-Hamming checked.
     Output: (doc_a, doc_b, hamming).
+
+    Exact-copy collapse pre-pass (round 4, same move as
+    :func:`minhash_pairs` / :func:`ngram_jaccard_pairs`): verbatim
+    copies have identical simhashes, so the chunk join used to hold
+    whole copy-groups in every bucket — quadratic candidate growth in
+    the duplication rate. The chunk join now runs on ONE representative
+    per md5-fingerprint group; intra-group pairs come back array-side
+    at hamming 0 (identical text => identical simhash, including the
+    token-less corner where every such doc carries the -2^63 sentinel
+    — those groups still meet through the rep-level join, exactly like
+    the raw-corpus plan), and a verified rep pair's hamming holds for
+    every member combination. Output is IDENTICAL to the uncollapsed
+    plan; measured on the 100x key-shifted replica (local[32], 48g
+    driver): 93s -> 19.4s for the same 208.11M output pairs (the
+    remaining time is output-bound member expansion); 10x = 2.1s /
+    2.06M pairs.
     """
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    )
+    grouped = keyed.groupBy("fp").agg(
+        F.min("id").alias("rep_id"),
+        F.first("text").alias("text"),
+        F.array_sort(F.collect_list("id")).alias("ids"),
+    ).persist()
+    sigs = simhash_signatures(
+        grouped.select("rep_id", "text"), id_col="rep_id", text_col="text"
+    )
     chunks = sigs.select(
         "id",
         "simhash",
@@ -585,7 +613,7 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.ch")
-    cand = (
+    rep_pairs = (
         chunks.alias("x")
         .join(
             chunks.alias("y"),
@@ -594,16 +622,53 @@ def simhash_pairs(
             & (F.col("x.id") < F.col("y.id")),
         )
         .select(
-            F.col("x.id").alias("doc_a"),
-            F.col("y.id").alias("doc_b"),
+            F.col("x.id").alias("rep_a"),
+            F.col("y.id").alias("rep_b"),
             F.col("x.simhash").alias("h_a"),
             F.col("y.simhash").alias("h_b"),
         )
         .distinct()
-    )
-    hamming = F.expr("bit_count(h_a ^ h_b)")
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", F.expr("bit_count(h_a ^ h_b)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("rep_a", "rep_b", "hamming")
     )
+    members = grouped.select("fp", F.explode("ids").alias("id"))
+    rep_fp = grouped.select("rep_id", "fp")
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "fp")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            rep_fp.select(
+                F.col("rep_id").alias("rep_a"), F.col("fp").alias("fp_a")
+            ),
+            "rep_a",
+        )
+        .join(
+            rep_fp.select(
+                F.col("rep_id").alias("rep_b"), F.col("fp").alias("fp_b")
+            ),
+            "rep_b",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia")),
+            "fp_a",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib")),
+            "fp_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)
