@@ -15,6 +15,7 @@ Prints one line per query: OK / ROWS / SCHEMA / VALUES / ERR.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -64,11 +65,14 @@ def _eq(a, b) -> bool:
 def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    # VANILLA session on purpose — the external driver does not apply
+    # the engine's tuned session config, so neither does the mirror
+    # (200 shuffle partitions, default AQE). Set MIRROR_FAST=1 for the
+    # quicker 8-partition variant while iterating.
+    b = SparkSession.builder.master("local[8]")
+    if os.environ.get("MIRROR_FAST"):
+        b = b.config("spark.sql.shuffle.partitions", "8")
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
