@@ -120,11 +120,13 @@ def ngram_jaccard_pairs(
     jaccard=0 rows. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Measured scaling (local[32], key-shifted replication of sf0.1):
-    10× = 5.5s / 251k pairs; 100× = 234s / 27.35M pairs. The 100×
-    point is OUTPUT-bound, not join-bound: replication gives every doc
-    100 exact copies, so each rep-level pair expands to ~100×100
-    member pairs — the 109× output growth accounts for the wall-time
-    growth, while the shingle join itself still runs on one
+    10× = 3.4s / 251k pairs (warm bench); 100× = 21.4s / 27.35M pairs
+    (48g driver, re-measured round 4 — first measured 234s under a
+    16g heap where the expansion spent most of its time in GC). The
+    100× point is OUTPUT-bound, not join-bound: replication gives
+    every doc 100 exact copies, so each rep-level pair expands to
+    ~100×100 member pairs — the 109× output growth accounts for the
+    wall-time growth, while the shingle join itself still runs on one
     representative per copy-group (linear in distinct texts).
     """
     if threshold <= 0:

@@ -983,7 +983,9 @@ def simhash_neardup(spark, sf):
     " O(diameter) rounds), with per-cluster size. cluster_id = min doc_id"
     " of the component = the canonical keeper a dedup pipeline retains."
     " Oracle: DuckDB recursive-CTE transitive closure over the same"
-    " deterministic pair graph.",
+    " deterministic pair graph. Measured end-to-end (pair generation +"
+    " propagation) on the key-shifted replicas, local[32]/48g: 10x ="
+    " 4.6s, 100x = 36.1s for 500k nodes.",
 )
 def dedup_clusters(spark, sf):
     pairs = dd.minhash_pairs(_t(spark, sf, "documents"), threshold=0.3)
