@@ -537,12 +537,18 @@ def minmax_scaler(spark, sf):
     GROUP BY 1
     """,
     "Equal-frequency decile discretization without a global sort: exact"
-    " interpolated deciles come from one distributed percentile"
-    " aggregate, are ROUNDed to 4 digits on both engines (so the cut"
-    " points compare identically), then every row's bucket is 'one plus"
-    " the number of cuts below it' via a broadcast of the 9-value cut"
-    " array. This replaces the naive ntile-over-everything plan, whose"
-    " single-partition window sort is the classic scale killer.",
+    " interpolated deciles come from one percentile aggregate (the nine"
+    " aliases dedup to a single Percentile function — verified in the"
+    " physical plan), are ROUNDed to 4 digits on both engines (so the"
+    " cut points compare identically), then every row's bucket is 'one"
+    " plus the number of cuts below it' via a broadcast of the 9-value"
+    " cut array. This replaces the naive ntile-over-everything plan,"
+    " whose single-partition window sort is the classic scale killer."
+    " Honest 100 TB note: Spark's EXACT percentile buffers the column"
+    " per partition (ObjectHashAggregate) — at the full tier you swap"
+    " in approx_percentile for the cut computation and keep the same"
+    " broadcast-bucket rule; the exact form is used here because the"
+    " oracle hash-checks the cut points.",
 )
 def quantile_bucketing(spark, sf):
     li = _t(spark, sf, "lineitem")

@@ -57,6 +57,10 @@ SCALE_HEADLINE = [
     "bm25_search",
     "quality_filter_gate",
     "boilerplate_ngrams",
+    # round-4 additions: collapsed SimHash banding + the single-shuffle
+    # sessionization representative of the event-flow family
+    "simhash_neardup",
+    "sessionize_events",
 ]
 
 HEADLINE = [
@@ -89,6 +93,11 @@ HEADLINE = [
     "bm25_search",
     "quality_filter_gate",
     "boilerplate_ngrams",
+    # round-4 event-flow / engineering additions
+    "sessionize_events",
+    "quantile_bucketing",
+    "unigram_logprob",
+    "simhash_neardup",
 ]
 
 
