@@ -286,7 +286,7 @@ def minhash_pairs(
          is IDENTICAL to running LSH over the raw corpus (exact copies
          have exactly equal shingle sets, hence equal signatures,
          bands, and Jaccard) — only the work is smaller.
-      1. signature scan over representatives (mapInPandas)
+      1. signature scan over representatives (pure Catalyst exprs)
       2. explode to (band, band_hash) — shuffle on band key
       3. self-join within buckets -> candidate pairs (tiny vs n²)
       4. exact Jaccard verification of candidates only

@@ -10,12 +10,18 @@ workload a Grafana-style dashboard issues against the events stream
 such a dashboard over the pipeline's result DB), generalized the way
 SURVEY.md §2.2 directs.
 
+Late additions (deferred to the round-5 gate window via _DEFER_R5):
+sweep-line interval concurrency, per-group mode, scale-invariant heavy
+hitters, deterministic weighted sampling, cumulative-distinct growth
+curves, and fixed-iteration PageRank.
+
 Scale notes (100 TB): every query here is one hash-partitioned shuffle
 keyed on the natural entity key (user_id / order month / rule id) with
 map-side partial aggregation; sessionization and LOCF are single-sort
-window scans per user partition; nothing collects to the driver and
-nothing is quadratic. Float outputs are rounded in BOTH engines so the
-driver's value hash compares stable digits.
+window scans per user partition; PageRank is one co-keyed join+agg per
+round behind localCheckpoint lineage breaks; nothing collects to the
+driver and nothing is quadratic. Float outputs are rounded in BOTH
+engines so the driver's value hash compares stable digits.
 """
 
 from __future__ import annotations
