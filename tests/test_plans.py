@@ -123,3 +123,22 @@ def test_cdc_apply_broadcasts_changes(spark):
     # merge costs one snapshot scan
     plan = _formatted_plan(spark, "cdc_apply")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_win_rank_has_group_limit_pushdown(spark):
+    # Spark's WindowGroupLimit must push the rank<=3 filter below the
+    # shuffle (Partial) and re-apply it after (Final): the map-side
+    # top-k is what keeps the window sort linear in group count rather
+    # than corpus size at 100 TB
+    df = REGISTRY["win_rank"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_quantile_bucketing_single_percentile(spark):
+    # the nine decile aliases must dedup to ONE Percentile aggregate —
+    # nine separate exact-percentile buffers would 9x the memory of the
+    # most expensive aggregate in the suite
+    df = REGISTRY["quantile_bucketing"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("percentile(l_extendedprice") <= 4, plan
