@@ -207,3 +207,74 @@ def test_ngram_jaccard_copy_collapse_matches_bruteforce(spark, texts):
     assert got.keys() == exp.keys()
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-9, (k, got[k], exp[k])
+
+
+# --- JVM signature expressions vs pure-Python models ------------------
+# The round-4 rewrite moved MinHash/SimHash signatures from Python
+# kernels to Catalyst expressions; the DuckDB oracles encode the SAME
+# arithmetic, so these properties pin the JVM output to an independent
+# Python model of the formula over arbitrary generated text (including
+# empty strings, punctuation-only, and sub-shingle-width docs).
+
+
+def _minhash_model(text: str) -> list[int]:
+    import hashlib
+
+    import numpy as np
+
+    a, b = dd._hash_params()
+    toks = re.findall("[a-z]+", (text or "").lower())
+    shingles = {
+        " ".join(toks[i : i + dd.SHINGLE_WIDTH])
+        for i in range(len(toks) - dd.SHINGLE_WIDTH + 1)
+    }
+    if not shingles:
+        return [dd._P31] * dd.N_HASHES
+    hv = np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") >> 1
+            for s in sorted(shingles)
+        ],
+        dtype=np.int64,
+    )
+    return ((a[:, None] * hv[None, :] + b[:, None]) % dd._P31).min(axis=1).tolist()
+
+
+def _simhash_model(text: str) -> int:
+    import hashlib
+
+    toks = re.findall("[a-z]+", (text or "").lower())
+    if not toks:
+        return -(1 << 63)
+    votes = [0] * dd.SIMHASH_BITS
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for j in range(dd.SIMHASH_BITS):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    out = sum(1 << j for j in range(dd.SIMHASH_BITS) if votes[j] > 0)
+    return out - (1 << 63)
+
+
+@SLOW_OK
+@given(texts=TEXTS)
+def test_minhash_jvm_signatures_match_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["id"]: list(r["sig"])
+        for r in dd.minhash_signatures(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _minhash_model(t), (i, t)
+
+
+@SLOW_OK
+@given(texts=TEXTS)
+def test_simhash_jvm_signatures_match_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r["id"]: r["simhash"] for r in dd.simhash_signatures(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_model(t), (i, t)
