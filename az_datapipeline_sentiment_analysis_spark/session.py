@@ -50,9 +50,10 @@ def get_spark(
         # and let AQE coalesce down. It is deliberately NOT set here:
         # at the tiny local scale most queries run at, a wide initial
         # count explodes Python (Arrow) stages into mostly-empty tasks
-        # whose per-task overhead dominates. bench.py sets it for the
-        # replicated-scale pass; a real cluster deployment should set it
-        # proportional to input volume (e.g. bytes / 64MB), not cores.
+        # whose per-task overhead dominates. The bench's 10x replicated
+        # pass still runs fine at the core-count default (measured); a
+        # real cluster deployment should set it proportional to input
+        # volume (e.g. bytes / 64MB), not cores.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
