@@ -229,6 +229,16 @@ def main() -> None:
                     ),
                     "scale_build_seconds": build_s,
                     "scale_value": round(sum(scale_timings.values()), 3),
+                    # round-3's scale set, frozen (same rationale as
+                    # core25_seconds): the cross-round comparable
+                    "scale_core14_seconds": round(
+                        sum(
+                            scale_timings[n]
+                            for n in SCALE_HEADLINE[:14]
+                            if n in scale_timings
+                        ),
+                        3,
+                    ),
                     "scale_queries": scale_timings,
                 }
             )
