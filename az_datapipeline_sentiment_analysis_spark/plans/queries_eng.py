@@ -597,12 +597,16 @@ def quantile_bucketing(spark, sf):
     "cross_tab",
     """
     SELECT c.c_mktsegment AS mktsegment,
-           SUM(CASE WHEN r.r_name = 'AFRICA' THEN 1 ELSE 0 END) AS africa,
-           SUM(CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE 0 END) AS america,
-           SUM(CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END) AS asia,
-           SUM(CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END) AS europe,
-           SUM(CASE WHEN r.r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END)
-             AS middle_east
+           CAST(SUM(CASE WHEN r.r_name = 'AFRICA' THEN 1 ELSE 0 END)
+             AS BIGINT) AS africa,
+           CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE 0 END)
+             AS BIGINT) AS america,
+           CAST(SUM(CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END)
+             AS BIGINT) AS asia,
+           CAST(SUM(CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END)
+             AS BIGINT) AS europe,
+           CAST(SUM(CASE WHEN r.r_name = 'MIDDLE EAST' THEN 1 ELSE 0 END)
+             AS BIGINT) AS middle_east
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey

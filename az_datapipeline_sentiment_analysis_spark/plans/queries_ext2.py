@@ -200,8 +200,11 @@ def embed_centroid(spark, sf):
     tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_uni,
                    (SELECT SUM(c_ab) FROM big) AS n_big)
     SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           -- + 0.0 collapses IEEE signed zero: DuckDB's ROUND can emit
+           -- -0.0 where Spark emits 0.0 (r4 hash-fail on one row)
            ROUND(log2((c_ab * 1.0 / n_big)
-                 / ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni))), 4) AS pmi
+                 / ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni))), 4)
+             + 0.0 AS pmi
     FROM big
     JOIN uni ua ON big.w1 = ua.w
     JOIN uni ub ON big.w2 = ub.w
@@ -266,7 +269,10 @@ def bigram_pmi(spark, sf):
             "w1",
             "w2",
             F.col("c_ab").cast("long").alias("c_ab"),
-            F.round(F.log2(p_ab / (p_a * p_b)), 4).alias("pmi"),
+            # + 0.0 collapses IEEE signed zero to match the oracle
+            (F.round(F.log2(p_ab / (p_a * p_b)), 4) + F.lit(0.0)).alias(
+                "pmi"
+            ),
         )
     )
 

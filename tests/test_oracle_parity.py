@@ -122,3 +122,49 @@ def test_two_scale_dirs_in_one_session(spark):
             want = len(con.execute(REGISTRY[q].sql).fetchdf())
             con.close()
             assert got == want, (q, sf_dir, got, want)
+
+
+# ---------------------------------------------------------------------
+# Driver-gate mirror comparator: regression tests for the two round-4
+# escapes. An isclose-based comparator waved both of these through while
+# the driver's stringifying value hash failed them; the hardened
+# repr-level comparator must flag each shape forever.
+# ---------------------------------------------------------------------
+
+def _mirror_compare():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        return importlib.import_module("driver_gate_mirror").compare_frames
+    finally:
+        sys.path.pop(0)
+
+
+def test_mirror_flags_hugeint_float_render():
+    """cross_tab r4: DuckDB HUGEINT SUM fetches as float64; values are
+    numerically identical to Spark's int64 but hash differently."""
+    compare = _mirror_compare()
+    spark_df = pd.DataFrame({"k": ["a", "b"], "n": pd.array([5, 7], dtype="int64")})
+    oracle_df = pd.DataFrame({"k": ["a", "b"], "n": pd.array([5.0, 7.0], dtype="float64")})
+    status, detail = compare(spark_df, oracle_df)
+    assert status == "DTYPE", (status, detail)
+
+
+def test_mirror_flags_signed_zero():
+    """bigram_pmi r4: DuckDB ROUND emitted -0.0 where Spark emitted 0.0;
+    == calls them equal, a stringified hash does not."""
+    compare = _mirror_compare()
+    spark_df = pd.DataFrame({"k": ["a"], "v": [0.0]})
+    oracle_df = pd.DataFrame({"k": ["a"], "v": [-0.0]})
+    status, detail = compare(spark_df, oracle_df)
+    assert status == "VALUES", (status, detail)
+
+
+def test_mirror_accepts_equal_frames():
+    compare = _mirror_compare()
+    a = pd.DataFrame({"k": ["a", "b"], "v": [1.5, None], "n": [3, 4]})
+    b = pd.DataFrame({"k": ["b", "a"], "v": [None, 1.5], "n": [4, 3]})
+    status, detail = compare(a, b)
+    assert status == "OK", (status, detail)

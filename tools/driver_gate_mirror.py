@@ -1,29 +1,34 @@
 """Strict mirror of the driver's correctness gate at sf0.01.
 
 The driver samples the FIRST 50 entries of ``queries()`` order, runs the
-Spark query and the DuckDB oracle twin, and canonicalizes both frames
-with a plain ``pandas.sort_values`` over every column — which CRASHES on
-list/ndarray cells (``TypeError: unhashable type: 'list'``, the round-3
-failure mode). The repo's pytest parity mirror is more lenient (it maps
-lists to tuples first), so this tool exists to reproduce the driver's
-exact failure surface before the gate does.
+Spark query and the DuckDB oracle twin, canonicalizes both frames
+(columns sorted by name, plain multi-column ``sort_values`` — CRASHES on
+list/ndarray cells, the round-3 failure mode), then compares a
+STRINGIFYING VALUE HASH. Round 4 proved that hash is strictly stronger
+than a numeric ``isclose`` compare: it failed ``cross_tab`` on a dtype
+render (``5.0`` float64 vs ``5`` int64 — DuckDB HUGEINT sums come back
+float64 through ``fetchdf``) and ``bigram_pmi`` on IEEE signed zero
+(``-0.0`` vs ``0.0``), both of which an earlier isclose-based version of
+this tool waved through. The comparator below is therefore repr-level:
+canonical string form per cell, no numeric tolerance rescue, plus a
+canonicalized-dtype equality check between the two frames. If values
+differ below the driver's float rounding they still compare equal —
+that rounding (and only that rounding) is applied first, like the
+driver does.
 
 Usage: python tools/driver_gate_mirror.py [N=50 | name1,name2,...] [SF_DIR]
-Prints one line per query: OK / ROWS / SCHEMA / VALUES / ERR.
+Prints one line per query: OK / ROWS / SCHEMA / DTYPE / VALUES / ERR.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
 import duckdb
 import pandas as pd
-from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
-import __spark_entry__ as mod  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -32,8 +37,9 @@ TABLES = [
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Driver-faithful canonicalization: sort columns by name, then a
-    plain multi-column sort_values — no list→tuple rescue."""
+    """Driver-faithful canonicalization: sort columns by name, round
+    floats, then a plain multi-column sort_values — no list→tuple
+    rescue."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -48,21 +54,62 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                           na_position="last")
 
 
-def _eq(a, b) -> bool:
-    an = a is None or (isinstance(a, float) and math.isnan(a))
-    bn = b is None or (isinstance(b, float) and math.isnan(b))
-    if an or bn:
-        return an == bn
-    if isinstance(a, float) or isinstance(b, float):
+def _cell(v) -> str:
+    """Canonical string form of one cell — the unit the driver hashes.
+
+    No numeric tolerance: ``repr`` distinguishes ``5.0`` from ``5`` and
+    ``-0.0`` from ``0.0``, exactly like a stringifying hash does.
+    Nulls of every flavor collapse to one token so None/NaN/NaT framing
+    differences (which the driver's hash also ignores via its own
+    canonicalization) don't produce spurious diffs.
+    """
+    if pd.api.types.is_scalar(v) and pd.isna(v):
+        return "<NULL>"
+    # numpy scalars repr as np.int64(5) / np.float64(5.0) on numpy>=2;
+    # unwrap to the python value so the form is stable
+    if hasattr(v, "item") and not isinstance(v, (list, tuple, dict)):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9,
-                                abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return a == b
-    return a == b
+            v = v.item()
+        except (AttributeError, ValueError):
+            pass
+    return repr(v)
+
+
+def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame):
+    """Driver-strict compare. Returns (status, detail) where status is
+    one of OK / SCHEMA / ROWS / DTYPE / VALUES / ERR. Unit-tested in
+    tests/test_oracle_parity.py against the two round-4 escape shapes
+    (HUGEINT→float64 render, IEEE signed zero)."""
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return "SCHEMA", (f"spark={sorted(sdf.columns)} "
+                          f"oracle={sorted(odf.columns)}")
+    if len(sdf) != len(odf):
+        return "ROWS", f"spark={len(sdf)} oracle={len(odf)}"
+    try:
+        s, o = _canon(sdf), _canon(odf)
+    except Exception as exc:  # unhashable list cells etc.
+        return "ERR", f"canon: {type(exc).__name__}: {exc}"
+    # dtype equality AFTER canonicalization: an int64 Spark column vs a
+    # float64 oracle column stringifies differently under the driver's
+    # hash even when every value compares numerically equal
+    for col in s.columns:
+        sd, od = str(s[col].dtype), str(o[col].dtype)
+        if sd != od and not (sd == "object" and od == "object"):
+            return "DTYPE", f"col={col} spark={sd} oracle={od}"
+    for col in s.columns:
+        for i, (x, y) in enumerate(zip(s[col].tolist(), o[col].tolist())):
+            cx, cy = _cell(x), _cell(y)
+            if cx != cy:
+                return "VALUES", (f"col={col} row={i} spark={cx} "
+                                  f"oracle={cy}")
+    return "OK", f"{len(sdf)} rows"
 
 
 def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as mod
+
     arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     # VANILLA session on purpose — the external driver does not apply
@@ -97,37 +144,12 @@ def main() -> None:
             print(f"ERR    {name}: oracle: {type(exc).__name__}: {exc}"[:300])
             bad += 1
             continue
-        if sorted(sdf.columns) != sorted(odf.columns):
-            print(f"SCHEMA {name}: spark={sorted(sdf.columns)} "
-                  f"oracle={sorted(odf.columns)}")
-            bad += 1
-            continue
-        if len(sdf) != len(odf):
-            print(f"ROWS   {name}: spark={len(sdf)} oracle={len(odf)}")
-            bad += 1
-            continue
-        try:
-            s, o = _canon(sdf), _canon(odf)
-        except Exception as exc:
-            print(f"ERR    {name}: canon: {type(exc).__name__}: {exc}"[:300])
-            bad += 1
-            continue
-        diff = None
-        for col in s.columns:
-            for i, (x, y) in enumerate(zip(s[col].tolist(), o[col].tolist())):
-                x = None if (pd.api.types.is_scalar(x) and pd.isna(x)) else x
-                y = None if (pd.api.types.is_scalar(y) and pd.isna(y)) else y
-                if not _eq(x, y):
-                    diff = (col, i, x, y)
-                    break
-            if diff:
-                break
-        if diff:
-            print(f"VALUES {name}: col={diff[0]} row={diff[1]} "
-                  f"spark={diff[2]!r} oracle={diff[3]!r}")
-            bad += 1
+        status, detail = compare_frames(sdf, odf)
+        if status == "OK":
+            print(f"OK     {name} ({detail})")
         else:
-            print(f"OK     {name} ({len(sdf)} rows)")
+            print(f"{status:<6} {name}: {detail}"[:300])
+            bad += 1
     print(f"\n{len(names) - bad}/{len(names)} clean")
     sys.exit(1 if bad else 0)
 
