@@ -41,6 +41,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
 
     ``sequence(1, n-2)`` + ``element_at`` keeps the whole thing inside
     codegen; docs shorter than the shingle width get an empty array.
+    NULL text coalesces to '' FIRST, so it also yields the empty array
+    rather than NULL — without this, minhash's ``size(shingles) = 0``
+    sentinel branch is skipped for NULL docs (size(NULL) is NULL) and
+    the signature becomes an array of NULLs, diverging from the
+    property-test model and the DuckDB oracle, which both map
+    null/empty text to the sentinel signature.
 
     The token array is materialized once per row (a lateral-style
     nested expression): inlining the ``regexp_extract_all`` inside
@@ -48,7 +54,7 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
     token — measured ~5x slower on real text — because codegen does
     not common-subexpression-eliminate across lambda boundaries.
     """
-    tok = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    tok = f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z]+', 0)"
     build = (
         f"array_distinct(CASE WHEN size(__toks) < {SHINGLE_WIDTH} THEN array()"
         f" ELSE transform(sequence(1, size(__toks) - {SHINGLE_WIDTH - 1}),"

@@ -150,7 +150,9 @@ def iqr_outlier_filter(spark, sf):
       FROM embeddings
     )
     SELECT label, CAST(pos AS BIGINT) AS pos,
-           ROUND(AVG(v), 4) AS centroid_v,
+           -- + 0.0 collapses IEEE signed zero (zero-mean dims can
+           -- average to -0.0 in one engine only)
+           ROUND(AVG(v), 4) + 0.0 AS centroid_v,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM u GROUP BY label, pos
     """,
@@ -170,7 +172,7 @@ def embed_centroid(spark, sf):
     return (
         ex.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(
-            F.round(F.avg("v"), 4).alias("centroid_v"),
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"),
             F.count("*").cast("long").alias("n_vecs"),
         )
     )

@@ -36,7 +36,7 @@ from .queries import _q
            ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
            ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
            ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           regr_count(l_extendedprice, l_quantity) AS n
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -71,8 +71,11 @@ def agg_regression(spark, sf):
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l.l_returnflag,
-           ROUND(AVG(POW((l_quantity - mu) / sd, 3)), 4) AS skew,
-           ROUND(AVG(POW((l_quantity - mu) / sd, 4)) - 3.0, 4) AS excess_kurt
+           -- + 0.0 collapses IEEE signed zero (odd moments of a
+           -- near-symmetric column land on -0.0 in one engine only)
+           ROUND(AVG(POW((l_quantity - mu) / sd, 3)), 4) + 0.0 AS skew,
+           ROUND(AVG(POW((l_quantity - mu) / sd, 4)) - 3.0, 4) + 0.0
+             AS excess_kurt
     FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
     GROUP BY l.l_returnflag
     """,
@@ -95,8 +98,10 @@ def agg_moments(spark, sf):
         li.join(stats, F.col("l_returnflag") == F.col("s_flag"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.avg(F.pow(z, 3)), 4).alias("skew"),
-            F.round(F.avg(F.pow(z, 4)) - 3.0, 4).alias("excess_kurt"),
+            (F.round(F.avg(F.pow(z, 3)), 4) + F.lit(0.0)).alias("skew"),
+            (F.round(F.avg(F.pow(z, 4)) - 3.0, 4) + F.lit(0.0)).alias(
+                "excess_kurt"
+            ),
         )
     )
 

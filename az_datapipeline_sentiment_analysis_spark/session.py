@@ -23,6 +23,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _host_mem_gib() -> int:
+    """Physical RAM in GiB, 0 if undeterminable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _default_driver_mem(cpus: int) -> str:
+    """~1 GiB per thread, capped at 32g and at 1/3 of host RAM (floor
+    4g) so the default never over-commits a smaller box."""
+    host = _host_mem_gib()
+    cap = max(4, host // 3) if host else 16
+    return f"{min(32, cpus, cap)}g"
+
+
 def get_spark(
     app_name: str = "spark-sentiment-engine",
     *,
@@ -62,11 +82,17 @@ def get_spark(
         # supplier stay broadcastable even at sf100)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        # 32g on a 128 GiB / 32-thread box: the 10x-replicated dedup
-        # benches are GC-bound at 16g (simhash member expansion measured
-        # 7.8s at 16g vs 2.1s at 48g); 1 GiB/thread is the same
-        # executor-memory-per-core ratio a production cluster would run.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # ~1 GiB/thread capped at 32g and at 1/3 of host RAM: the
+        # 10x-replicated dedup benches are GC-bound at 16g (simhash
+        # member expansion measured 7.8s at 16g vs 2.1s at 48g), and
+        # 1 GiB/core is the executor-memory-per-core ratio a production
+        # cluster would run — but a fixed 32g would over-commit smaller
+        # hosts, so the default is derived from the box. Override with
+        # SPARK_DRIVER_MEM (also honored by bench.py's scale pass).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem(cpus)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

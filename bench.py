@@ -61,6 +61,11 @@ SCALE_HEADLINE = [
     # sessionization representative of the event-flow family
     "simhash_neardup",
     "sessionize_events",
+    # round-5: exact vs sketch cut computation side by side, so the
+    # exact Percentile's per-partition buffering cost has a measured
+    # curve against the mergeable approx_percentile form
+    "quantile_bucketing",
+    "quantile_bucketing_approx",
 ]
 
 HEADLINE = [
@@ -98,6 +103,30 @@ HEADLINE = [
     "quantile_bucketing",
     "unigram_logprob",
     "simhash_neardup",
+    "quantile_bucketing_approx",
+]
+
+
+# The first 14 entries of round 3's SCALE_HEADLINE, frozen BY NAME so
+# later insertions into the list cannot silently change what the
+# cross-round subtotal measures. (Round 3's full scale list also had
+# four curation entries at positions 15-18; this core-14 prefix is the
+# subset every round since r3 has measured.)
+SCALE_CORE14 = [
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "win_rank",
+    "window_tumbling",
+    "sentiment_score_sql",
+    "dedup_fingerprint",
+    "minhash_neardup",
+    "embed_cosine_topk",
+    "dedup_clusters",
+    "ngram_jaccard_neardup",
+    "contamination_check",
+    "stream_tumbling_agg",
 ]
 
 
@@ -229,12 +258,12 @@ def main() -> None:
                     ),
                     "scale_build_seconds": build_s,
                     "scale_value": round(sum(scale_timings.values()), 3),
-                    # round-3's scale set, frozen (same rationale as
+                    # frozen name list (same rationale as
                     # core25_seconds): the cross-round comparable
                     "scale_core14_seconds": round(
                         sum(
                             scale_timings[n]
-                            for n in SCALE_HEADLINE[:14]
+                            for n in SCALE_CORE14
                             if n in scale_timings
                         ),
                         3,

@@ -537,3 +537,32 @@ def test_sketch_hll_within_documented_error(spark):
         assert abs(est - exact[k]) <= max(2.0, 0.065 * exact[k]), (
             k, est, exact[k],
         )
+
+
+def test_quantile_bucketing_approx_envelope(spark):
+    """The approx (sketch-cut) bucketizer must agree with the exact
+    form within approx_percentile's documented rank-error bound:
+    accuracy=10000 shifts each cut by at most n/10000 ranks, so each
+    decile population may differ from the exact form's by at most
+    2*n/10000 (both neighboring cuts can shift) plus tie mass at the
+    cut value — pinned here at 2% of n per bucket, floor 4 rows."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    exact = {
+        r.bucket: r.n_rows
+        for r in REGISTRY["quantile_bucketing"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.bucket: r.n_rows
+        for r in REGISTRY["quantile_bucketing_approx"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    n = sum(exact.values())
+    assert sum(approx.values()) == n  # bucketing never drops rows
+    assert set(approx) <= set(range(1, 11))
+    for b in range(1, 11):
+        tol = max(4, int(0.02 * n))
+        assert abs(approx.get(b, 0) - exact.get(b, 0)) <= tol, (
+            b, approx.get(b, 0), exact.get(b, 0), tol,
+        )

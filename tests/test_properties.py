@@ -278,3 +278,27 @@ def test_simhash_jvm_signatures_match_python_model(spark, texts):
     got = {r["id"]: r["simhash"] for r in dd.simhash_signatures(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _simhash_model(t), (i, t)
+
+
+def test_minhash_null_text_maps_to_sentinel(spark):
+    """Latent r4 divergence (ADVICE): NULL text skipped the
+    size(shingles)=0 sentinel branch (size(NULL) is NULL) and yielded
+    an array of 32 NULLs. with_shingles now coalesces text to '' so
+    NULL docs get the same _P31 sentinel as empty docs — matching the
+    Python model, the retired kernel, and the DuckDB oracle."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "alpha beta gamma delta")],
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]),
+    )
+    got = {r["id"]: list(r["sig"]) for r in dd.minhash_signatures(df).collect()}
+    sentinel = [dd._P31] * dd.N_HASHES
+    assert got[0] == sentinel
+    assert got[1] == sentinel
+    assert got[2] == _minhash_model("alpha beta gamma delta")
+    assert None not in got[2]

@@ -48,6 +48,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = pd.to_datetime(s).dt.tz_localize(None)
             except TypeError:
                 pass
+            # unify the storage unit: Spark's toPandas yields [ns],
+            # DuckDB's fetchdf yields [us]; equal timestamps stringify
+            # identically under the driver's hash (period_over_period
+            # was hash-green r4 with exactly this split), so a unit
+            # difference is not a real DTYPE hazard
+            df[c] = df[c].astype("datetime64[ns]")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(6)
     return df.sort_values(by=list(df.columns), ignore_index=True,
@@ -89,13 +95,20 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame):
         s, o = _canon(sdf), _canon(odf)
     except Exception as exc:  # unhashable list cells etc.
         return "ERR", f"canon: {type(exc).__name__}: {exc}"
-    # dtype equality AFTER canonicalization: an int64 Spark column vs a
-    # float64 oracle column stringifies differently under the driver's
-    # hash even when every value compares numerically equal
+    # dtype-KIND equality AFTER canonicalization: an int64 Spark column
+    # vs a float64 oracle column stringifies differently under the
+    # driver's hash even when every value compares numerically equal
+    # (cross_tab r4). Width differences within a kind (int64 vs uint32
+    # — agg_regression, driver-green r4) render identically, so only
+    # the kind must match.
+    kind_of = {"i": "int", "u": "int", "f": "float", "b": "bool",
+               "M": "datetime", "m": "timedelta", "O": "object"}
     for col in s.columns:
-        sd, od = str(s[col].dtype), str(o[col].dtype)
-        if sd != od and not (sd == "object" and od == "object"):
-            return "DTYPE", f"col={col} spark={sd} oracle={od}"
+        sk = kind_of.get(s[col].dtype.kind, s[col].dtype.kind)
+        ok = kind_of.get(o[col].dtype.kind, o[col].dtype.kind)
+        if sk != ok:
+            return "DTYPE", (f"col={col} spark={s[col].dtype} "
+                             f"oracle={o[col].dtype}")
     for col in s.columns:
         for i, (x, y) in enumerate(zip(s[col].tolist(), o[col].tolist())):
             cx, cy = _cell(x), _cell(y)
