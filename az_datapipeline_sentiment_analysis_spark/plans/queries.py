@@ -1450,18 +1450,40 @@ def language_filter(spark, sf):
              {_LANG_HIT.format(STOP_SQL)} AS stop_hits
       FROM documents
     )
-    SELECT doc_id,
-           ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6) AS alpha_ratio,
-           ROUND(CASE WHEN toks = 0 THEN 0.0 ELSE stop_hits * 1.0 / toks END, 6)
-               AS stopword_ratio,
-           ROUND(0.5 * ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6)
-               + 0.3 * (least(n, 400) * 1.0 / 400.0)
-               + 0.2 * (1.0 - ROUND(CASE WHEN toks = 0 THEN 0.0
-                                         ELSE stop_hits * 1.0 / toks END, 6)), 6)
-               AS quality
-    FROM t
+    SELECT doc_id, alpha_ratio, stopword_ratio,
+           -- composite assembled in INTEGER micro-units: the weighted
+           -- sum of three 6-decimal terms is an exact 7-decimal
+           -- quantity, so a float ROUND sits on a genuine half-way
+           -- tie whenever the 7th digit is 5 and engines disagree by
+           -- one ulp of dust (one real sf0.1 row). 5*A + 3*L +
+           -- 2*(1e6-S) is exact int64; (+5) // 10 is half-up.
+           CAST((5 * a_u + 3 * l_u + 2 * (1000000 - s_u) + 5) // 10
+                AS DOUBLE) / 1000000.0 AS quality
+    FROM (
+      SELECT doc_id,
+             ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6)
+                 AS alpha_ratio,
+             ROUND(CASE WHEN toks = 0 THEN 0.0
+                        ELSE stop_hits * 1.0 / toks END, 6)
+                 AS stopword_ratio,
+             CAST(ROUND(ROUND(CASE WHEN n = 0 THEN 0.0
+                                   ELSE alpha * 1.0 / n END, 6)
+                        * 1000000, 0) AS BIGINT) AS a_u,
+             CAST(ROUND(ROUND(CASE WHEN toks = 0 THEN 0.0
+                                   ELSE stop_hits * 1.0 / toks END, 6)
+                        * 1000000, 0) AS BIGINT) AS s_u,
+             CAST(least(n, 400) AS BIGINT) * 2500 AS l_u
+      FROM t
+    )
     """,
-    "Document quality scoring (length/alpha/stopword ratios).",
+    "Document quality scoring (length/alpha/stopword ratios). The"
+    " composite score is assembled in integer micro-units on both"
+    " engines: each 6-decimal term scales exactly to int64, the"
+    " weighted sum stays integer, and the final half-up rounding is"
+    " integer division — no float tie-break anywhere, so the driver"
+    " hash is stable at every scale (a float ROUND of the 7-decimal"
+    " sum has real half-way ties that one-ulp cross-engine dust"
+    " flips; first observed at sf0.1).",
 )
 def text_quality(spark, sf):
     d = _t(spark, sf, "documents")
@@ -1481,17 +1503,20 @@ def text_quality(spark, sf):
             6,
         ).alias("stopword_ratio"),
     )
-    length_term = F.least(F.col("n"), F.lit(400)).cast("double") / F.lit(400.0)
+    # integer micro-unit assembly — see the oracle SQL comment: the
+    # weighted sum of 6-decimal terms is exact in int64 and the
+    # half-up tie-break is integer division, so no float boundary
+    # exists for cross-engine dust to flip
+    a_u = F.round(F.col("alpha_ratio") * 1000000, 0).cast("long")
+    s_u = F.round(F.col("stopword_ratio") * 1000000, 0).cast("long")
+    l_u = F.least(F.col("n"), F.lit(400)).cast("long") * 2500
+    q_u = 5 * a_u + 3 * l_u + 2 * (F.lit(1000000) - s_u) + 5
+    q6 = F.floor(q_u / F.lit(10)).cast("long")  # half-up in int space
     return base.select(
         "doc_id",
         "alpha_ratio",
         "stopword_ratio",
-        F.round(
-            0.5 * F.col("alpha_ratio")
-            + 0.3 * length_term
-            + 0.2 * (1.0 - F.col("stopword_ratio")),
-            6,
-        ).alias("quality"),
+        (q6.cast("double") / F.lit(1000000.0)).alias("quality"),
     )
 
 
@@ -2392,6 +2417,10 @@ _RECHECK = frozenset(
     {
         "cross_tab", "bigram_pmi", "agg_moments", "embed_centroid",
         "agg_regression", "cdc_apply",
+        # sf0.1 sweep catch: the composite quality score had genuine
+        # 7th-digit half-way ties that one-ulp dust flips; the score
+        # is now assembled in integer micro-units on both engines
+        "text_quality",
     }
 )
 

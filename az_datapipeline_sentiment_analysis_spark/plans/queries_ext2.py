@@ -495,3 +495,227 @@ def integrity_checksum(spark, sf):
             " CAST(n_chars AS STRING))), 1, 15), 16, 10) AS BIGINT))"
         ).alias("checksum"),
     )
+
+
+# =====================================================================
+# Round-5 widening: time-series smoothing, robust anomaly detection,
+# graph degree distribution, funnel conversion latency
+# =====================================================================
+
+_EWMA_ALPHA = 0.3
+_EWMA_DEPTH = 12
+
+
+def _ewma_oracle_sql() -> str:
+    """Truncated-kernel EWMA unrolled as explicit LAG terms (identical
+    arithmetic to the Spark expression, so parity is exact)."""
+    terms_num, terms_den = [], []
+    for k in range(_EWMA_DEPTH):
+        w = f"POW({1.0 - _EWMA_ALPHA}, {k})"
+        lagv = f"LAG(value, {k}) OVER w" if k else "value"
+        terms_num.append(f"COALESCE({lagv}, 0.0) * {w}"
+                         f" * (CASE WHEN {lagv} IS NULL THEN 0 ELSE 1 END)")
+        terms_den.append(f"{w} * (CASE WHEN {lagv} IS NULL THEN 0 ELSE 1 END)")
+    num = " + ".join(terms_num)
+    den = " + ".join(terms_den)
+    return f"""
+    SELECT event_id, event_type,
+           ROUND(value, 4) AS value,
+           ROUND(({num}) / ({den}), 4) + 0.0 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@_q(
+    "ewma_smooth",
+    _ewma_oracle_sql(),
+    "Exponentially-weighted moving average with a TRUNCATED kernel"
+    " (alpha=0.3, depth 12): the smoothing pass of a metrics /"
+    " anomaly pipeline. The textbook recursive EWMA is not"
+    " expressible as a window aggregate (each output depends on the"
+    " previous OUTPUT, not the previous inputs), so the kernel is"
+    " truncated at 12 lags where the dropped tail weight is"
+    " (1-a)^12 ~ 1.4% and renormalized over the present terms —"
+    " a standard streaming approximation, and the SAME truncation"
+    " runs in both engines, so parity is exact, not approximate."
+    " Physically this is one sort per event_type hash partition and"
+    " 12 register-level lag reads per row inside a single Window"
+    " operator (all 12 LAGs share one frame) — map-only after the"
+    " one shuffle, no joins, linear at any scale.",
+)
+def ewma_smooth(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_DEPTH):
+        wk = (1.0 - _EWMA_ALPHA) ** k
+        lagv = F.lag("value", k).over(w) if k else F.col("value")
+        present = F.when(lagv.isNull(), 0.0).otherwise(1.0)
+        num = num + F.coalesce(lagv, F.lit(0.0)) * F.lit(wk) * present
+        den = den + F.lit(wk) * present
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        (F.round(num / den, 4) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+@_q(
+    "anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 4) AS value,
+           ROUND((d.value - d.med) / (1.4826 * s.mad), 4) + 0.0
+             AS robust_z
+    FROM dev d JOIN mad s ON d.event_type = s.event_type
+    WHERE ABS(d.value - d.med) > 3 * 1.4826 * s.mad
+    """,
+    "Robust anomaly detection via the median absolute deviation: flag"
+    " rows whose |x - median| exceeds 3 scaled MADs (1.4826 makes MAD"
+    " a consistent sigma estimator under normality). Unlike the"
+    " mean/stddev z-score (grouped_zscore), the breakdown point is"
+    " 50% — the outliers themselves cannot drag the threshold. Two"
+    " tiny per-group aggregates (median, then MAD of deviations)"
+    " broadcast back onto the stream; the flagging pass is map-only."
+    " Same honest scale note as quantile_bucketing: the EXACT median"
+    " is an ObjectHashAggregate — at 100 TB swap approx_percentile"
+    " into the med/mad CTEs and keep the identical broadcast+filter"
+    " shape.",
+)
+def anomaly_mad(spark, sf):
+    ev = _t(spark, sf, "events")
+    med = ev.groupBy(F.col("event_type").alias("mt")).agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("mt")
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy(F.col("event_type").alias("st")).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("st"))
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            (
+                F.round(
+                    (F.col("value") - F.col("med"))
+                    / (1.4826 * F.col("mad")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("robust_z"),
+        )
+    )
+
+
+@_q(
+    "graph_degree_hist",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT u, COUNT(*) AS degree FROM e0 GROUP BY u)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    "Degree distribution of the part co-occurrence graph (same edge"
+    " derivation as graph_pagerank): degree per node, then nodes per"
+    " degree — the first diagnostic run on any graph before an"
+    " iterative algorithm (a heavy tail predicts skewed join keys and"
+    " motivates salting). Two hash aggregations after the edge"
+    " self-join; the histogram reduce side is bounded by the number"
+    " of DISTINCT degrees (sublinear in nodes), so the final agg is"
+    " near-free at any scale.",
+)
+def graph_degree_hist(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = e0.groupBy("u").agg(F.count("*").alias("degree"))
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+@_q(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT p.user_id,
+           CAST(epoch_ms(p.pts) - epoch_ms(v.vts) AS BIGINT) AS conv_ms
+    FROM p JOIN v ON p.user_id = v.user_id
+    """,
+    "Funnel conversion latency: per user, milliseconds from first"
+    " 'view' to the first 'purchase' at-or-after it — the"
+    " time-to-convert metric behind funnel_steps' conversion counts."
+    " Integer epoch-millisecond arithmetic on both engines (no float,"
+    " no truncation ambiguity). Both pre-aggregates and the final"
+    " join are keyed on user_id, so one hash partitioning serves the"
+    " whole plan; the first-view aggregate is a partial-agg-friendly"
+    " MIN, never a sort.",
+)
+def funnel_time_to_convert(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return p.join(v, "user_id").select(
+        "user_id",
+        (F.unix_millis("pts") - F.unix_millis("vts"))
+        .cast("long")
+        .alias("conv_ms"),
+    )

@@ -29,7 +29,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
 
-# heavier subset re-run at the replicated scale (single shot each)
+# heavier subset re-run at the replicated scale (single shot each).
+# Timing-noise note (round 5): the r4 10x outliers q5 (3.87s) and q8
+# (5.43s) were re-measured in ISOLATION (3 runs, nothing co-resident,
+# warm page cache) at best-of-3 q5=1.18s / q8=1.88s — back at round-3
+# levels, so the r4 jump was co-scheduling noise from the widened
+# suite, not a plan regression (git confirmed no TPC-H code change).
+# Single-shot numbers for broadcast-join queries on a 32-thread box
+# carry up to ~3x run-to-run spread; compare the frozen subtotals
+# across rounds, not individual scale queries.
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q5_local_supplier",

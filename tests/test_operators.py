@@ -566,3 +566,32 @@ def test_quantile_bucketing_approx_envelope(spark):
         assert abs(approx.get(b, 0) - exact.get(b, 0)) <= tol, (
             b, approx.get(b, 0), exact.get(b, 0), tol,
         )
+
+
+def test_sketch_kll_rank_error_above_capacity(spark):
+    """At sf0.1 the per-type event groups (~20k-30k rows) exceed the
+    KLL sketch's k=8192 exact retention, so the quartiles are genuinely
+    approximate there (the one documented by-design mirror divergence).
+    This pins the ACCURACY: each estimated quartile's true rank must be
+    within 1% of its target — far looser than KLL's theoretical error
+    at k=8192, tight enough to catch a mis-wired sketch."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.1"
+    got = REGISTRY["sketch_kll_quantiles"].fn(spark, sf)
+    ev = table(spark, sf, "events")
+    ranks = (
+        ev.join(F.broadcast(got), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q25")).cast("double")).alias("r25"),
+            F.avg((F.col("value") <= F.col("q50")).cast("double")).alias("r50"),
+            F.avg((F.col("value") <= F.col("q75")).cast("double")).alias("r75"),
+        )
+        .collect()
+    )
+    assert len(ranks) > 0
+    for r in ranks:
+        for target, rank in ((0.25, r.r25), (0.5, r.r50), (0.75, r.r75)):
+            assert abs(rank - target) <= 0.01, (r.event_type, target, rank)
