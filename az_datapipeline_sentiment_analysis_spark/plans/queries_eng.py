@@ -1437,3 +1437,44 @@ def graph_pagerank(spark, sf):
             )
         e0.unpersist()
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+@_q(
+    "minmax_scaler_join",
+    """
+    WITH s AS (
+      SELECT c_mktsegment,
+             MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND((c.c_acctbal - s.lo) / (s.hi - s.lo), 6) AS acctbal_scaled
+    FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment
+    """,
+    "The at-scale twin of minmax_scaler: per-group extrema from a"
+    " 5-row aggregate broadcast-joined back onto the stream, instead"
+    " of a whole-partition unordered window frame. Identical output;"
+    " different physics — the window form shuffles every customer row"
+    " into per-segment partitions and holds each partition for the"
+    " frame evaluation, while this form's fact scan never shuffles at"
+    " all (the only exchange is the 5-row aggregate), which is the"
+    " shape that survives 100 TB with few groups. Kept alongside the"
+    " window form so both paths stay driver-checked.",
+)
+def minmax_scaler_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    s = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    return (
+        c.join(F.broadcast(s), F.col("c_mktsegment") == F.col("seg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(
+                (F.col("c_acctbal") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("acctbal_scaled"),
+        )
+    )

@@ -142,3 +142,40 @@ def test_quantile_bucketing_single_percentile(spark):
     df = REGISTRY["quantile_bucketing"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("percentile(l_extendedprice") <= 4, plan
+
+
+def test_quantile_bucketing_approx_no_exact_percentile(spark):
+    # the approx twin's reason to exist: the cut computation must be
+    # the mergeable sketch (approx_percentile), never the exact
+    # Percentile that buffers the column per partition — and the
+    # bucket assignment must stay window-free like the exact form
+    plan = _formatted_plan(spark, "quantile_bucketing_approx")
+    assert "approx_percentile" in plan, plan
+    assert "percentile(" not in plan.replace("approx_percentile(", ""), plan
+    assert "Window" not in plan, plan
+
+
+def test_ewma_single_window_operator(spark):
+    # all 12 lag terms must share ONE Window frame (one sort per
+    # event_type partition); a second Window node means the lags were
+    # split into separate frame evaluations
+    plan = _formatted_plan(spark, "ewma_smooth")
+    # formatted output prints each node twice (tree + detail section);
+    # count the "(n) Window" detail headers
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_minmax_scaler_join_no_fact_shuffle(spark):
+    # the broadcast-twin's contract: the customer fact scan reaches
+    # the projection without a Window and with the extrema joined via
+    # broadcast — the only exchange feeds the 5-row aggregate
+    plan = _formatted_plan(spark, "minmax_scaler_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    # both per-group stats frames are group-cardinality-sized; each
+    # must broadcast so the event stream is never repartitioned
+    plan = _formatted_plan(spark, "anomaly_mad")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
