@@ -2292,6 +2292,7 @@ def win_ntile(spark, sf):
 from . import queries_eng as _eng  # noqa: E402,F401
 from . import queries_ext as _ext  # noqa: E402,F401
 from . import queries_ext2 as _ext2  # noqa: E402,F401
+from . import queries_ext3 as _ext3  # noqa: E402,F401
 from . import queries_llm as _llm  # noqa: E402,F401
 from . import queries_stats as _stats  # noqa: E402,F401
 from . import queries_tpch as _tpch  # noqa: E402,F401

@@ -1,0 +1,366 @@
+"""Round-5 second widening: sequence analytics, token accounting,
+distribution diagnostics.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). The batch covers the remaining north-star text
+operator (BPE-ish token counting — the budget unit every training-data
+pipeline reports in), event-sequence analytics the reference's Grafana
+read path implies (transition matrices, OHLC rollups, rolling active
+users — applications/applications.tf:135-145), and two distribution
+diagnostics (per-group entropy, chi-square independence) that a
+curation pass runs before committing to a domain mix.
+
+Conventions (round-4 lessons, see SURVEY §2.3): every integer
+aggregate in oracle SQL is CAST to BIGINT (DuckDB SUM/COUNT windows
+return HUGEINT which renders float64 through fetchdf), and every
+ROUNDed float that can be zero gets ``+ 0.0`` on both engines to
+collapse IEEE signed zero. Everything is JVM-side built-ins — no
+Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+
+
+# =====================================================================
+# BPE-ish token counting (training-budget accounting)
+# =====================================================================
+
+# GPT-2-style pre-tokenizer shape, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backrefs. Order matters — alternation is first-match
+# in both engines.
+_BPE_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
+
+
+@_q(
+    "token_bpe_count",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(length(regexp_extract_all(text,
+             '{pat}')) AS BIGINT) AS bpe_tokens,
+           CASE WHEN length(regexp_extract_all(text, '{pat}')) = 0
+                THEN NULL
+                ELSE ROUND(CAST(n_chars AS DOUBLE)
+                     / length(regexp_extract_all(text, '{pat}')), 4)
+                     + 0.0
+           END AS chars_per_tok
+    FROM documents
+    """.replace("{pat}", _BPE_PAT.replace("'", "''")),
+    "Token counting with a whitespace baseline and a BPE-ish"
+    " pre-tokenizer regex (GPT-2 shape: contractions, letter runs,"
+    " digit runs, punctuation runs, single whitespace) — the unit"
+    " every training-data budget is denominated in. The pattern uses"
+    " only constructs with identical semantics in Java regex and RE2"
+    " so the oracle is exact. chars-per-token is the compression"
+    " diagnostic curation dashboards track per source. Map-only —"
+    " one scan, zero shuffles, linear at any corpus size; regexp_count"
+    " is codegen'd JVM work, no Python workers.",
+)
+def token_bpe_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
+        .cast("long")
+        .alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.when(bpe == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("n_chars").cast("double") / bpe, 4) + F.lit(0.0)
+        )
+        .alias("chars_per_tok"),
+    )
+
+
+# =====================================================================
+# Event-type Markov transition matrix
+# =====================================================================
+
+@_q(
+    "markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+             PARTITION BY prev_type) AS DOUBLE), 6) + 0.0 AS p
+    FROM cells
+    """,
+    "First-order Markov transition matrix over per-user event"
+    " sequences: LAG pairs each event with its predecessor, a"
+    " co-keyed group-by counts (prev, next) cells, and the row-"
+    " normalized probability comes from a window over the"
+    " |event_types|^2-row cell frame (25 rows here — the windowed"
+    " normalization runs on the POST-aggregate frame, never the raw"
+    " stream). One shuffle on user_id shared by the sort and nothing"
+    " else; the cell aggregation is map-side-combined into a tiny"
+    " frame. The sessionize_events partitioning would be reusable"
+    " here on a warm exchange.",
+)
+def markov_transitions(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cells = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(wp).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p"),
+    )
+
+
+# =====================================================================
+# Hourly OHLC bars (open/high/low/close time-series rollup)
+# =====================================================================
+
+@_q(
+    "ohlc_bars",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_hour,
+           ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id), 4)
+             + 0.0 AS open,
+           ROUND(MAX(value), 4) + 0.0 AS high,
+           ROUND(MIN(value), 4) + 0.0 AS low,
+           ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id), 4)
+             + 0.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "Hourly OHLC bars per event type — the classic time-series"
+    " downsample behind every metrics dashboard. Open/close are"
+    " argmin/argmax over a composite (epoch-millis, event_id) int64"
+    " ordering key (ms * 1e6 + id keeps lexicographic order exact"
+    " while event_id < 1e6; larger id domains widen the multiplier),"
+    " so the bar is deterministic even under equal timestamps. ONE"
+    " hash aggregate — min_by/max_by/min/max/count all fold into the"
+    " same partial+final pass, no window, no sort, no second scan;"
+    " cardinality out is types x hours, bounded regardless of row"
+    " count.",
+)
+def ohlc_bars(spark, sf):
+    e = _t(spark, sf, "events")
+    ordk = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            (F.round(F.min_by("value", ordk), 4) + F.lit(0.0)).alias("open"),
+            (F.round(F.max("value"), 4) + F.lit(0.0)).alias("high"),
+            (F.round(F.min("value"), 4) + F.lit(0.0)).alias("low"),
+            (F.round(F.max_by("value", ordk), 4) + F.lit(0.0)).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# =====================================================================
+# Per-group label-distribution entropy (domain-mix diagnostic)
+# =====================================================================
+
+@_q(
+    "entropy_by_group",
+    """
+    WITH lc AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    shares AS (
+      SELECT source, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY source)
+               AS DOUBLE) AS p
+      FROM lc
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(SUM(-p * log2(p)), 6) + 0.0 AS lang_entropy
+    FROM shares
+    GROUP BY source
+    """,
+    "Shannon entropy of the language distribution within each source"
+    " — the domain-mix diagnostic a curation pass reports before"
+    " rebalancing (domain_mix_rebalance is the acting twin; this is"
+    " the measuring one). Two stacked aggregations: the raw scan"
+    " collapses to a (source, lang) count frame (map-side combined,"
+    " one shuffle), and the entropy reduction runs entirely on that"
+    " tiny frame. A single-language source yields -(1*log2(1)) ="
+    " IEEE -0.0 — exactly the render hazard class round 4 exposed —"
+    " so both engines append + 0.0.",
+)
+def entropy_by_group(spark, sf):
+    d = _t(spark, sf, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    ws = Window.partitionBy("source")
+    p = F.col("n").cast("double") / F.sum("n").over(ws).cast("double")
+    terms = lc.select(
+        "source", "n", (-p * F.log2(p)).alias("term")
+    )
+    return terms.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("lang_entropy"),
+    )
+
+
+# =====================================================================
+# Chi-square independence test (segment x region contingency)
+# =====================================================================
+
+@_q(
+    "chi2_independence",
+    """
+    WITH obs AS (
+      SELECT c_mktsegment AS segment, n.n_regionkey AS regionkey,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c_mktsegment, n.n_regionkey
+    ),
+    m AS (
+      SELECT segment, regionkey, obs,
+             CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS rs,
+             CAST(SUM(obs) OVER (PARTITION BY regionkey) AS BIGINT) AS cs,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM obs
+    )
+    SELECT segment, regionkey, obs,
+           ROUND(CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS expected,
+           ROUND(
+             POW(CAST(obs AS DOUBLE) - CAST(rs AS DOUBLE)
+                 * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) + 0.0 AS chi2_cell
+    FROM m
+    """,
+    "Pearson chi-square independence cells for the market-segment x"
+    " region contingency (the A/B-test / drift-detection primitive):"
+    " observed counts from ONE broadcast-joined aggregate over the"
+    " fact table, then expected counts and per-cell chi-square"
+    " contributions derived from the segments x regions cell frame"
+    " ITSELF via windows (the margins are re-aggregations of the 25"
+    " cells — no second scan of customer). The test statistic is"
+    " SUM(chi2_cell) with (|seg|-1)(|reg|-1) dof; cells are emitted"
+    " so the oracle checks every intermediate, not one opaque scalar."
+    " Expected/chi2 arithmetic is pinned to double-by-double in both"
+    " engines (BIGINT margins would otherwise go HUGEINT in DuckDB).",
+)
+def chi2_independence(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    obs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rs = F.sum("obs").over(Window.partitionBy("segment")).cast("double")
+    cs = F.sum("obs").over(Window.partitionBy("regionkey")).cast("double")
+    tot = F.sum("obs").over(
+        Window.partitionBy()
+    ).cast("double")
+    exp = rs * cs / tot
+    return obs.select(
+        "segment",
+        "regionkey",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        (
+            F.round(
+                F.pow(F.col("obs").cast("double") - exp, 2) / exp, 6
+            )
+            + F.lit(0.0)
+        ).alias("chi2_cell"),
+    )
+
+
+# =====================================================================
+# Rolling 7-day active users (sliding distinct over time)
+# =====================================================================
+
+@_q(
+    "rolling_wau",
+    """
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ),
+    ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN ud ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    "Rolling 7-day active users per calendar day — the sliding"
+    " COUNT(DISTINCT) that naive SQL writes as a distinct-over-range-"
+    " window (quadratic state, unbounded at scale). The scale-safe"
+    " rewrite: collapse the stream to distinct (user, day) pairs"
+    " (bounded by users x days, map-side combined), EXPLODE each pair"
+    " into the <=7 future days it keeps the user active for"
+    " (sequence + explode, a fixed x7 expansion of the already-tiny"
+    " frame), semi-join against observed days so synthetic trailing"
+    " days vanish, then one count-distinct per day. Every shuffle"
+    " runs on user x day cardinality, never raw events; the same"
+    " shape computes MAU with a 30-wide kernel. Same first-touch"
+    " philosophy as cumulative_distinct_users: rewrite the windowed"
+    " distinct into set algebra the engine can partial-aggregate.",
+)
+def rolling_wau(spark, sf):
+    e = _t(spark, sf, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

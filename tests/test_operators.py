@@ -595,3 +595,128 @@ def test_sketch_kll_rank_error_above_capacity(spark):
     for r in ranks:
         for target, rank in ((0.25, r.r25), (0.5, r.r50), (0.75, r.r75)):
             assert abs(rank - target) <= 0.01, (r.event_type, target, rank)
+
+
+def test_markov_transition_rows_sum_to_one(spark):
+    """Each prev_type's outgoing probabilities must sum to ~1 and its
+    cell counts must total the number of lagged successor events."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["markov_transitions"].fn(spark, SF_SMOKE).collect()
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+        total += r.n
+    assert by_prev and all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
+    ev = table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes one transition
+    assert total == n_events - n_users
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open/close <= high per bar, and bar event counts total
+    the table's row count (no event lost to the rollup)."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["ohlc_bars"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+    assert sum(r.n_events for r in rows) == table(
+        spark, SF_SMOKE, "events"
+    ).count()
+
+
+def test_entropy_bounds_and_singleton_zero(spark):
+    """0 <= H <= log2(n_langs); a synthetic single-language frame must
+    yield exactly 0.0 (the signed-zero hazard collapsed)."""
+    from az_datapipeline_sentiment_analysis_spark.plans import queries_ext3 as x3
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+    import math
+
+    for r in REGISTRY["entropy_by_group"].fn(spark, SF_SMOKE).collect():
+        assert -0.0 < r.lang_entropy + 1e-12  # never negative
+        assert r.lang_entropy <= math.log2(r.n_langs) + 1e-9
+
+    one = spark.createDataFrame(
+        [Row(source="s", lang="en")] * 5
+    )
+    lc = one.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    # reuse the query's arithmetic shape directly on the tiny frame
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("source")
+    p = F.col("n").cast("double") / F.sum("n").over(ws).cast("double")
+    h = (
+        lc.select("source", (-p * F.log2(p)).alias("t"))
+        .groupBy("source")
+        .agg((F.round(F.sum("t"), 6) + F.lit(0.0)).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert repr(h) == "0.0"  # not -0.0
+
+
+def test_chi2_cells_margins_consistent(spark):
+    """Cell observed counts must total |customer|, and the expected
+    counts must reproduce the row/column margins exactly."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["chi2_independence"].fn(spark, SF_SMOKE).collect()
+    n_cust = table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.obs for r in rows) == n_cust
+    exp_by_seg = defaultdict(float)
+    obs_by_seg = defaultdict(int)
+    for r in rows:
+        exp_by_seg[r.segment] += r.expected
+        obs_by_seg[r.segment] += r.obs
+    for seg in obs_by_seg:
+        assert abs(exp_by_seg[seg] - obs_by_seg[seg]) < 1e-3
+
+
+def test_rolling_wau_bounds(spark):
+    """WAU must dominate the daily DAU, never exceed the 7-day true
+    distinct union, and match a brute-force check on the smoke table."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.day: r.wau
+        for r in REGISTRY["rolling_wau"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    pairs = [
+        (r.day, r.user_id)
+        for r in ev.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct().collect()
+    ]
+    days = sorted({d for d, _ in pairs})
+    assert set(got) == set(days)
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        expect = len({u for dd, u in pairs if lo <= dd <= d})
+        assert got[d] == expect, (d, got[d], expect)
+
+
+def test_token_bpe_counts_monotone(spark):
+    """BPE-ish tokens are never fewer than whitespace tokens (the
+    pattern splits at least at whitespace boundaries) and the per-doc
+    compression ratio stays positive and bounded by the doc length."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["token_bpe_count"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.bpe_tokens >= r.ws_tokens
+        if r.chars_per_tok is not None:
+            assert 0 < r.chars_per_tok <= r.n_chars

@@ -179,3 +179,47 @@ def test_anomaly_mad_broadcasts_stats(spark):
     # must broadcast so the event stream is never repartitioned
     plan = _formatted_plan(spark, "anomaly_mad")
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_token_bpe_count_map_only(spark):
+    # token accounting is a pure scan-project: any Exchange means a
+    # shuffle was introduced into what must stay a map-only pass
+    plan = _formatted_plan(spark, "token_bpe_count")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ohlc_bars_single_aggregate_no_window(spark):
+    # open/high/low/close/count must fold into ONE partial+final hash
+    # aggregate pair — a Window (or a second agg over the fact) would
+    # re-sort types x hours worth of raw events at 100 TB
+    plan = _formatted_plan(spark, "ohlc_bars")
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) == 2, plan
+
+
+def test_markov_transitions_single_raw_shuffle(spark):
+    # the user_id sort shuffle is the only exchange allowed over raw
+    # events; the normalization window must run on the post-aggregate
+    # |types|^2 cell frame (its exchange moves ~25 rows)
+    plan = _formatted_plan(spark, "markov_transitions")
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+
+def test_rolling_wau_no_window_no_cartesian(spark):
+    # the sliding-distinct rewrite's contract: explode + semi-join +
+    # count-distinct, never a distinct-over-range-window and never a
+    # day-range cross join against raw events
+    plan = _formatted_plan(spark, "rolling_wau")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chi2_margins_from_cell_frame(spark):
+    # observed cells come from ONE broadcast-joined scan of customer;
+    # the margins must derive from the 25-cell frame via windows, so
+    # customer appears exactly once in the plan
+    plan = _formatted_plan(spark, "chi2_independence")
+    assert plan.count("customer.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
