@@ -364,3 +364,158 @@ def rolling_wau(spark, sf):
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+# =====================================================================
+# Welch's t-test (one-vs-rest per region: the A/B significance shape)
+# =====================================================================
+
+@_q(
+    "welch_ttest",
+    """
+    WITH cells AS (
+      SELECT n.n_regionkey AS regionkey, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(c.c_acctbal), 6) AS m,
+             ROUND(var_samp(c.c_acctbal), 4) AS v
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, c.c_mktsegment
+    ),
+    tot AS (
+      SELECT regionkey, segment, n, m, v,
+             CAST(SUM(n) OVER (PARTITION BY regionkey) AS BIGINT) - n
+               AS n2,
+             ROUND((SUM(n * m) OVER (PARTITION BY regionkey) - n * m)
+               / (SUM(n) OVER (PARTITION BY regionkey) - n), 6) AS m2,
+             ROUND((SUM((n - 1) * v + n * m * m) OVER (
+                     PARTITION BY regionkey)
+                    - ((n - 1) * v + n * m * m)
+                    - (SUM(n * m) OVER (PARTITION BY regionkey) - n * m)
+                      * (SUM(n * m) OVER (PARTITION BY regionkey)
+                         - n * m)
+                      / (SUM(n) OVER (PARTITION BY regionkey) - n))
+                   / (SUM(n) OVER (PARTITION BY regionkey) - n - 1),
+                   4) AS v2
+      FROM cells
+    )
+    SELECT regionkey, segment, n, m, v, n2, m2, v2,
+           ROUND((m - m2) / sqrt(v / n + v2 / n2), 6) + 0.0 AS t_stat,
+           ROUND(POW(v / n + v2 / n2, 2)
+                 / (POW(v / n, 2) / (n - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 4) + 0.0 AS dof
+    FROM tot
+    """,
+    "Welch's unequal-variance t-test, one segment vs the rest of its"
+    " region, over customer account balances — the A/B-significance"
+    " primitive next to chi2_independence's categorical test. ONE"
+    " broadcast-joined aggregate collapses the fact table to 25"
+    " (region, segment) moment cells; the complement group's"
+    " mean/variance come from the pooled-moments identity over that"
+    " cell frame (windows on 25 rows — customer is scanned once)."
+    " Cross-engine float discipline: cell means/variances are rounded"
+    " FIRST on both engines, then t and the Welch-Satterthwaite dof"
+    " are deterministic functions of identical quantized inputs — no"
+    " compounding of last-ulp aggregate dust through the division.",
+)
+def welch_ttest(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 6).alias("m"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("v"),
+        )
+    )
+    w = Window.partitionBy("regionkey")
+    nn = F.col("n")
+    sum_n = F.sum("n").over(w)
+    sum_nm = F.sum(nn * F.col("m")).over(w)
+    # pooled sum of squares: (n-1)v + n m^2 reconstructs each cell's
+    # raw sum-of-squares from its quantized moments
+    ss_cell = (nn - 1) * F.col("v") + nn * F.col("m") * F.col("m")
+    sum_ss = F.sum(ss_cell).over(w)
+    n2 = sum_n - nn
+    s2 = sum_nm - nn * F.col("m")  # complement sum of values
+    m2 = F.round(s2 / n2, 6)
+    v2 = F.round((sum_ss - ss_cell - s2 * s2 / n2) / (n2 - 1), 4)
+    se2 = F.col("v") / nn + F.col("v2") / F.col("n2")
+    return (
+        cells.select(
+            "regionkey", "segment", "n", "m", "v",
+            n2.alias("n2"), m2.alias("m2"), v2.alias("v2"),
+        )
+        .select(
+            "*",
+            (
+                F.round(
+                    (F.col("m") - F.col("m2")) / F.sqrt(se2), 6
+                )
+                + F.lit(0.0)
+            ).alias("t_stat"),
+            (
+                F.round(
+                    F.pow(se2, 2)
+                    / (
+                        F.pow(F.col("v") / F.col("n"), 2) / (F.col("n") - 1)
+                        + F.pow(F.col("v2") / F.col("n2"), 2)
+                        / (F.col("n2") - 1)
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dof"),
+        )
+    )
+
+
+# =====================================================================
+# Day-of-week seasonality profile
+# =====================================================================
+
+@_q(
+    "dow_seasonality",
+    """
+    WITH cells AS (
+      SELECT event_type, isodow(ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value) AS s
+      FROM events GROUP BY event_type, isodow(ts)
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow, n,
+           ROUND(s / n, 4) AS avg_value,
+           ROUND((s / n) / (SUM(s) OVER (PARTITION BY event_type)
+                            / SUM(n) OVER (PARTITION BY event_type)),
+                 4) + 0.0 AS seasonal_index
+    FROM cells
+    """,
+    "Day-of-week seasonality profile per event type: each (type, ISO"
+    " weekday) cell's average value expressed as an index against the"
+    " type's overall weighted average (1.0 = flat week) — the"
+    " pre-forecasting diagnostic every metrics pipeline runs. The"
+    " overall average is reconstructed from the 35-cell frame's own"
+    " sums via windows, so the raw stream is aggregated exactly once;"
+    " ISO weekday (Spark weekday()+1 == DuckDB isodow) avoids the"
+    " engines' conflicting Sunday-origin conventions.",
+)
+def dow_seasonality(spark, sf):
+    e = _t(spark, sf, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    w = Window.partitionBy("event_type")
+    overall = F.sum("s").over(w) / F.sum("n").over(w)
+    return cells.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n",
+        F.round(F.col("s") / F.col("n"), 4).alias("avg_value"),
+        (
+            F.round((F.col("s") / F.col("n")) / overall, 4) + F.lit(0.0)
+        ).alias("seasonal_index"),
+    )

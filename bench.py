@@ -74,6 +74,12 @@ SCALE_HEADLINE = [
     # curve against the mergeable approx_percentile form
     "quantile_bucketing",
     "quantile_bucketing_approx",
+    # round-5 sequence analytics: the user_id-shuffle lag pass and the
+    # explode-rewrite sliding distinct, both shapes whose cost is the
+    # shuffle replication hides at base scale
+    "markov_transitions",
+    "rolling_wau",
+    "ohlc_bars",
 ]
 
 HEADLINE = [
@@ -112,6 +118,11 @@ HEADLINE = [
     "unigram_logprob",
     "simhash_neardup",
     "quantile_bucketing_approx",
+    # round-5 additions: sequence analytics + token accounting
+    "markov_transitions",
+    "ohlc_bars",
+    "rolling_wau",
+    "token_bpe_count",
 ]
 
 

@@ -720,3 +720,50 @@ def test_token_bpe_counts_monotone(spark):
         assert r.bpe_tokens >= r.ws_tokens
         if r.chars_per_tok is not None:
             assert 0 < r.chars_per_tok <= r.n_chars
+
+
+def test_welch_ttest_against_scipy_free_reference(spark):
+    """Re-derive one region's one-vs-rest t statistic from raw data
+    with plain Python floats and compare to the operator's output."""
+    import math
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["welch_ttest"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    r0 = rows[0]
+    cust = table(spark, SF_SMOKE, "customer")
+    nat = table(spark, SF_SMOKE, "nation")
+    vals = [
+        (x.c_mktsegment, x.n_regionkey, x.c_acctbal)
+        for x in cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select("c_mktsegment", "n_regionkey", "c_acctbal")
+        .collect()
+    ]
+    a = [v for s, rk, v in vals if rk == r0.regionkey and s == r0.segment]
+    b = [v for s, rk, v in vals if rk == r0.regionkey and s != r0.segment]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert r0.n == len(a) and r0.n2 == len(b)
+    # operator quantizes moments before the division; agree to 1e-3
+    assert abs(r0.t_stat - t) < 1e-3, (r0.t_stat, t)
+
+
+def test_dow_seasonality_weighted_mean_is_one(spark):
+    """The n-weighted mean of each type's seasonal indices must be ~1
+    (the index is defined against the type's own weighted average)."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dow_seasonality"].fn(spark, SF_SMOKE).collect()
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        assert 1 <= r.dow <= 7
+        acc[r.event_type][0] += r.seasonal_index * r.n
+        acc[r.event_type][1] += r.n
+    assert acc
+    for et, (sw, n) in acc.items():
+        assert abs(sw / n - 1.0) < 1e-3, (et, sw / n)

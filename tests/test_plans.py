@@ -223,3 +223,20 @@ def test_chi2_margins_from_cell_frame(spark):
     plan = _formatted_plan(spark, "chi2_independence")
     assert plan.count("customer.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_welch_ttest_single_fact_scan(spark):
+    # moments come from ONE broadcast-joined aggregate; the complement
+    # group's stats derive from the 25-cell frame via windows, so
+    # customer must appear exactly once
+    plan = _formatted_plan(spark, "welch_ttest")
+    assert plan.count("customer.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dow_seasonality_single_aggregate(spark):
+    # the overall per-type average is reconstructed from the 35-cell
+    # frame's own sums — exactly one aggregation of raw events
+    plan = _formatted_plan(spark, "dow_seasonality")
+    assert plan.count("events.parquet") == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) == 2, plan
