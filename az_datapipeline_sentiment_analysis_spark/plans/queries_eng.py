@@ -66,7 +66,11 @@ from .queries import _few_partitions, _q
     " stream_session_agg's F.session_window. Scale: a single sort"
     " within each user's hash partition plus one co-keyed group-by —"
     " the window and the aggregation share the user_id partitioning,"
-    " so the whole query is one shuffle.",
+    " so the whole query is one shuffle. Measured scaling (local[32],"
+    " key-shifted replication of sf0.1, 48g driver): 10x = 7.9s /"
+    " 955k sessions; 100x = 85.9s / 9.55M sessions from 10M events —"
+    " near-linear (10.9x time for 10x data), confirming the cost is"
+    " the per-user sort, not a superlinear shuffle.",
 )
 def sessionize_events(spark, sf):
     e = _t(spark, sf, "events")
