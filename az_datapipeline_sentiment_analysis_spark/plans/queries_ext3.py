@@ -524,3 +524,125 @@ def dow_seasonality(spark, sf):
             F.round((F.col("s") / F.col("n")) / overall, 4) + F.lit(0.0)
         ).alias("seasonal_index"),
     )
+
+
+# =====================================================================
+# Interval-overlap join (sessions x incident windows, bucketed form)
+# =====================================================================
+
+@_q(
+    "interval_overlap_join",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_no
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+    ), incidents AS (
+      SELECT hr FROM hourly
+      QUALIFY cnt * (COUNT(*) OVER ()) * 10 >= 13 * (SUM(cnt) OVER ())
+    )
+    SELECT s.user_id, s.session_no,
+           CAST(SUM(
+             LEAST((epoch_us(s.s_end) // 1000000),
+                   (epoch_us(i.hr) // 1000000) + 3600)
+             - GREATEST((epoch_us(s.s_start) // 1000000),
+                        (epoch_us(i.hr) // 1000000))
+           ) AS BIGINT) AS overlap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM sessions s
+    JOIN incidents i
+      ON i.hr < s.s_end AND s.s_start < i.hr + INTERVAL 1 HOUR
+    WHERE (epoch_us(s.s_end) // 1000000) > (epoch_us(s.s_start) // 1000000)
+    GROUP BY s.user_id, s.session_no
+    HAVING SUM(
+             LEAST((epoch_us(s.s_end) // 1000000),
+                   (epoch_us(i.hr) // 1000000) + 3600)
+             - GREATEST((epoch_us(s.s_start) // 1000000),
+                        (epoch_us(i.hr) // 1000000))
+           ) > 0
+    """,
+    "Interval x interval overlap join: per user session, the seconds"
+    " spent inside system 'incident windows' (hours whose error count"
+    " is >= 1.3x the active-hour mean, integer-exact cross-multiplied"
+    " threshold — scale-invariant like heavy_hitters). The textbook"
+    " form is a non-equi theta join (start < end' AND start' < end),"
+    " which Spark can only execute as a broadcast-nested-loop; the"
+    " scale-safe rewrite here BUCKETS time: each session explodes into"
+    " the calendar hours it spans (gap-30min sessions span few hours,"
+    " a bounded expansion), the incident set keys by the same hour,"
+    " and the overlap becomes an EQUI-join on the bucket plus exact"
+    " integer-second arithmetic per bucket — shuffle-partitionable on"
+    " both sides at any scale, where the theta join is quadratic."
+    " Zero-length (single-event) sessions are excluded — an instant"
+    " has no duration to attribute. All overlap math is int64 epoch"
+    " seconds: no float render hazard exists in this query.",
+)
+def interval_overlap_join(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap_s <= 1800, F.lit(0)).otherwise(F.lit(1))
+    sess_no = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        e.select("user_id", "ts", "event_id", sess_no.alias("session_no"))
+        .groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .filter(F.col("s_end").cast("long") > F.col("s_start").cast("long"))
+    )
+    hourly = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wall = Window.partitionBy()
+    incidents = hourly.withColumn(
+        "__keep",
+        F.col("cnt") * F.count("*").over(wall) * 10
+        >= 13 * F.sum("cnt").over(wall),
+    ).filter(F.col("__keep")).select("hr")
+    spanned = sessions.select(
+        "user_id",
+        "session_no",
+        F.col("s_start").cast("long").alias("a"),
+        F.col("s_end").cast("long").alias("b"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hr"),
+    )
+    ov = F.least(F.col("b"), F.col("hr").cast("long") + 3600) - F.greatest(
+        F.col("a"), F.col("hr").cast("long")
+    )
+    # per-bucket positive-overlap filter: a session ending exactly on
+    # an hour boundary spans that bucket with 0 seconds inside it; the
+    # strict theta condition (h < end AND start < h+1h) admits exactly
+    # the positive-overlap buckets, so filtering here keeps the
+    # bucketed join row-set identical to the theta join's
+    return (
+        spanned.join(incidents, "hr")
+        .withColumn("__ov", ov)
+        .filter(F.col("__ov") > 0)
+        .groupBy("user_id", "session_no")
+        .agg(F.sum("__ov").alias("overlap_s"), F.count("*").alias("n_hours"))
+    )

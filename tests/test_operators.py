@@ -767,3 +767,52 @@ def test_dow_seasonality_weighted_mean_is_one(spark):
     assert acc
     for et, (sw, n) in acc.items():
         assert abs(sw / n - 1.0) < 1e-3, (et, sw / n)
+
+
+def test_interval_overlap_join_matches_theta_bruteforce(spark):
+    """The bucketed equi-join rewrite must reproduce the brute-force
+    theta-join overlap computed driver-side on the smoke table."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        (r.user_id, r.session_no): (r.overlap_s, r.n_hours)
+        for r in REGISTRY["interval_overlap_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    # brute-force sessions
+    rows = sorted(
+        (r.user_id, int(r.ts.timestamp()), r.event_id)
+        for r in ev.select("user_id", "ts", "event_id").collect()
+    )
+    sessions = {}
+    prev = {}
+    sess_no = {}
+    for u, t, _eid in rows:
+        if u not in prev or t - prev[u] > 1800:
+            sess_no[u] = sess_no.get(u, 0) + 1
+        prev[u] = t
+        key = (u, sess_no[u])
+        a, b = sessions.get(key, (t, t))
+        sessions[key] = (min(a, t), max(b, t))
+    # brute-force incident hours
+    from collections import Counter
+
+    errs = Counter(
+        int(r.ts.timestamp()) // 3600 * 3600
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("ts")
+        .collect()
+    )
+    total, nh = sum(errs.values()), len(errs)
+    incidents = [h for h, c in errs.items() if c * nh * 10 >= 13 * total]
+    expect = {}
+    for key, (a, b) in sessions.items():
+        if b <= a:
+            continue
+        ov = sum(
+            max(0, min(b, h + 3600) - max(a, h)) for h in incidents
+        )
+        n = sum(1 for h in incidents if h < b and a < h + 3600)
+        if ov > 0:
+            expect[key] = (ov, n)
+    assert got == expect

@@ -240,3 +240,12 @@ def test_dow_seasonality_single_aggregate(spark):
     plan = _formatted_plan(spark, "dow_seasonality")
     assert plan.count("events.parquet") == 1, plan
     assert len(re.findall(r"\(\d+\) HashAggregate\b", plan)) == 2, plan
+
+
+def test_interval_overlap_join_no_theta_join(spark):
+    # the operator's reason to exist: the interval overlap must run as
+    # an EQUI-join on the hour bucket, never the quadratic
+    # broadcast-nested-loop theta form
+    plan = _formatted_plan(spark, "interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
