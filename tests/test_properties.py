@@ -302,3 +302,137 @@ def test_minhash_null_text_maps_to_sentinel(spark):
     assert got[1] == sentinel
     assert got[2] == _minhash_model("alpha beta gamma delta")
     assert None not in got[2]
+
+
+# --- rolling distinct users: explode rewrite vs brute-force model ----
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),      # user_id
+        st.integers(min_value=0, max_value=20),     # day offset
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW_OK
+@given(batches=st.lists(EVENTS, min_size=1, max_size=4))
+def test_rolling_wau_rewrite_matches_bruteforce(spark, batches):
+    """The explode-into-contribution-days rewrite must equal the naive
+    per-day 'distinct users over the trailing 7 days' for arbitrary
+    (user, day) streams — including gaps, duplicates, and bursts."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    base = datetime.datetime(2024, 1, 1)
+    for events in batches:
+        rows = [
+            Row(user_id=u, day=base + datetime.timedelta(days=d))
+            for u, d in events
+        ]
+        df = spark.createDataFrame(rows)
+        ud = df.select("user_id", "day").distinct()
+        days = ud.select("day").distinct()
+        contrib = ud.select(
+            "user_id",
+            SF.explode(
+                SF.sequence(
+                    SF.col("day"),
+                    SF.col("day") + SF.expr("interval 6 days"),
+                    SF.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+        got = {
+            r.day: r.wau
+            for r in contrib.join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(SF.count_distinct("user_id").alias("wau"))
+            .collect()
+        }
+        expect = {}
+        uniq = {(u, d) for u, d in events}
+        for d in {d for _, d in events}:
+            expect[base + datetime.timedelta(days=d)] = len(
+                {u for u, dd in uniq if d - 6 <= dd <= d}
+            )
+        assert got == expect
+
+
+# --- interval overlap: bucketed equi-join vs theta-join model --------
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),  # start offset s
+        st.integers(min_value=1, max_value=20_000),  # duration s
+    ),
+    min_size=1,
+    max_size=25,
+)
+HOURS = st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=8)
+
+
+@SLOW_OK
+@given(ivs=INTERVALS, hours=HOURS)
+def test_bucketed_interval_overlap_matches_theta_model(spark, ivs, hours):
+    """Hour-bucketed explode + equi-join + positive-overlap filter must
+    reproduce the strict theta join's per-interval overlap seconds for
+    arbitrary intervals (spanning 0..6 hour buckets) and hour sets."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        Row(
+            iid=i,
+            s_start=base + datetime.timedelta(seconds=a),
+            s_end=base + datetime.timedelta(seconds=a + dur),
+        )
+        for i, (a, dur) in enumerate(ivs)
+    ]
+    inc = [
+        Row(hr=base + datetime.timedelta(hours=h)) for h in sorted(hours)
+    ]
+    sessions = spark.createDataFrame(rows)
+    incidents = spark.createDataFrame(inc)
+    spanned = sessions.select(
+        "iid",
+        SF.col("s_start").cast("long").alias("a"),
+        SF.col("s_end").cast("long").alias("b"),
+        SF.explode(
+            SF.sequence(
+                SF.date_trunc("hour", "s_start"),
+                SF.date_trunc("hour", "s_end"),
+                SF.expr("interval 1 hour"),
+            )
+        ).alias("hr"),
+    )
+    ov = SF.least(SF.col("b"), SF.col("hr").cast("long") + 3600) - SF.greatest(
+        SF.col("a"), SF.col("hr").cast("long")
+    )
+    got = {
+        r.iid: (r.overlap_s, r.n_hours)
+        for r in spanned.join(incidents, "hr")
+        .withColumn("__ov", ov)
+        .filter(SF.col("__ov") > 0)
+        .groupBy("iid")
+        .agg(SF.sum("__ov").alias("overlap_s"), SF.count("*").alias("n_hours"))
+        .collect()
+    }
+    expect = {}
+    base_e = int(base.timestamp())
+    for i, (a, dur) in enumerate(ivs):
+        s, e = base_e + a, base_e + a + dur
+        tot = n = 0
+        for h in hours:
+            h0 = base_e + h * 3600
+            o = min(e, h0 + 3600) - max(s, h0)
+            if o > 0:
+                tot += o
+                n += 1
+        if tot > 0:
+            expect[i] = (tot, n)
+    assert got == expect
