@@ -353,3 +353,53 @@ def stream_stream_join(spark, sf):
         .alias("delay_ms"),
     )
     return _drain(joined, spark, mode="append")
+
+
+@_q(
+    "stream_ohlc_bars",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id), 4)
+             + 0.0 AS open,
+           ROUND(MAX(value), 4) + 0.0 AS high,
+           ROUND(MIN(value), 4) + 0.0 AS low,
+           ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id), 4)
+             + 0.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "Streaming OHLC bars: the min_by/max_by composite-ordering-key"
+    " aggregate of ohlc_bars run as a tumbling 1-hour window in"
+    " complete mode over the staged event backlog — after the"
+    " AvailableNow drain the bars must equal the batch rollup (the"
+    " oracle). Demonstrates that the deterministic argmin/argmax"
+    " trick survives incremental state updates: each micro-batch"
+    " folds into per-(window, type) OHLC state the same way the"
+    " batch partial aggregate does, so state is bars-sized, never"
+    " events-sized.",
+)
+def stream_ohlc_bars(spark, sf):
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=False))
+    ordk = F.unix_millis("ts") * F.lit(1_000_000) + F.col("event_id")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            (F.round(F.min_by("value", ordk), 4) + F.lit(0.0)).alias("open"),
+            (F.round(F.max("value"), 4) + F.lit(0.0)).alias("high"),
+            (F.round(F.min("value"), 4) + F.lit(0.0)).alias("low"),
+            (F.round(F.max_by("value", ordk), 4) + F.lit(0.0)).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return _drain(agg, spark, mode="complete")

@@ -253,3 +253,26 @@ def test_transform_with_state_highwater(spark, events_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_ohlc_equals_batch_rollup(spark):
+    """After the AvailableNow drain, the streaming OHLC bars must be
+    row-identical to the batch ohlc_bars rollup — the deterministic
+    argmin/argmax ordering key must survive incremental state folds
+    across micro-batches."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r.window_start, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n_events
+        )
+        for r in REGISTRY["stream_ohlc_bars"].fn(spark, sf).collect()
+    }
+    batch_rows = {
+        (r.bar_hour, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n_events
+        )
+        for r in REGISTRY["ohlc_bars"].fn(spark, sf).collect()
+    }
+    assert stream_rows == batch_rows
