@@ -646,3 +646,78 @@ def interval_overlap_join(spark, sf):
         .groupBy("user_id", "session_no")
         .agg(F.sum("__ov").alias("overlap_s"), F.count("*").alias("n_hours"))
     )
+
+
+# =====================================================================
+# Theta-sketch set algebra (audience overlap via mergeable partials)
+# =====================================================================
+
+@_q(
+    "sketch_theta_setops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996)
+    SELECT
+      CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_1995,
+      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_1996,
+      CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        AS BIGINT) AS n_union,
+      CAST((SELECT COUNT(*) FROM a WHERE o_custkey IN (SELECT * FROM b))
+        AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM a WHERE o_custkey NOT IN (SELECT * FROM b))
+        AS BIGINT) AS n_only_1995
+    """,
+    "Audience-overlap set algebra on Theta sketches: distinct buyers"
+    " of 1995 vs 1996, their union, intersection, and difference —"
+    " the retention/overlap question COUNT(DISTINCT) cannot answer"
+    " from pre-aggregated partials (distinct counts don't compose;"
+    " sketches do). Built TWO-LEVEL to prove mergeability: per-month"
+    " theta partials are first aggregated (the daily-rollup shape a"
+    " 100 TB pipeline materializes), then theta_union_agg merges each"
+    " year's 12 partials, and the set operators run sketch-vs-sketch"
+    " — the fact table is scanned once, and every reaggregation"
+    " moves only fixed-size sketch bytes, never raw keys. In exact"
+    " mode (lgK=16, 65536 retained hashes — sized so every test"
+    " scale stays exact) all five counts hash-match the"
+    " DuckDB set-algebra oracle; above capacity the identical plan"
+    " returns bounded-error estimates.",
+)
+def sketch_theta_setops(spark, sf):
+    o = _t(spark, sf, "orders")
+    # level 1: per-(year, month) partial sketches — one fact scan
+    monthly = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.expr("theta_sketch_agg(o_custkey, 16)").alias("sk"))
+    )
+    # level 2: merge each year's monthly partials into one sketch
+    yearly = monthly.groupBy("yr").agg(
+        F.expr("theta_union_agg(sk, 16)").alias("sk")
+    )
+    # collapse the 2-row yearly frame to one row with conditional
+    # first() aggregates — two filter branches would fork the lineage
+    # and scan orders twice (plan-guarded against)
+    pair = yearly.agg(
+        F.first(F.when(F.col("yr") == 1995, F.col("sk")), ignorenulls=True)
+        .alias("sk_a"),
+        F.first(F.when(F.col("yr") == 1996, F.col("sk")), ignorenulls=True)
+        .alias("sk_b"),
+    )
+    return pair.select(
+        F.expr("theta_sketch_estimate(sk_a)").cast("long").alias("n_1995"),
+        F.expr("theta_sketch_estimate(sk_b)").cast("long").alias("n_1996"),
+        F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b, 16))")
+        .cast("long")
+        .alias("n_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+        .cast("long")
+        .alias("n_both"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+        .cast("long")
+        .alias("n_only_1995"),
+    )

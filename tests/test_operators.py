@@ -816,3 +816,14 @@ def test_interval_overlap_join_matches_theta_bruteforce(spark):
         if ov > 0:
             expect[key] = (ov, n)
     assert got == expect
+
+
+def test_theta_setops_inclusion_exclusion(spark):
+    """In exact mode the sketch set algebra must satisfy
+    inclusion-exclusion and difference identities exactly."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    r = REGISTRY["sketch_theta_setops"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_union == r.n_1995 + r.n_1996 - r.n_both
+    assert r.n_only_1995 == r.n_1995 - r.n_both
+    assert 0 < r.n_both <= min(r.n_1995, r.n_1996)

@@ -249,3 +249,10 @@ def test_interval_overlap_join_no_theta_join(spark):
     plan = _formatted_plan(spark, "interval_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_theta_setops_single_fact_scan(spark):
+    # the mergeability story: monthly partials -> yearly union ->
+    # sketch-vs-sketch set ops, all from ONE scan of orders
+    plan = _formatted_plan(spark, "sketch_theta_setops")
+    assert plan.count("orders.parquet") == 1, plan
