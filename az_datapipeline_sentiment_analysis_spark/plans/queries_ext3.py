@@ -721,3 +721,98 @@ def sketch_theta_setops(spark, sf):
         .cast("long")
         .alias("n_only_1995"),
     )
+
+
+# =====================================================================
+# Text-lines source (log-file ingest shape)
+# =====================================================================
+
+_TEXT_STAGED: dict[str, str] = {}
+
+
+@_q(
+    "scan_text_lines",
+    """
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           split_part(text, ' ', 1) AS first_token
+    FROM documents
+    """,
+    "Line-oriented text source (the log-file / JSONL-adjacent ingest"
+    " shape, reference S18's rawest landing format): documents staged"
+    " once as tab-separated lines, read back with spark.read.text and"
+    " parsed with ONE split into typed columns. Text files are"
+    " splittable, so the read parallelizes by byte range at any file"
+    " size; like CSV this is ingest-only at 100 TB — no pruning or"
+    " pushdown exists, so bronze rewrites to parquet immediately."
+    " The tab separator is safe by corpus construction (word-soup"
+    " text, no tabs); a production parser would quarantine malformed"
+    " lines like scan_json_corrupt does.",
+)
+def scan_text_lines(spark, sf):
+    import tempfile
+
+    path = _TEXT_STAGED.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sg_text_docs_")
+        _t(spark, sf, "documents").select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("text"),
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(path)
+        _TEXT_STAGED[sf] = path
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        F.length(parts.getItem(2)).cast("long").alias("n_chars"),
+        F.split_part(parts.getItem(2), F.lit(" "), F.lit(1)).alias(
+            "first_token"
+        ),
+    )
+
+
+# =====================================================================
+# KLL quantile sketch merging (two-level rollup)
+# =====================================================================
+
+@_q(
+    "sketch_kll_merge",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.5) AS q50,
+           quantile_disc(value, 0.75) AS q75
+    FROM events GROUP BY event_type
+    """,
+    "Two-level KLL quantile rollup: per-(type, day) sketch partials"
+    " (the daily materialization a 100 TB metrics pipeline stores)"
+    " merged with kll_merge_agg_double into per-type sketches, then"
+    " probed for quartiles — proving quantile MERGEABILITY, the"
+    " property percentile/ntile lack and the reason the daily rollup"
+    " can answer monthly quantiles without rescanning raw data."
+    " k=32768 retains every test-scale group outright (largest type"
+    " group at sf0.1 is ~20k values), so the merged quartiles are"
+    " exact data values hash-matching quantile_disc; beyond capacity"
+    " the identical plan degrades to ~1%% rank error with O(k) state"
+    " per group. Reaggregation moves only sketch bytes, never raw"
+    " values.",
+)
+def sketch_kll_merge(spark, sf):
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.expr("kll_sketch_agg_double(value, 32768)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("kll_merge_agg_double(sk, 32768)").alias("sk")
+    )
+    return merged.select(
+        "event_type",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.25)").alias("q25"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("q50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.75)").alias("q75"),
+    )

@@ -827,3 +827,44 @@ def test_theta_setops_inclusion_exclusion(spark):
     assert r.n_union == r.n_1995 + r.n_1996 - r.n_both
     assert r.n_only_1995 == r.n_1995 - r.n_both
     assert 0 < r.n_both <= min(r.n_1995, r.n_1996)
+
+
+def test_kll_merge_equals_single_pass(spark):
+    """Merging daily KLL partials must give the same quartiles as one
+    direct sketch pass — the mergeability invariant."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    merged = {
+        r.event_type: (r.q25, r.q50, r.q75)
+        for r in REGISTRY["sketch_kll_merge"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    direct = {
+        r.event_type: (r.q25, r.q50, r.q75)
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("kll_sketch_agg_double(value, 32768)").alias("sk"))
+        .selectExpr(
+            "event_type",
+            "kll_sketch_get_quantile_double(sk, 0.25) AS q25",
+            "kll_sketch_get_quantile_double(sk, 0.5) AS q50",
+            "kll_sketch_get_quantile_double(sk, 0.75) AS q75",
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_scan_text_lines_round_trips_documents(spark):
+    """The text-source parse must reproduce every doc's id, lang, and
+    char count from the staged line file."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in REGISTRY["scan_text_lines"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.doc_id: (r.lang, len(r.text))
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert got == want
