@@ -80,6 +80,10 @@ SCALE_HEADLINE = [
     "markov_transitions",
     "rolling_wau",
     "ohlc_bars",
+    # bucketed interval-overlap join: session windows + explode + hour
+    # equi-join — the theta-join rewrite whose join cost only shows
+    # under replication
+    "interval_overlap_join",
 ]
 
 HEADLINE = [
@@ -123,6 +127,7 @@ HEADLINE = [
     "ohlc_bars",
     "rolling_wau",
     "token_bpe_count",
+    "interval_overlap_join",
 ]
 
 
