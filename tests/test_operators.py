@@ -868,3 +868,30 @@ def test_scan_text_lines_round_trips_documents(spark):
         for r in table(spark, SF_SMOKE, "documents").collect()
     }
     assert got == want
+
+
+def test_round5_entries_rerun_and_cross_sf_in_one_session(spark):
+    """Driver-shaped robustness: every round-5 entry must run twice in
+    one session (no temp-view/staging collisions) and run against a
+    second sf dir without leaking the first dir's staged state."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    names = [
+        "quantile_bucketing_approx", "minmax_scaler_join", "ewma_smooth",
+        "anomaly_mad", "graph_degree_hist", "funnel_time_to_convert",
+        "token_bpe_count", "markov_transitions", "ohlc_bars",
+        "entropy_by_group", "chi2_independence", "rolling_wau",
+        "welch_ttest", "dow_seasonality", "interval_overlap_join",
+        "sketch_theta_setops", "scan_text_lines", "sketch_kll_merge",
+        "stream_ohlc_bars",
+    ]
+    for name in names:
+        fn = REGISTRY[name].fn
+        a = fn(spark, SF_SMOKE).count()
+        b = fn(spark, SF_SMOKE).count()
+        assert a == b > 0, name
+    # second sf dir in the same session: the staged text source keys
+    # its cache by sf dir, token counts must reflect the bigger corpus
+    big = REGISTRY["scan_text_lines"].fn(spark, "/root/testdata/sf0.01")
+    assert big.count() == 500
+    assert REGISTRY["scan_text_lines"].fn(spark, SF_SMOKE).count() == 500
