@@ -819,3 +819,136 @@ def sketch_kll_merge(spark, sf):
         F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("q50"),
         F.expr("kll_sketch_get_quantile_double(sk, 0.75)").alias("q75"),
     )
+
+
+# =====================================================================
+# Train/test split leakage check (canonical-fingerprint cross-split)
+# =====================================================================
+
+@_q(
+    "split_leakage_check",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp,
+             CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+                  WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_test
+    FROM s
+    GROUP BY fp
+    HAVING COUNT(DISTINCT split) >= 2
+    """,
+    "Train/test leakage audit: documents whose CANONICAL form (the"
+    " bag-of-words fingerprint — sorted distinct tokens, order- and"
+    " repetition-insensitive) lands in more than one split of"
+    " dataset_split's deterministic 80/10/10 assignment. Exact-string"
+    " dedup misses permuted near-copies, which is exactly how eval"
+    " contamination ships; this is the audit run between splitting"
+    " and shard-writing. One map-only fingerprint pass, one shuffle"
+    " on the fingerprint (the same partitioning exact dedup uses) —"
+    " the leaked set is output, small by construction. The MinHash"
+    " pair graph (minhash_neardup) is the recall-heavier rows-only"
+    " big sibling; this entry is the fully oracle-checked exact-"
+    " canonical tier.",
+)
+def split_leakage_check(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+            " ",
+        )
+    )
+    h = ((F.col("doc_id") % 100) * 61) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    s = d.select(fp.alias("fp"), split.alias("split"))
+    return (
+        s.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .alias("n_test"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )
+
+
+# =====================================================================
+# Weighted median (integer-exact cumulative weight selection)
+# =====================================================================
+
+@_q(
+    "weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT flag,
+           ROUND(MIN(price), 4) AS wmedian,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM w
+    WHERE 2 * cum >= tot
+    GROUP BY flag
+    """,
+    "Quantity-weighted median price per return flag: the order"
+    " statistic where half the total WEIGHT (not half the rows) lies"
+    " on each side — the robust 'typical traded price' a plain median"
+    " misrepresents when line sizes vary. Selection is a cumulative"
+    " weight sweep: one window sort per flag partition, integer-exact"
+    " throughout (quantities cast to int64, threshold 2*cum >= tot in"
+    " integer arithmetic — no float accumulation order can flip the"
+    " selected row between engines), then MIN(price) over qualifying"
+    " rows picks the lower weighted median. Same single-shuffle shape"
+    " as win_rank; the at-scale approximate form replaces the exact"
+    " sort with a weight-annotated KLL sketch.",
+)
+def weighted_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    wp = Window.partitionBy("l_returnflag")
+    wo = wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    qty = F.col("l_quantity").cast("long")
+    cum = F.sum(qty).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(qty).over(wp)
+    return (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+            cum.alias("cum"),
+            tot.alias("tot"),
+        )
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 4).alias("wmedian"),
+            F.min("tot").alias("total_weight"),
+        )
+    )

@@ -895,3 +895,63 @@ def test_round5_entries_rerun_and_cross_sf_in_one_session(spark):
     big = REGISTRY["scan_text_lines"].fn(spark, "/root/testdata/sf0.01")
     assert big.count() == 500
     assert REGISTRY["scan_text_lines"].fn(spark, SF_SMOKE).count() == 500
+
+
+def test_weighted_median_bruteforce(spark):
+    """The cumulative-weight selection must match a driver-side
+    brute-force weighted median on the smoke table."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.flag: (r.wmedian, r.total_weight)
+        for r in REGISTRY["weighted_median"].fn(spark, SF_SMOKE).collect()
+    }
+    li = table(spark, SF_SMOKE, "lineitem")
+    rows = li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append(
+            (r.l_extendedprice, r.l_orderkey, r.l_linenumber,
+             int(r.l_quantity))
+        )
+    for flag, items in groups.items():
+        items.sort()
+        tot = sum(q for *_, q in items)
+        cum = 0
+        for price, _ok, _ln, q in items:
+            cum += q
+            if 2 * cum >= tot:
+                assert got[flag] == (round(price, 4), tot), flag
+                break
+
+
+def test_split_leakage_flags_known_plants(spark):
+    """Every flagged fingerprint group must genuinely span >= 2 splits
+    and its per-split counts must total n_docs; and the flagged set
+    must equal a brute-force recomputation."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["split_leakage_check"].fn(spark, SF_SMOKE).collect()
+    assert rows  # corpus contains permuted near-copies at smoke scale
+    for r in rows:
+        assert r.n_splits >= 2
+        assert r.n_train + r.n_val + r.n_test == r.n_docs
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    fps = defaultdict(set)
+    import hashlib
+
+    for d in docs:
+        canon = " ".join(sorted(set(d.text.split(" "))))
+        fp = hashlib.md5(canon.encode()).hexdigest()
+        h = ((d.doc_id % 100) * 61) % 100
+        split = "train" if h < 80 else ("val" if h < 90 else "test")
+        fps[fp].add(split)
+    expect = {fp for fp, ss in fps.items() if len(ss) >= 2}
+    assert {r.fp for r in rows} == expect
