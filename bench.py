@@ -84,6 +84,10 @@ SCALE_HEADLINE = [
     # equi-join — the theta-join rewrite whose join cost only shows
     # under replication
     "interval_overlap_join",
+    # two-phase bucketed selection (112s -> 21s at 100x vs the naive
+    # 3-partition window sort); the bucket-route + target-sort cost
+    # needs the replicated scale to show
+    "weighted_median",
 ]
 
 HEADLINE = [
