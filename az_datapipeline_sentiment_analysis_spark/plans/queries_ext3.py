@@ -1003,3 +1003,174 @@ def weighted_median(spark, sf):
             F.min("tot").alias("total_weight"),
         )
     )
+
+
+# =====================================================================
+# Last-touch attribution (carry-forward over per-user timelines)
+# =====================================================================
+
+@_q(
+    "attribution_last_touch",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS prior_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS prior_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN prior_ts IS NOT NULL
+                 AND (epoch_us(ts) // 1000 - epoch_us(prior_ts) // 1000)
+                     <= 3600000
+                THEN prior_type END AS channel,
+           CASE WHEN prior_ts IS NOT NULL
+                 AND (epoch_us(ts) // 1000 - epoch_us(prior_ts) // 1000)
+                     <= 3600000
+                THEN CAST((epoch_us(ts) // 1000 - epoch_us(prior_ts) // 1000)
+                     AS BIGINT) END AS ms_since
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+    "Last-touch attribution: each purchase credits the user's most"
+    " recent non-purchase event within the prior hour (its type ="
+    " the channel, plus the latency in integer milliseconds; NULL"
+    " when no touch exists inside the window). Two last(ignorenulls)"
+    " carries share ONE window frame ending at 1 PRECEDING (the"
+    " purchase cannot attribute to itself), so the physical plan is"
+    " a single sort per user_id hash partition — the same"
+    " one-shuffle shape as sessionize_events, and the carried state"
+    " is two registers regardless of timeline length. The 1h cutoff"
+    " is applied AFTER the carry in integer epoch-ms arithmetic,"
+    " identical in both engines.",
+)
+def attribution_last_touch(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(nonp_type, ignorenulls=True).over(w).alias("prior_type"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("prior_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    ms = F.unix_millis("ts") - F.unix_millis("prior_ts")
+    in_window = F.col("prior_ts").isNotNull() & (ms <= 3_600_000)
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("prior_type")).alias("channel"),
+        F.when(in_window, ms).cast("long").alias("ms_since"),
+    )
+
+
+# =====================================================================
+# Rare-category collapse (feature-prep cardinality control)
+# =====================================================================
+
+@_q(
+    "group_rare_collapse",
+    """
+    WITH freq AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN f.n * 20 >= f.total THEN d.lang
+                ELSE 'OTHER' END AS lang_collapsed
+    FROM documents d JOIN freq f ON d.lang = f.lang
+    """,
+    "Rare-category collapse: languages holding < 5% of the corpus"
+    " fold into 'OTHER' — the cardinality-control step before"
+    " one-hot/embedding feature prep, where tail categories add"
+    " parameters without signal. The threshold is scale-invariant"
+    " and integer-exact (n * 20 >= total — no float share, so no"
+    " rounding boundary exists at any corpus size). One aggregate"
+    " produces the language frequency frame (vocabulary-sized), the"
+    " verdict broadcasts back onto the corpus, and the rewrite"
+    " itself is map-only — the same broadcast-stats shape as"
+    " unigram_logprob.",
+)
+def group_rare_collapse(spark, sf):
+    d = _t(spark, sf, "documents")
+    freq = d.groupBy(F.col("lang").alias("fl")).agg(
+        F.count("*").alias("n")
+    )
+    tot = freq.select(F.sum("n").alias("total"))
+    freq = freq.crossJoin(F.broadcast(tot))
+    return (
+        d.join(F.broadcast(freq), d.lang == freq.fl)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("n") * 20 >= F.col("total"), F.col("lang"))
+            .otherwise(F.lit("OTHER"))
+            .alias("lang_collapsed"),
+        )
+    )
+
+
+# =====================================================================
+# Group-mean imputation (co-keyed stats join, sibling of LOCF)
+# =====================================================================
+
+@_q(
+    "impute_mean_group",
+    """
+    WITH stats AS (
+      SELECT user_id, AVG(value) AS mean_valid
+      FROM events WHERE event_type <> 'error'
+      GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND(CASE WHEN e.event_type = 'error' THEN s.mean_valid
+                      ELSE e.value END, 4) + 0.0 AS value_filled,
+           CAST(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END
+             AS BIGINT) AS was_imputed
+    FROM events e LEFT JOIN stats s ON e.user_id = s.user_id
+    """,
+    "Group-mean imputation: 'error' readings (the missing-value"
+    " convention locf_impute established) are replaced by the user's"
+    " mean over valid readings — the order-independent sibling of"
+    " LOCF, for features where temporal carry-forward is wrong. The"
+    " per-user stats frame is user-cardinality-sized, so unlike the"
+    " 5-row broadcasts elsewhere it joins CO-KEYED on user_id (at"
+    " 100 TB a users-sized frame does not broadcast; both sides"
+    " hash-partition on the same key and the join adds no extra"
+    " fact shuffle beyond that partitioning). LEFT join keeps users"
+    " with no valid readings (filled stays NULL, honestly missing).",
+)
+def impute_mean_group(spark, sf):
+    e = _t(spark, sf, "events")
+    stats = (
+        e.filter(F.col("event_type") != "error")
+        .groupBy(F.col("user_id").alias("su"))
+        .agg(F.avg("value").alias("mean_valid"))
+    )
+    j = e.join(stats, e.user_id == stats.su, "left")
+    filled = F.when(
+        F.col("event_type") == "error", F.col("mean_valid")
+    ).otherwise(F.col("value"))
+    return j.select(
+        "event_id",
+        "user_id",
+        (F.round(filled, 4) + F.lit(0.0)).alias("value_filled"),
+        F.when(F.col("event_type") == "error", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("was_imputed"),
+    )

@@ -955,3 +955,84 @@ def test_split_leakage_flags_known_plants(spark):
         fps[fp].add(split)
     expect = {fp for fp, ss in fps.items() if len(ss) >= 2}
     assert {r.fp for r in rows} == expect
+
+
+def test_attribution_last_touch_bruteforce(spark):
+    """Attribution must match a driver-side per-user timeline sweep:
+    most recent prior non-purchase within 1h, else NULL."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.event_id: (r.channel, r.ms_since)
+        for r in REGISTRY["attribution_last_touch"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    timelines = defaultdict(list)
+    for r in ev:
+        ms = int(r.ts.timestamp() * 1_000_000) // 1000
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type, ms))
+    expect = {}
+    for rows in timelines.values():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        prior = None  # (type, ms)
+        for _ts, eid, etype, ms in rows:
+            if etype == "purchase":
+                if prior is not None and ms - prior[1] <= 3_600_000:
+                    expect[eid] = (prior[0], ms - prior[1])
+                else:
+                    expect[eid] = (None, None)
+            else:
+                prior = (etype, ms)
+    assert got == expect
+
+
+def test_rare_collapse_threshold_and_coverage(spark):
+    """Every doc keeps its language iff that language holds >= 5% of
+    the corpus; collapsed output covers every input row."""
+    from collections import Counter
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["group_rare_collapse"].fn(spark, SF_SMOKE).collect()
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    assert len(rows) == len(docs)
+    freq = Counter(d.lang for d in docs)
+    total = sum(freq.values())
+    for r in rows:
+        keep = freq[r.lang] * 20 >= total
+        assert r.lang_collapsed == (r.lang if keep else "OTHER"), r
+
+
+def test_impute_mean_fills_only_errors(spark):
+    """Non-error rows keep their value; error rows get their user's
+    valid-mean (or NULL when the user has no valid readings)."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.event_id: (r.value_filled, r.was_imputed)
+        for r in REGISTRY["impute_mean_group"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").collect()
+    sums = defaultdict(lambda: [0.0, 0])
+    for r in ev:
+        if r.event_type != "error":
+            sums[r.user_id][0] += r.value
+            sums[r.user_id][1] += 1
+    for r in ev:
+        filled, imputed = got[r.event_id]
+        if r.event_type == "error":
+            assert imputed == 1
+            s, n = sums[r.user_id]
+            if n:
+                assert abs(filled - s / n) < 1e-3
+            else:
+                assert filled is None
+        else:
+            assert imputed == 0
+            assert abs(filled - r.value) < 1e-3

@@ -273,3 +273,18 @@ def test_weighted_median_two_phase_selection(spark):
     # tree label + Location detail)
     assert plan.count("lineitem.parquet") == 4, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_attribution_single_window(spark):
+    # both carry-forward registers must share one Window frame — a
+    # second Window would re-sort every user timeline
+    plan = _formatted_plan(spark, "attribution_last_touch")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_impute_mean_no_extra_fact_shuffle(spark):
+    # the users-sized stats frame joins co-keyed on user_id; the fact
+    # side must not shuffle more than once for that partitioning
+    plan = _formatted_plan(spark, "impute_mean_group")
+    assert plan.count("hashpartitioning(user_id") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
