@@ -1180,3 +1180,47 @@ def impute_mean_group(spark, sf):
         .cast("long")
         .alias("was_imputed"),
     )
+
+
+# =====================================================================
+# Time-range window frame (rolling last-hour stats per event)
+# =====================================================================
+
+@_q(
+    "win_time_range",
+    """
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER w, 4) + 0.0 AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "Per-event trailing-hour statistics via a TIME-range window frame"
+    " (RANGE BETWEEN 3600 PRECEDING, ordered by integer epoch"
+    " seconds) — the 'how busy was the last hour at this moment'"
+    " per-row signal that tumbling bars cannot give (bars snap to"
+    " hour boundaries; this frame slides with every event). RANGE"
+    " frames bound by VALUE distance, not row count, so bursty"
+    " minutes automatically widen the row set — and peers with equal"
+    " timestamps are included identically in both engines by RANGE"
+    " semantics. One sort per event_type hash partition with a"
+    " two-pointer frame sweep — same single-shuffle cost class as"
+    " win_rolling's row frame.",
+)
+def win_time_range(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+        (F.round(F.sum("value").over(w), 4) + F.lit(0.0)).alias(
+            "sum_last_hour"
+        ),
+    )

@@ -1036,3 +1036,30 @@ def test_impute_mean_fills_only_errors(spark):
         else:
             assert imputed == 0
             assert abs(filled - r.value) < 1e-3
+
+
+def test_win_time_range_bruteforce(spark):
+    """The RANGE-frame trailing-hour counts must match a brute-force
+    per-type sweep (inclusive 3600s bound, peers included)."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.event_id: r.n_last_hour
+        for r in REGISTRY["win_time_range"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append((int(r.ts.timestamp()), r.event_id))
+    for rows in by_type.values():
+        secs = sorted(s for s, _ in rows)
+        import bisect
+
+        for s, eid in rows:
+            lo = bisect.bisect_left(secs, s - 3600)
+            hi = bisect.bisect_right(secs, s)
+            assert got[eid] == hi - lo, (eid, got[eid], hi - lo)
