@@ -1224,3 +1224,77 @@ def win_time_range(spark, sf):
             "sum_last_hour"
         ),
     )
+
+
+# =====================================================================
+# Top session paths (ordered event-sequence mining)
+# =====================================================================
+
+@_q(
+    "session_paths_topk",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, sno,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sno
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    WHERE path LIKE '%>%'
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    "Top multi-step session paths: the gap-30min sessions"
+    " (sessionize_events' exact rule) rendered as ordered"
+    " 'view>click>purchase' strings and ranked by frequency — the"
+    " path-analysis staple behind every product-analytics funnel"
+    " explorer. Single-event sessions are filtered (no transition ="
+    " no path). EVERYTHING shares the one user_id partitioning:"
+    " session flagging, numbering, and the ordered path assembly"
+    " (array_sort over (ts, event_id, type) structs makes the"
+    " within-session order explicit and engine-stable, matching"
+    " DuckDB's ORDER BY inside string_agg); only the final tiny"
+    " path-frequency frame reshuffles. Top-k ties break on the path"
+    " string, so the LIMIT is deterministic across engines.",
+)
+def session_paths_topk(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap_s <= 1800, F.lit(0)).otherwise(F.lit(1))
+    sess_no = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        sess_no.alias("sno"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = (
+        sess.groupBy("user_id", "sno")
+        .agg(F.array_join(ordered, ">").alias("path"))
+        .filter(F.col("path").contains(">"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

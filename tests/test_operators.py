@@ -1063,3 +1063,42 @@ def test_win_time_range_bruteforce(spark):
             lo = bisect.bisect_left(secs, s - 3600)
             hi = bisect.bisect_right(secs, s)
             assert got[eid] == hi - lo, (eid, got[eid], hi - lo)
+
+
+def test_session_paths_match_sessionize(spark):
+    """Each top path's session count must equal a recount from the
+    sessionize_events grouping joined with per-session event order."""
+    from collections import Counter, defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.path: r.n_sessions
+        for r in REGISTRY["session_paths_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got and all(">" in p for p in got)
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    timelines = defaultdict(list)
+    for r in ev:
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts = Counter()
+    for rows in timelines.values():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        path, prev = [], None
+        for ts, _eid, etype in rows:
+            t = ts.timestamp()
+            if prev is not None and t - prev <= 1800:
+                path.append(etype)
+            else:
+                if len(path) > 1:
+                    counts[">".join(path)] += 1
+                path = [etype]
+            prev = t
+        if len(path) > 1:
+            counts[">".join(path)] += 1
+    expect = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+    assert got == expect
