@@ -1298,3 +1298,76 @@ def session_paths_topk(spark, sf):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# =====================================================================
+# Pareto frontier (dominance test as sort + running max)
+# =====================================================================
+
+@_q(
+    "pareto_frontier",
+    """
+    SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+           ROUND(p.p_retailprice, 4) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_brand = p.p_brand
+        AND y.p_retailprice <= p.p_retailprice
+        AND y.p_size >= p.p_size
+        AND (y.p_retailprice < p.p_retailprice OR y.p_size > p.p_size)
+    )
+    """,
+    "Per-brand Pareto frontier of (cheaper, bigger): parts no other"
+    " part of the brand dominates on both axes — the skyline query"
+    " behind best-tradeoff pickers. The textbook form is the NOT"
+    " EXISTS self-join (quadratic per brand, the oracle keeps it);"
+    " the engine rewrite is sort + running max: collapse to one row"
+    " per (brand, price) carrying the max size at that price, sweep"
+    " prices ascending with a ROWS-frame running max ending at 1"
+    " PRECEDING (one row per distinct price makes the strictly-"
+    " cheaper set a row frame — no value-offset trickery), then a"
+    " part is frontier iff its size beats every strictly-cheaper"
+    " price's best AND ties its own price's best. Equal (price,"
+    " size) duplicates survive together, matching the strict"
+    " dominance definition. Cost: one (brand, price) aggregate, a"
+    " per-brand sort of DISTINCT prices, one co-keyed join back —"
+    " linearithmic where the naive form is quadratic.",
+)
+def pareto_frontier(spark, sf):
+    p = _t(spark, sf, "part")
+    per_price = p.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    ).agg(F.max("p_size").alias("pmax"))
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = per_price.select(
+        "brand",
+        "price",
+        "pmax",
+        F.max("pmax").over(w).alias("cheaper_best"),
+    )
+    j = p.join(
+        marked,
+        (p.p_brand == marked.brand) & (p.p_retailprice == marked.price),
+    )
+    return (
+        j.filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (
+                F.col("cheaper_best").isNull()
+                | (F.col("p_size") > F.col("cheaper_best"))
+            )
+        )
+        .select(
+            "brand",
+            F.col("p_partkey").alias("partkey"),
+            F.round("p_retailprice", 4).alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )

@@ -1102,3 +1102,33 @@ def test_session_paths_match_sessionize(spark):
         sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     )
     assert got == expect
+
+
+def test_pareto_frontier_dominance_bruteforce(spark):
+    """Frontier membership must match the quadratic dominance test,
+    including equal-(price,size) duplicates surviving together."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.partkey
+        for r in REGISTRY["pareto_frontier"].fn(spark, SF_SMOKE).collect()
+    }
+    parts = table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    ).collect()
+    by_brand = defaultdict(list)
+    for r in parts:
+        by_brand[r.p_brand].append((r.p_partkey, r.p_retailprice, r.p_size))
+    expect = set()
+    for items in by_brand.values():
+        for k, pr, sz in items:
+            dominated = any(
+                pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz)
+                for k2, pr2, sz2 in items
+                if k2 != k
+            )
+            if not dominated:
+                expect.add(k)
+    assert got == expect

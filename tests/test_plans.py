@@ -288,3 +288,12 @@ def test_impute_mean_no_extra_fact_shuffle(spark):
     plan = _formatted_plan(spark, "impute_mean_group")
     assert plan.count("hashpartitioning(user_id") <= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_no_quadratic_self_join(spark):
+    # the rewrite's contract: no nested-loop/cartesian dominance join;
+    # the per-price frame sweep plus one equi-join back
+    plan = _formatted_plan(spark, "pareto_frontier")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
