@@ -62,3 +62,60 @@ def asof_join(
         .filter(F.col("__side") == 0)
         .select(*lcols, "asof_ts", *[f"asof_{c}" for c in payload])
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts > left_ts`` (strict) or ``>=`` (non-strict), per key —
+    the forward twin of :func:`asof_join` (next touch instead of last
+    touch). Same union-and-carry plan, with the carry running over the
+    FOLLOWING frame: one shuffle on the key, never quadratic.
+
+    Returns the left rows plus ``next_ts`` (+ ``next_<payload>``
+    columns), null when no later right row exists.
+    """
+    payload = payload or []
+    lcols = left.columns
+    l_tag = left.select(*lcols).withColumn("__side", F.lit(0))
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+    ).withColumn("__side", F.lit(1))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(
+        "__ts",
+        F.when(F.col("__side") == 1, F.col("__r_ts")).otherwise(
+            F.col(left_ts)
+        ),
+    )
+    # Tie handling mirrors asof_join: strict -> left rows sort LAST at
+    # equal ts (equal-ts right rows fall before the >current frame);
+    # non-strict -> right rows sort after left so they are visible.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(F.col("__r_ts"), ignorenulls=True).over(w).alias("next_ts")
+    ] + [
+        F.first(F.col(f"__r_{c}"), ignorenulls=True)
+        .over(w)
+        .alias(f"next_{c}")
+        for c in payload
+    ]
+    return (
+        merged.select("*", *carried)
+        .filter(F.col("__side") == 0)
+        .select(*lcols, "next_ts", *[f"next_{c}" for c in payload])
+    )

@@ -1371,3 +1371,81 @@ def pareto_frontier(spark, sf):
             F.col("p_size").cast("long").alias("size"),
         )
     )
+
+
+# =====================================================================
+# Forward as-of join (next-touch) + exact decimal aggregation
+# =====================================================================
+
+@_q(
+    "asof_join_forward",
+    """
+    SELECT p.event_id, MIN(c.ts) AS next_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    "Forward as-of join: the EARLIEST click strictly after each"
+    " purchase (does buying lead to more browsing?) — the"
+    " next-touch twin of asof_join's nearest-prior lookup. Same"
+    " union-and-carry plan (operators/asof.py:asof_join_forward)"
+    " with the carry running over the FOLLOWING frame: both sides"
+    " union, sort once per user_id partition, first(ignorenulls)"
+    " pulls the next right-side timestamp back — one shuffle, while"
+    " the naive range join + MIN the oracle uses is quadratic per"
+    " key. Strict-inequality ties handled by side ordering, exactly"
+    " like the backward twin.",
+)
+def asof_forward_q(spark, sf):
+    from ..operators.asof import asof_join_forward
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_forward(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        strict=True,
+    )
+    return out.select("event_id", "next_ts")
+
+
+@_q(
+    "agg_decimal_exact",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS revenue_exact,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR)
+             AS discount_amount_exact,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact decimal money aggregation: prices fixed to DECIMAL(18,2)"
+    " and discounts to DECIMAL(4,2) BEFORE summing, so the per-flag"
+    " revenue and discount totals are exact integers-of-cents — no"
+    " float summation-order dust exists at ANY scale or parallelism,"
+    " which is why the outputs need no ROUND and render identically"
+    " as strings in both engines (the doubles-based TPC-H twins"
+    " round to 4 digits instead). Spark's decimal aggregate runs in"
+    " Tungsten with overflow checking at precision 38; the partial/"
+    " final split is exact by associativity of integer addition."
+    " This is the bookkeeping-grade path a billing pipeline uses"
+    " where q1_pricing_summary's float path is the analytics-grade"
+    " one.",
+)
+def agg_decimal_exact(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(price).cast("string").alias("revenue_exact"),
+            F.sum(price * disc).cast("string").alias("discount_amount_exact"),
+            F.count("*").alias("n"),
+        )
+    )

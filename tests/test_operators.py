@@ -1132,3 +1132,59 @@ def test_pareto_frontier_dominance_bruteforce(spark):
             if not dominated:
                 expect.add(k)
     assert got == expect
+
+
+def test_asof_forward_bruteforce(spark):
+    """Forward as-of must attach the earliest strictly-later click per
+    user, matching a driver-side sweep (NULL when none exists)."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.event_id: r.next_ts
+        for r in REGISTRY["asof_join_forward"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r.ts)
+    for u in clicks:
+        clicks[u].sort()
+    import bisect
+
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cs = clicks.get(r.user_id, [])
+        i = bisect.bisect_right(cs, r.ts)
+        expect = cs[i] if i < len(cs) else None
+        assert got[r.event_id] == expect, (r.event_id, got[r.event_id], expect)
+
+
+def test_decimal_exact_is_sum_of_cents(spark):
+    """The decimal revenue must equal the integer-cents sum exactly
+    (string-rendered with two digits), never a float approximation."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.flag: r.revenue_exact
+        for r in REGISTRY["agg_decimal_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    cents = defaultdict(int)
+    for r in li:
+        cents[r.l_returnflag] += int(
+            Decimal(repr(r.l_extendedprice)).quantize(Decimal("0.01"))
+            * 100
+        )
+    for flag, c in cents.items():
+        assert got[flag] == f"{Decimal(c) / 100:.2f}", (flag, got[flag], c)
