@@ -1188,3 +1188,29 @@ def test_decimal_exact_is_sum_of_cents(spark):
         )
     for flag, c in cents.items():
         assert got[flag] == f"{Decimal(c) / 100:.2f}", (flag, got[flag], c)
+
+
+def test_ivm_matches_full_recompute(spark):
+    """The incrementally-maintained gold view must exactly equal a
+    full re-aggregation of the merged snapshot (the IVM identity),
+    computed here via the cdc_apply merge + driver-side aggregation."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.segment: (r.n, r.sum_cents)
+        for r in REGISTRY["incremental_view_maintenance"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    snap = REGISTRY["cdc_apply"].fn(spark, SF_SMOKE).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in snap:
+        cents = int(
+            (Decimal(repr(r.acctbal)) * 100).quantize(Decimal("1"))
+        )
+        agg[r.mktsegment][0] += 1
+        agg[r.mktsegment][1] += cents
+    assert got == {k: (v[0], v[1]) for k, v in agg.items()}
