@@ -1563,3 +1563,118 @@ def incremental_view_maintenance(spark, sf):
             F.round(F.col("sum_cents") / 100.0 / F.col("n"), 4) + F.lit(0.0)
         ).alias("avg_bal"),
     )
+
+
+# =====================================================================
+# Vocabulary coverage / OOV rate (tokenizer-fit diagnostic)
+# =====================================================================
+
+@_q(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM tok WHERE term <> ''
+      GROUP BY term
+      ORDER BY COUNT(*) DESC, term
+      LIMIT 50
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) + 0.0 AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    WHERE t.term <> ''
+    GROUP BY t.doc_id
+    """,
+    "Out-of-vocabulary rate per document against the corpus's own"
+    " top-50 term vocabulary — the tokenizer-fit diagnostic run"
+    " before committing to a vocab size (high OOV = wasted UNK"
+    " tokens). The vocabulary is one term-frequency aggregate with a"
+    " deterministic (count, term) tie-break, broadcast back onto the"
+    " exploded token stream; the per-doc rollup shares the doc_id"
+    " grouping with every other per-doc signal. At 100 TB the"
+    " explode is the dominant cost and is map-side only — the same"
+    " shape as vocab_topk/unigram_logprob, whose broadcast-stats"
+    " pattern this completes.",
+)
+def vocab_oov_rate(spark, sf):
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(50)
+        .select(F.col("term").alias("vterm"))
+    )
+    j = tok.join(F.broadcast(vocab), tok.term == vocab.vterm, "left")
+    oov = F.when(F.col("vterm").isNull(), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).alias("n_oov"),
+        (
+            F.round(F.sum(oov).cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("oov_rate"),
+    )
+
+
+# =====================================================================
+# Cross-source duplication matrix (inter-source contamination)
+# =====================================================================
+
+@_q(
+    "cross_source_overlap",
+    """
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS f
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    "Inter-source duplication matrix: for each source pair, how many"
+    " canonical bag-of-words fingerprints (split_leakage_check's"
+    " order/repetition-insensitive form) appear in BOTH — the"
+    " source-level contamination report that decides which feeds are"
+    " redundant before paying to process them. Distinct (source,"
+    " fingerprint) pairs first (bounded by docs, map-side combined),"
+    " then a self-join ON THE FINGERPRINT — candidate pairs exist"
+    " only inside fingerprint groups, so the join is dedup-shaped,"
+    " never |sources|x|docs| quadratic; the a.source < b.source"
+    " predicate keeps each unordered pair once. Output is"
+    " |sources|^2-bounded regardless of corpus size.",
+)
+def cross_source_overlap(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = d.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.col("text"), " "))
+                ),
+                " ",
+            )
+        ).alias("f"),
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )

@@ -1214,3 +1214,54 @@ def test_ivm_matches_full_recompute(spark):
         agg[r.mktsegment][0] += 1
         agg[r.mktsegment][1] += cents
     assert got == {k: (v[0], v[1]) for k, v in agg.items()}
+
+
+def test_vocab_oov_rate_bruteforce(spark):
+    """Per-doc OOV counts must match a Python recount against the
+    deterministic top-50 vocabulary."""
+    from collections import Counter
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in REGISTRY["vocab_oov_rate"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    tf = Counter()
+    for d in docs:
+        tf.update(t for t in d.text.split(" ") if t)
+    vocab = {
+        t for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert got[d.doc_id] == (len(toks), oov), d.doc_id
+
+
+def test_cross_source_overlap_symmetric_bruteforce(spark):
+    """Pair counts must equal a set-intersection recount, each
+    unordered source pair appearing exactly once."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["cross_source_overlap"].fn(spark, SF_SMOKE).collect()
+    assert all(r.source_a < r.source_b for r in rows)
+    docs = table(spark, SF_SMOKE, "documents").collect()
+    import hashlib
+
+    by_source = defaultdict(set)
+    for d in docs:
+        canon = " ".join(sorted(set(d.text.split(" "))))
+        by_source[d.source].add(hashlib.md5(canon.encode()).hexdigest())
+    expect = {}
+    srcs = sorted(by_source)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            n = len(by_source[sa] & by_source[sb])
+            if n:
+                expect[(sa, sb)] = n
+    assert {(r.source_a, r.source_b): r.shared_fingerprints
+            for r in rows} == expect
