@@ -1678,3 +1678,116 @@ def cross_source_overlap(spark, sf):
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_fingerprints"))
     )
+
+
+# =====================================================================
+# Order-fulfillment latency percentiles (join -> derive -> percentile)
+# =====================================================================
+
+@_q(
+    "fulfillment_latency",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, MIN(l.l_shipdate))
+               AS days_to_ship
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(median(days_to_ship), 4) AS p50_days,
+           ROUND(quantile_cont(days_to_ship, 0.9), 4) AS p90_days,
+           CAST(MAX(days_to_ship) AS BIGINT) AS max_days
+    FROM lat
+    GROUP BY priority
+    """,
+    "Order-fulfillment latency: days from order date to FIRST"
+    " shipment per order, summarized as p50/p90/max per priority —"
+    " the SLA dashboard behind reference S20's read workload. Two"
+    " stacked aggregations: the orderkey-co-keyed join + MIN"
+    " collapses lineitem to one latency row per order (the join and"
+    " the first group-by share the orderkey partitioning — one fact"
+    " shuffle), then the priority rollup runs on the orders-sized"
+    " frame. Latencies are integer days (datediff), so the exact"
+    " median/quantile interpolation is identical in both engines"
+    " (the agg_median pairing); the percentile buffers per-priority"
+    " latencies — orders-sized, not lineitem-sized, and the"
+    " registry's sketch entries are the unbounded-cardinality"
+    " alternative.",
+)
+def fulfillment_latency(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("first_ship", "o_orderdate").alias("days_to_ship"),
+        )
+    )
+    return lat.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.median("days_to_ship"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days_to_ship, 0.9)"), 4).alias(
+            "p90_days"
+        ),
+        F.max("days_to_ship").cast("long").alias("max_days"),
+    )
+
+
+# =====================================================================
+# Per-source duplication-rate report
+# =====================================================================
+
+@_q(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(array_to_string(list_sort(
+             list_distinct(string_split(text, ' '))), ' ')))
+             AS BIGINT) AS n_canonical,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' ')))
+             AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    "Per-source duplication report: documents vs distinct canonical"
+    " bag-of-words fingerprints, and the implied duplication rate —"
+    " the per-feed quality summary a curation pass publishes next to"
+    " cross_source_overlap's pair matrix (that one says which feeds"
+    " overlap; this one says how redundant each feed is internally)."
+    " One count-distinct aggregate keyed on source (Expand +"
+    " partial aggregation — the distinct is per fingerprint, bounded"
+    " by docs); the fingerprint is computed map-side in the same"
+    " pass. At 100 TB this is the cheap pre-screen that decides"
+    " which sources are worth the full MinHash pass.",
+)
+def dup_rate_by_source(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+            " ",
+        )
+    )
+    return (
+        d.select("source", fp.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("f").alias("n_canonical"),
+            (
+                F.round(
+                    1.0
+                    - F.count_distinct("f").cast("double") / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )

