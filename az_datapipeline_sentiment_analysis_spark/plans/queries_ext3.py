@@ -1825,3 +1825,101 @@ def dup_rate_by_source(spark, sf):
             ).alias("dup_rate"),
         )
     )
+
+
+# =====================================================================
+# Exact-k stratified sampling (deterministic hash ranking)
+# =====================================================================
+
+@_q(
+    "sample_stratified_exact_k",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+    "Exactly-k-per-stratum sampling: 10 documents per language,"
+    " selected by ranking on a deterministic md5 of the key — the"
+    " 'fixed-size eval slice per language' draw that fractional"
+    " sampling (sample_stratified) cannot promise (Bernoulli gives"
+    " binomial counts). The hash makes the draw reproducible across"
+    " runs, engines, and input order; the doc_id tie-break pins the"
+    " md5-collision case. Physically one rank window per stratum"
+    " hash partition, and Spark's WindowGroupLimit pushes the rk<=10"
+    " cut below the shuffle, so each map task forwards at most k"
+    " rows per stratum — the window never materializes a full"
+    " stratum at 100 TB.",
+)
+def sample_stratified_exact_k(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+# =====================================================================
+# Time-weighted average (duration-weighted signal mean per user)
+# =====================================================================
+
+@_q(
+    "time_weighted_average",
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             LEAD(epoch_us(ts) // 1000000) OVER w
+               - (epoch_us(ts) // 1000000) AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(dt) AS BIGINT) AS span_s,
+           ROUND(SUM(value * dt) / SUM(dt), 4) + 0.0 AS twa
+    FROM seg
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+    "Time-weighted average of each user's signal: every reading"
+    " holds until the next one, so its weight is the integer-second"
+    " duration it was in force — the billing/metrics aggregation a"
+    " plain AVG misstates whenever sampling is irregular (a value"
+    " held for an hour counts 3600x one held for a second). LEAD"
+    " over the per-user timeline supplies the holding duration (the"
+    " final reading has none and is excluded, as are zero-span"
+    " users); weights are int64 seconds so the weighted sum's only"
+    " float is the value itself. One sort per user_id hash"
+    " partition feeding a map-side-combined aggregate — the same"
+    " single-shuffle class as sessionize_events.",
+)
+def time_weighted_average(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    dt = F.lead(sec).over(w) - sec
+    seg = e.select("user_id", "value", dt.alias("dt")).filter(
+        F.col("dt").isNotNull()
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt").alias("span_s"),
+            (
+                F.round(
+                    F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+                )
+                + F.lit(0.0)
+            ).alias("twa"),
+        )
+        .filter(F.col("span_s") > 0)
+    )

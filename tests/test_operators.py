@@ -1310,3 +1310,55 @@ def test_dup_rate_consistency(spark):
     for r in rows:
         assert 0 < r.n_canonical <= r.n_docs
         assert abs(r.dup_rate - (1 - r.n_canonical / r.n_docs)) < 1e-5
+
+
+def test_exact_k_sampling_counts_and_determinism(spark):
+    """Every language with >= 10 docs contributes exactly 10; smaller
+    strata contribute all their docs; and the draw is identical on a
+    second invocation (hash-deterministic, not RNG)."""
+    from collections import Counter
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    fn = REGISTRY["sample_stratified_exact_k"].fn
+    rows = fn(spark, SF_SMOKE).collect()
+    again = fn(spark, SF_SMOKE).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    got = Counter(r.lang for r in rows)
+    full = Counter(
+        r.lang for r in table(spark, SF_SMOKE, "documents").collect()
+    )
+    for lang, n in full.items():
+        assert got[lang] == min(10, n), lang
+
+
+def test_twa_bruteforce(spark):
+    """Time-weighted means must match a driver-side recount of
+    duration-weighted sums over each user's timeline."""
+    from collections import defaultdict
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.user_id: (r.span_s, r.twa)
+        for r in REGISTRY["time_weighted_average"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    tl = defaultdict(list)
+    for r in ev:
+        tl[r.user_id].append((r.ts, r.event_id, r.value))
+    for u, rows in tl.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        span = 0
+        wsum = 0.0
+        for (ts, _e, v), (ts2, _e2, _v2) in zip(rows, rows[1:]):
+            dt = int(ts2.timestamp()) - int(ts.timestamp())
+            span += dt
+            wsum += v * dt
+        if span > 0:
+            assert got[u][0] == span
+            assert abs(got[u][1] - wsum / span) < 1e-3
+        else:
+            assert u not in got

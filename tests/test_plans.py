@@ -307,3 +307,11 @@ def test_win_time_range_bucketed_partitioning(spark):
     assert "hashpartitioning(event_type" in plan, plan
     assert "__bucket" in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_exact_k_sampling_group_limit_pushdown(spark):
+    # the rank cut must push below the shuffle (WindowGroupLimit
+    # partial + final) so map tasks forward at most k rows per stratum
+    df = REGISTRY["sample_stratified_exact_k"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
