@@ -99,10 +99,12 @@ def test_sessionize_single_shuffle(spark):
 
 def test_quantile_bucketing_no_window_sort(spark):
     # the operator's reason to exist: decile assignment WITHOUT an
-    # ntile-style global-sort window — a Window node appearing here
-    # means the scale-killing plan came back
+    # ntile-style global-sort window over the fact. Windows are allowed
+    # only on the bounded frames of the two-phase selection (the
+    # 1024-row bucket sweep and the target buckets' distinct prices) —
+    # an ntile means the scale-killing global sort came back
     plan = _formatted_plan(spark, "quantile_bucketing")
-    assert "Window" not in plan, plan
+    assert "ntile" not in plan, plan
 
 
 def test_heavy_hitters_broadcasts_scalar(spark):
@@ -136,12 +138,15 @@ def test_win_rank_has_group_limit_pushdown(spark):
 
 
 def test_quantile_bucketing_single_percentile(spark):
-    # the nine decile aliases must dedup to ONE Percentile aggregate —
-    # nine separate exact-percentile buffers would 9x the memory of the
-    # most expensive aggregate in the suite
+    # round 5: the exact form no longer uses Percentile AT ALL — the
+    # two-phase bucketed selection computes the same interpolated
+    # deciles from codegen'd hash aggregates with bounded state. A
+    # percentile (or any ObjectHashAggregate) reappearing here means
+    # the per-partition column buffering came back
     df = REGISTRY["quantile_bucketing"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("percentile(l_extendedprice") <= 4, plan
+    assert "percentile" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
 
 
 def test_quantile_bucketing_approx_no_exact_percentile(spark):
