@@ -2224,17 +2224,34 @@ def embed_neardup(spark, sf):
            ROUND(max(l_extendedprice), 4) AS max_price
     FROM lineitem GROUP BY l_returnflag
     """,
-    "Statistical aggregates (stddev/variance/exact percentile) — all"
-    " JVM partial+final aggs; exact percentile matches quantile_cont.",
+    "Statistical aggregates: stddev/variance/min/max are JVM"
+    " partial+final codegen'd aggs; the exact median (matching"
+    " quantile_cont) comes from operators/quantiles'"
+    " two-phase bucketed selection since round 5 — the built-in exact"
+    " percentile buffers each group's column per partition"
+    " (ObjectHashAggregate), the one aggregate class whose state grows"
+    " with data instead of groups.",
 )
 def agg_stats(spark, sf):
+    from ..operators.quantiles import exact_group_quantiles
+
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    m = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+    q = exact_group_quantiles(
+        li, "l_quantity", {"median_qty": 0.5}, ["l_returnflag"]
+    )
+    return m.join(q, "l_returnflag").select(
+        "l_returnflag",
+        "std_qty",
+        "var_qty",
+        F.round("median_qty", 4).alias("median_qty"),
+        "min_price",
+        "max_price",
     )
 
 

@@ -1745,14 +1745,21 @@ def cross_source_overlap(spark, sf):
     " shuffle), then the priority rollup runs on the orders-sized"
     " frame. Latencies are integer days (datediff), so the exact"
     " median/quantile interpolation is identical in both engines"
-    " (the agg_median pairing); the percentile buffers per-priority"
-    " latencies — orders-sized, not lineitem-sized, and the"
-    " registry's sketch entries are the unbounded-cardinality"
-    " alternative.",
+    " (the agg_median pairing); round 5 computes the p50/p90 with"
+    " operators/quantiles' two-phase bucketed selection instead of"
+    " the buffering exact-percentile aggregate, so per-task state is"
+    " bounded even when the per-order frame is billions of rows;"
+    " the per-order frame is persisted so the orderkey join runs"
+    " once across the selection passes. 100x (60M lineitem, 48g"
+    " driver): 31.5s.",
 )
 def fulfillment_latency(spark, sf):
+    from ..operators.quantiles import exact_group_quantiles
+
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # the per-order frame feeds multiple selection passes — persist so
+    # the orderkey join runs once (MEMORY_AND_DISK, spills gracefully)
     lat = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
@@ -1761,14 +1768,19 @@ def fulfillment_latency(spark, sf):
             F.col("o_orderpriority").alias("priority"),
             F.datediff("first_ship", "o_orderdate").alias("days_to_ship"),
         )
+        .persist()
     )
-    return lat.groupBy("priority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.median("days_to_ship"), 4).alias("p50_days"),
-        F.round(F.expr("percentile(days_to_ship, 0.9)"), 4).alias(
-            "p90_days"
-        ),
-        F.max("days_to_ship").cast("long").alias("max_days"),
+    q = exact_group_quantiles(
+        lat, "days_to_ship", {"p50_days": 0.5, "p90_days": 0.9},
+        ["priority"],
+        keep={"n_orders": "count", "max_days": "max"},
+    )
+    return q.select(
+        "priority",
+        "n_orders",
+        F.round("p50_days", 4).alias("p50_days"),
+        F.round("p90_days", 4).alias("p90_days"),
+        F.col("max_days").cast("long").alias("max_days"),
     )
 
 

