@@ -436,3 +436,73 @@ def test_bucketed_interval_overlap_matches_theta_model(spark, ivs, hours):
         if tot > 0:
             expect[i] = (tot, n)
     assert got == expect
+
+
+# --- exact_group_quantiles vs a pure-Python quantile_cont model ------
+
+def _quantile_cont_model(values, p):
+    """The linear-interpolation definition both engines implement."""
+    vs = sorted(v for v in values if v is not None)
+    if not vs:
+        return None
+    h = (len(vs) - 1) * p
+    lo, hi = math.floor(h), math.ceil(h)
+    return vs[lo] + (h - lo) * (vs[hi] - vs[lo])
+
+
+GROUPED_VALUES = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-1000, max_value=1000).map(float),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW_OK
+@given(st.lists(GROUPED_VALUES, min_size=3, max_size=6))
+def test_exact_group_quantiles_matches_model(spark, batches):
+    # batch the hypothesis examples into one frame (batch id is part of
+    # the group key) so the whole property costs one Spark job
+    from az_datapipeline_sentiment_analysis_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rows = [
+        Row(bid=i, g=g, v=v)
+        for i, batch in enumerate(batches)
+        for g, v in batch
+    ]
+    df = spark.createDataFrame(rows, schema="bid int, g string, v double")
+    ps = {"q10": 0.1, "med": 0.5, "q90": 0.9}
+    got = {
+        (r["bid"], r["g"]): r.asDict()
+        for r in exact_group_quantiles(
+            df, "v", ps, ["bid", "g"], nb=8
+        ).collect()
+    }
+    # model: group rows in Python, drop all-null groups
+    from collections import defaultdict
+
+    model = defaultdict(list)
+    for i, batch in enumerate(batches):
+        for g, v in batch:
+            model[(i, g)].append(v)
+    for key, vals in model.items():
+        expect = {a: _quantile_cont_model(vals, p) for a, p in ps.items()}
+        if expect["med"] is None:
+            assert key not in got  # all-null group produces no row
+            continue
+        assert key in got, key
+        for a in ps:
+            assert math.isclose(
+                got[key][a], expect[a], rel_tol=1e-9, abs_tol=1e-9
+            ), (key, a, got[key][a], expect[a])
