@@ -1,1 +1,2 @@
-"""Composed operators: dedup, similarity search, as-of joins, sessionization."""
+"""Composed operators: dedup, similarity search, as-of joins,
+bounded-memory exact quantiles, sessionization."""
