@@ -198,8 +198,12 @@ def exact_group_quantiles(
             (F.col("__before") + F.sum("__c").over(pw)).alias("__gcum"),
         )
     )
+    # broadcast side matters here: ``located`` is ~2 rows per quantile
+    # per group while ``positioned`` holds the target buckets' distinct
+    # values (~n/nb rows per bucket, growing with data volume) — the
+    # big frame stays distributed, the tiny one ships
     sel = (
-        _join(located, positioned, g + ["__b"])
+        _join(positioned, located, g + ["__b"])
         .filter(F.col("__gcum") >= F.col("__k") + 1)
         .groupBy(*g, "__alias", "__frac", "__side")
         .agg(F.min("__v").alias("__val"))
@@ -233,4 +237,13 @@ def exact_group_quantiles(
             *g, *[F.col(src[which]).alias(a) for a, which in keep.items()]
         )
         out = _join(out, extras, g, broadcast=False)
+    # Materialize the (groups x quantiles)-sized result eagerly so the
+    # persisted intermediates can be released NOW instead of leaking
+    # cached partitions across repeated invocations in a long-lived
+    # session. localCheckpoint keeps only the tiny output blocks (freed
+    # by the context cleaner once the frame is unreferenced); the
+    # caller still receives a composable DataFrame.
+    out = out.localCheckpoint(eager=True)
+    stats.unpersist()
+    located.unpersist()
     return out

@@ -2287,16 +2287,71 @@ def corr_stats(spark, sf):
     """,
     "Distribution window functions (ntile/percent_rank/cume_dist) with"
     " a deterministic tiebreak so the quartile assignment is"
-    " engine-independent.",
+    " engine-independent. The naive form — one unpartitioned window"
+    " over the fact — plans as a single-partition global sort (one"
+    " task sorts the whole table at 100x); the round-6 rewrite is the"
+    " same two-phase move that fixed quantile_bucketing: route rows"
+    " into 1024 monotone c_acctbal value buckets (map-only, broadcast"
+    " min/max), count per bucket (a <=1024-row frame), sweep prefix"
+    " offsets over that tiny frame, and join them back broadcast; the"
+    " only fact-side window is a row_number PARTITIONED by bucket"
+    " (hash-shuffled 1024 ways, each task sorts ~n/1024 rows)."
+    " Because the ordering key (c_acctbal, c_custkey) is total,"
+    " rank == row_number == global position r = offset + local rn,"
+    " and all three distribution functions are closed forms of (r, n):"
+    " ntile via the uneven-bucket formula (first n%4 tiles get one"
+    " extra row), percent_rank = (r-1)/(n-1), cume_dist = r/n — the"
+    " exact arithmetic both engines' window implementations perform,"
+    " so the DuckDB oracle keeps the literal window functions.",
 )
 def win_ntile(spark, sf):
-    c = _t(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    NB = 1024
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    stats = c.agg(
+        F.min("c_acctbal").alias("__lo"),
+        F.max("c_acctbal").alias("__hi"),
+        F.count("*").alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / NB
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(NB),
+            F.floor((F.col("c_acctbal") - F.col("__lo")) / width).cast("int")
+            + 1,
+        )
+    )
+    d = c.join(F.broadcast(stats), how="cross").withColumn("__b", bucket)
+    # prefix offsets over the <=1024-row bucket-count frame; coalesce(1)
+    # (not an unpartitioned window) so no Exchange SinglePartition
+    # appears anywhere in the plan — plan-guarded
+    bw = d.groupBy("__b").agg(F.count("*").alias("__w")).coalesce(1)
+    wc = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bw.select(
+        "__b", F.coalesce(F.sum("__w").over(wc), F.lit(0)).alias("__off")
+    )
+    wloc = Window.partitionBy("__b").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        d.withColumn("__rn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "__b")
+        .withColumn("__r", F.col("__off") + F.col("__rn"))
+    )
+    r, n = F.col("__r"), F.col("__n")
+    q, rem = F.floor(n / 4), n % 4
+    big = q + 1
+    # Spark/DuckDB ntile: the first n%4 tiles hold ceil(n/4) rows. The
+    # otherwise-branch divides by q, which is 0 only when n < 4 — and
+    # then big*rem = n >= r keeps every row in the first branch, so the
+    # division-by-zero arm is never selected
+    tile = F.when(
+        r <= big * rem, F.floor((r - 1) / big) + 1
+    ).otherwise(rem + F.floor((r - big * rem - 1) / q) + 1)
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        tile.cast("long").alias("bal_quartile"),
+        F.round(
+            F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(r / n, 6).alias("cume"),
     )
 
 

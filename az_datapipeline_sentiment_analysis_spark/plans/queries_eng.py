@@ -660,9 +660,12 @@ def quantile_bucketing(spark, sf):
             (F.col("before") + F.sum("c").over(pw)).alias("gcum"),
         )
     )
-    # v[k] = least price in k's bucket whose cumulative count covers k
+    # v[k] = least price in k's bucket whose cumulative count covers k.
+    # positioned is the BIG side (target buckets' distinct prices,
+    # ~n/1024 rows per bucket): keep it distributed and broadcast the
+    # <=18-row located frame instead
     vals = (
-        located.join(F.broadcast(positioned), "b")
+        positioned.join(F.broadcast(located), "b")
         .filter(F.col("gcum") >= F.col("k") + 1)
         .groupBy("i", "frac", "side")
         .agg(F.min("price").alias("v"))
@@ -679,12 +682,17 @@ def quantile_bucketing(spark, sf):
             ).alias("cut"),
         )
     )
+    # materialize the 1-row cut frame eagerly so the persisted
+    # intermediates release immediately instead of leaking cached
+    # partitions across registry invocations in a long-lived session
     cuts = vals.groupBy().agg(
         *[
             F.min(F.when(F.col("i") == j, F.col("cut"))).alias(f"c{j}")
             for j in range(1, 10)
         ]
-    )
+    ).localCheckpoint(eager=True)
+    stats.unpersist()
+    located.unpersist()
     out_bucket = F.lit(1)
     for i in range(1, 10):
         out_bucket = out_bucket + F.when(

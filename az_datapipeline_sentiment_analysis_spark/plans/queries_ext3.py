@@ -537,7 +537,8 @@ def dow_seasonality(spark, sf):
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+             CASE WHEN (epoch_us(ts) // 1000000)
+                       - (epoch_us(LAG(ts) OVER w) // 1000000) <= 1800
                   THEN 0 ELSE 1 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -569,15 +570,12 @@ def dow_seasonality(spark, sf):
            CAST(COUNT(*) AS BIGINT) AS n_hours
     FROM sessions s
     JOIN incidents i
-      ON i.hr < s.s_end AND s.s_start < i.hr + INTERVAL 1 HOUR
+      ON LEAST((epoch_us(s.s_end) // 1000000),
+               (epoch_us(i.hr) // 1000000) + 3600)
+         - GREATEST((epoch_us(s.s_start) // 1000000),
+                    (epoch_us(i.hr) // 1000000)) > 0
     WHERE (epoch_us(s.s_end) // 1000000) > (epoch_us(s.s_start) // 1000000)
     GROUP BY s.user_id, s.session_no
-    HAVING SUM(
-             LEAST((epoch_us(s.s_end) // 1000000),
-                   (epoch_us(i.hr) // 1000000) + 3600)
-             - GREATEST((epoch_us(s.s_start) // 1000000),
-                        (epoch_us(i.hr) // 1000000))
-           ) > 0
     """,
     "Interval x interval overlap join: per user session, the seconds"
     " spent inside system 'incident windows' (hours whose error count"
@@ -640,10 +638,13 @@ def interval_overlap_join(spark, sf):
         F.col("a"), F.col("hr").cast("long")
     )
     # per-bucket positive-overlap filter: a session ending exactly on
-    # an hour boundary spans that bucket with 0 seconds inside it; the
-    # strict theta condition (h < end AND start < h+1h) admits exactly
-    # the positive-overlap buckets, so filtering here keeps the
-    # bucketed join row-set identical to the theta join's
+    # an hour boundary spans that bucket with 0 seconds inside it.
+    # Bucket membership is DEFINED in truncated (floor-epoch-second)
+    # arithmetic on both engines — events carry microseconds, and a
+    # full-precision theta condition would admit a bucket the
+    # truncated overlap rounds to zero (session ending 0.3s into an
+    # incident hour), so the oracle joins on the same truncated
+    # LEAST/GREATEST overlap > 0 rather than the raw theta predicate
     return (
         spanned.join(incidents, "hr")
         .withColumn("__ov", ov)
@@ -1269,7 +1270,8 @@ def win_time_range(spark, sf):
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+             CASE WHEN (epoch_us(ts) // 1000000)
+                       - (epoch_us(LAG(ts) OVER w) // 1000000) <= 1800
                   THEN 0 ELSE 1 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1278,10 +1280,14 @@ def win_time_range(spark, sf):
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sno
       FROM flagged
+    ), capped AS (
+      SELECT * FROM sess
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, sno
+                                 ORDER BY ts, event_id) <= 64
     ), paths AS (
       SELECT user_id, sno,
              string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-      FROM sess GROUP BY user_id, sno
+      FROM capped GROUP BY user_id, sno
     )
     SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
     FROM paths
@@ -1300,8 +1306,16 @@ def win_time_range(spark, sf):
     " (array_sort over (ts, event_id, type) structs makes the"
     " within-session order explicit and engine-stable, matching"
     " DuckDB's ORDER BY inside string_agg); only the final tiny"
-    " path-frequency frame reshuffles. Top-k ties break on the path"
-    " string, so the LIMIT is deterministic across engines.",
+    " path-frequency frame reshuffles. Sessions are TRUNCATED to"
+    " their first 64 events BEFORE the per-session collect — an"
+    " always-active bot whose events never gap 30 minutes would"
+    " otherwise accumulate one corpus-spanning array in a single"
+    " task; the row_number cap runs on the same user_id shuffle"
+    " (partition subset => no new exchange) so per-session state is"
+    " bounded by the cap, and the gap rule compares floor-epoch"
+    " seconds on both engines (events carry microseconds). Top-k"
+    " ties break on the path string, so the LIMIT is deterministic"
+    " across engines.",
 )
 def session_paths_topk(spark, sf):
     e = _t(spark, sf, "events")
@@ -1314,6 +1328,15 @@ def session_paths_topk(spark, sf):
     sess = e.select(
         "user_id", "ts", "event_id", "event_type",
         sess_no.alias("sno"),
+    )
+    # bound per-session state: keep only each session's first 64
+    # events. partitionBy(user_id, sno) is a superset of the existing
+    # user_id clustering, so this window adds a within-partition sort
+    # but NO new shuffle; the later collect_list array is then capped
+    # at 64 entries per group regardless of pathological users.
+    wcap = Window.partitionBy("user_id", "sno").orderBy("ts", "event_id")
+    sess = sess.withColumn("__rn", F.row_number().over(wcap)).filter(
+        F.col("__rn") <= 64
     )
     ordered = F.transform(
         F.array_sort(
@@ -1775,6 +1798,9 @@ def fulfillment_latency(spark, sf):
         ["priority"],
         keep={"n_orders": "count", "max_days": "max"},
     )
+    # exact_group_quantiles materializes eagerly, so the per-order
+    # cache can be released before returning
+    lat.unpersist()
     return q.select(
         "priority",
         "n_orders",

@@ -314,6 +314,21 @@ def test_win_time_range_bucketed_partitioning(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
 
 
+def test_win_ntile_no_single_partition_window(spark):
+    # round 6: ntile/percent_rank/cume_dist are closed forms of the
+    # two-phase global position (bucket route + per-bucket row_number
+    # + broadcast prefix offsets). The literal window functions — or
+    # ANY Exchange SinglePartition — reappearing means the
+    # one-task-sorts-the-whole-table plan came back (the tiny prefix
+    # sweep rides a coalesce(1), not a single-partition exchange)
+    plan = _formatted_plan(spark, "win_ntile")
+    assert "ntile(" not in plan, plan
+    assert "percent_rank(" not in plan, plan
+    assert "cume_dist(" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
+
+
 def test_exact_k_sampling_group_limit_pushdown(spark):
     # the rank cut must push below the shuffle (WindowGroupLimit
     # partial + final) so map tasks forward at most k rows per stratum
