@@ -2476,35 +2476,51 @@ _DRIVER_GREEN_R4 = frozenset(
 )
 
 
-# Materially changed since their last driver row, so re-verify first:
-# the two round-4 hash-fails, fixed round 5 (cross_tab oracle now CASTs
-# its HUGEINT sums to BIGINT; bigram_pmi collapses IEEE signed zero on
-# both sides) — both proven against the hardened repr-strict mirror,
-# which reproduces the driver's stringifying hash and flags the
-# pre-fix versions. The full-registry repr-strict sweep then caught
-# the same two hazard classes latent in agg_moments + embed_centroid
-# (signed zero, fired only at sf0.001) and agg_regression (uint32
-# oracle count); cdc_apply's synthesized insert keys moved out of the
-# customer key domain (ADVICE). All six re-verify this round.
-_RECHECK = frozenset(
+# Round-5 driver sample (CORRECTNESS_r05.json): 49 full hash-green +
+# 1 rows-only-by-design (quantile_bucketing_approx, no SQL oracle for
+# the GK sketch cuts — pytest-enveloped). First zero-defect gate; with
+# it every one of the 233 registry entries has a driver row.
+_DRIVER_GREEN_R5 = frozenset(
     {
-        "cross_tab", "bigram_pmi", "agg_moments", "embed_centroid",
-        "agg_regression", "cdc_apply",
-        # sf0.1 sweep catch: the composite quality score had genuine
-        # 7th-digit half-way ties that one-ulp dust flips; the score
-        # is now assembled in integer micro-units on both engines
-        "text_quality",
+        "agg_decimal_exact", "agg_moments", "agg_regression",
+        "anomaly_mad", "asof_join_forward", "attribution_last_touch",
+        "bigram_pmi", "cdc_apply", "chi2_independence",
+        "cross_source_overlap", "cross_tab", "cumulative_distinct_users",
+        "dow_seasonality", "dup_rate_by_source", "embed_centroid",
+        "entropy_by_group", "ewma_smooth", "filter_flag",
+        "fulfillment_latency", "funnel_time_to_convert",
+        "graph_degree_hist", "graph_pagerank", "group_rare_collapse",
+        "impute_mean_group", "incremental_view_maintenance",
+        "interval_overlap_join", "markov_transitions",
+        "minmax_scaler_join", "ohlc_bars", "pareto_frontier",
+        "project_cast", "q1_pricing_summary", "quantile_bucketing_approx",
+        "rolling_wau", "sample_stratified_exact_k", "sample_weighted",
+        "scan_parquet", "scan_text_lines", "session_paths_topk",
+        "sketch_kll_merge", "sketch_theta_setops", "split_leakage_check",
+        "stream_ohlc_bars", "text_quality", "time_weighted_average",
+        "token_bpe_count", "vocab_oov_rate", "weighted_median",
+        "welch_ttest", "win_time_range",
     }
 )
 
 
-# The last registry entries without ANY driver row (added after the
-# round-4 window filled). Mirror-verified round 5 at sf0.01 AND sf0.1
-# under both vanilla-200 and 8-partition sessions; graph_pagerank's
-# rounding-boundary margin measured ~400x above worst-case cross-engine
-# float dust (see its docstring). Sampling these completes 197/197.
-_NEVER_SAMPLED = frozenset(
-    {"graph_pagerank", "cumulative_distinct_users", "sample_weighted"}
+# Materially changed in ROUND 6, so re-verify first (VERDICT r5 #3 +
+# ADVICE r5 #4: every entry whose implementation changed must get a
+# fresh driver row the same round): win_ntile (two-phase global
+# position rewrite), interval_overlap_join + session_paths_topk
+# (truncated-second oracle arithmetic; session event cap), and every
+# entry backed by operators/quantiles.exact_group_quantiles or the
+# quantile_bucketing two-phase selection (broadcast side swapped,
+# eager materialization + cache release this round). The mirror-strict
+# parity suite already re-proved all of them; this puts them in the
+# driver's own 50-slot window too.
+_RECHECK = frozenset(
+    {
+        "win_ntile", "interval_overlap_join", "session_paths_topk",
+        "quantile_bucketing", "agg_stats", "agg_median",
+        "iqr_outlier_filter", "anomaly_mad", "weighted_median",
+        "fulfillment_latency",
+    }
 )
 
 
@@ -2512,18 +2528,19 @@ def _gate_priority(name: str) -> int:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
 
-    Front of the 50-slot window: queries changed since their last
-    driver row, then the never-sampled tail, then any round-5
-    additions (no driver row yet). The remaining slots re-verify the
-    greens LONGEST-UNCHECKED FIRST: round-1 rows are three rounds
-    stale, so they recycle ahead of newer greens. Membership is
-    checked newest-round-first because some entries re-verified in a
-    later round (e.g. the near-dup family is in both R1 and R3).
+    Front of the 50-slot window: queries changed this round, then any
+    entry without a driver row yet. The remaining slots re-verify the
+    greens LONGEST-UNCHECKED FIRST (VERDICT r5 #3): round-1/2 rows
+    predate the repr-level mirror hardening, so they were last
+    driver-verified under a comparator weaker than the current gate —
+    they recycle ahead of newer greens. Membership is checked
+    newest-round-first because many entries re-verified in a later
+    round (e.g. q1/scan_parquet/filter_flag are in both R1 and R5).
     """
     if name in _RECHECK:
-        return 0  # changed since last driver check — re-verify first
-    if name in _NEVER_SAMPLED:
-        return 1  # first-ever driver row — completes 197/197
+        return 0  # changed this round — re-verify first
+    if name in _DRIVER_GREEN_R5:
+        return 7
     if name in _DRIVER_GREEN_R4:
         return 6
     if name in _DRIVER_GREEN_R3:
@@ -2531,8 +2548,8 @@ def _gate_priority(name: str) -> int:
     if name in _DRIVER_GREEN_R2:
         return 4
     if name in _DRIVER_GREEN_R1:
-        return 3  # oldest greens recycle into the spare slots
-    return 2  # new this round — no driver row yet
+        return 2  # oldest greens recycle into the spare slots first
+    return 1  # no driver row yet
 
 
 def _gate_order() -> list[str]:

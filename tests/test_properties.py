@@ -506,3 +506,64 @@ def test_exact_group_quantiles_matches_model(spark, batches):
             assert math.isclose(
                 got[key][a], expect[a], rel_tol=1e-9, abs_tol=1e-9
             ), (key, a, got[key][a], expect[a])
+
+
+# --- session path cap: bounded state for gap-free (bot) users --------
+
+# inter-event gaps all <= 30 min: the whole stream is ONE session no
+# matter how long it runs — the pathological shape the 64-event cap
+# exists for (VERDICT r5 #4)
+BOT_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1800),           # gap seconds
+        st.sampled_from(["view", "click", "purchase"]),     # event type
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@SLOW_OK
+@given(events=BOT_EVENTS)
+def test_session_paths_cap_bounds_botlike_sessions(spark, events):
+    """A user whose events never gap 30 minutes forms one session of
+    unbounded length; session_paths_topk must truncate the path to the
+    session's first 64 events (deterministically, in (ts, event_id)
+    order) instead of collecting the whole stream into one array."""
+    import datetime
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    base = datetime.datetime(2024, 5, 1)
+    ts, rows = base, []
+    for i, (gap, etype) in enumerate(events):
+        if i > 0:
+            ts = ts + datetime.timedelta(seconds=gap)
+        rows.append(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": 7,
+                "event_type": etype,
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+    tmp = tempfile.mkdtemp(prefix="pathcap_")
+    try:
+        pd.DataFrame(rows).to_parquet(f"{tmp}/events.parquet")
+        got = REGISTRY["session_paths_topk"].fn(spark, tmp).collect()
+        if len(events) < 2:
+            assert got == []  # single-event session has no path
+            return
+        assert len(got) == 1
+        expect = ">".join(t for _, t in events[:64])
+        assert got[0]["path"] == expect
+        assert got[0]["n_sessions"] == 1
+        assert len(got[0]["path"].split(">")) <= 64
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

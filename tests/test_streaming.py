@@ -222,39 +222,6 @@ def test_stream_stream_interval_join_across_batches(spark, events_dir):
     assert got == want
 
 
-def test_transform_with_state_highwater(spark, events_dir):
-    """transformWithState (Spark 4 typed-state API) per-user running
-    count + max: final state must equal the batch aggregate. Skips
-    where google.protobuf (the API's state-server protocol dependency)
-    is not installed — the applyInPandasWithState twin covers the
-    same semantics protobuf-free (test_stateful_running_totals)."""
-    pytest.importorskip("google.protobuf.descriptor")
-    got = _run(
-        stream.user_highwater_tws(stream.stream_events(spark, events_dir)),
-        spark,
-        "t_tws",
-        mode="update",
-    )
-    final = {
-        r.user_id: (r.n_events, r.max_value)
-        for r in got.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.expr("max_by(max_value, n_events)").alias("max_value"),
-        )
-        .collect()
-    }
-    batch = {
-        r.user_id: (r.n, r.mx)
-        for r in spark.read.schema(stream.EVENTS_SCHEMA)
-        .parquet(events_dir)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
-        .collect()
-    }
-    assert final == batch
-
-
 def test_stream_ohlc_equals_batch_rollup(spark):
     """After the AvailableNow drain, the streaming OHLC bars must be
     row-identical to the batch ohlc_bars rollup — the deterministic
