@@ -328,13 +328,24 @@ def minhash_pairs(
     # bounded by copy multiplicity — the same bound the output itself
     # has. first("text") is deterministic here: every text in a group
     # is verbatim-identical by construction (fp = md5(text)).
+    # eager localCheckpoint instead of persist(): both frames feed 3+
+    # downstream branches (bands, verify, member expansion), so they
+    # must materialize once — but a bare persist() pins the blocks in
+    # the CacheManager until an explicit unpersist that no caller can
+    # safely issue on a lazily-returned result. Checkpoint blocks are
+    # reference-tracked: the context cleaner frees them once the
+    # returned pair frame (and its plan) is garbage-collected, so
+    # repeated registry invocations in one long-lived session don't
+    # accumulate pinned partitions.
     grouped = keyed.groupBy("fp").agg(
         F.min("id").alias("rep_id"),
         F.first("text").alias("text"),
         F.array_sort(F.collect_list("id")).alias("ids"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     reps = grouped.select("rep_id", "text")
-    sigs = minhash_signatures(reps, id_col="rep_id", text_col="text").persist()
+    sigs = minhash_signatures(
+        reps, id_col="rep_id", text_col="text"
+    ).localCheckpoint(eager=True)
     # bh = hash(slice) is the compact int the shuffle keys on; the join
     # ALSO requires the band slice itself to match, so a 32-bit hash
     # collision can never smuggle in a candidate whose band rows differ
@@ -602,11 +613,14 @@ def simhash_pairs(
         F.col(text_col).alias("text"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
     )
+    # eager localCheckpoint, not persist(): see minhash_pairs — the
+    # context cleaner frees checkpoint blocks when the result is GC'd,
+    # where a dangling persist() pins them for the session's lifetime
     grouped = keyed.groupBy("fp").agg(
         F.min("id").alias("rep_id"),
         F.first("text").alias("text"),
         F.array_sort(F.collect_list("id")).alias("ids"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     sigs = simhash_signatures(
         grouped.select("rep_id", "text"), id_col="rep_id", text_col="text"
     )

@@ -2302,7 +2302,10 @@ def corr_stats(spark, sf):
     " ntile via the uneven-bucket formula (first n%4 tiles get one"
     " extra row), percent_rank = (r-1)/(n-1), cume_dist = r/n — the"
     " exact arithmetic both engines' window implementations perform,"
-    " so the DuckDB oracle keeps the literal window functions.",
+    " so the DuckDB oracle keeps the literal window functions."
+    " Measured at 100x replication of sf0.1 (local[32]): 7.5s over"
+    " 1.5M customers, collect-dominated (the full ranked table is"
+    " the result); each sort task touches ~n/1024 rows.",
 )
 def win_ntile(spark, sf):
     NB = 1024

@@ -508,7 +508,8 @@ def welch_ttest(spark, sf):
     " overall average is reconstructed from the 35-cell frame's own"
     " sums via windows, so the raw stream is aggregated exactly once;"
     " ISO weekday (Spark weekday()+1 == DuckDB isodow) avoids the"
-    " engines' conflicting Sunday-origin conventions.",
+    " engines' conflicting Sunday-origin conventions. Measured at"
+    " 100x replication of sf0.1 (local[32]): 1.3s over 10M events.",
 )
 def dow_seasonality(spark, sf):
     e = _t(spark, sf, "events")
@@ -1049,8 +1050,8 @@ def weighted_median(spark, sf):
     " is two registers regardless of timeline length. The 1h cutoff"
     " is applied AFTER the carry in integer epoch-ms arithmetic,"
     " identical in both engines. Measured at 100x replication of"
-    " sf0.1 (local[32], 48g driver): 20.1s over 10M events -> 2.0M"
-    " attributed purchases.",
+    " sf0.1 (local[32], 48g driver): 12.6s over 10M events -> 2.0M"
+    " attributed purchases (r6 re-measure; r5 recorded 20.1s).",
 )
 def attribution_last_touch(spark, sf):
     e = _t(spark, sf, "events")
@@ -1315,7 +1316,9 @@ def win_time_range(spark, sf):
     " bounded by the cap, and the gap rule compares floor-epoch"
     " seconds on both engines (events carry microseconds). Top-k"
     " ties break on the path string, so the LIMIT is deterministic"
-    " across engines.",
+    " across engines. Measured at 100x replication of sf0.1"
+    " (local[32]): 7.5s over 10M events (the shared sessionization"
+    " sort dominates, as in interval_overlap_join).",
 )
 def session_paths_topk(spark, sf):
     e = _t(spark, sf, "events")
