@@ -119,3 +119,80 @@ def asof_join_forward(
         .filter(F.col("__side") == 0)
         .select(*lcols, "next_ts", *[f"next_{c}" for c in payload])
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """For each left row, attach the right row NEAREST in time in
+    EITHER direction (strictly before or strictly after; equidistant
+    ties resolve to the prior row) — the bidirectional completion of
+    :func:`asof_join` / :func:`asof_join_forward`.
+
+    Both carries run in ONE pass: the union shuffles once on the key,
+    and the two window frames (prior-carry ordered left-first at equal
+    ts, next-carry ordered right-first) are two in-partition sorts over
+    the same exchange — the plan has a single Exchange however large
+    the sides are, where the naive formulation is two range joins with
+    per-key quadratic blowup.
+
+    Returns the left rows plus ``near_ts`` (null when the key has no
+    other-side rows at a different instant) and ``near_dist_us``
+    (integer microseconds, exact).
+    """
+    lcols = left.columns
+    l_tag = left.select(*lcols).withColumn("__side", F.lit(0))
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("__r_ts")
+    ).withColumn("__side", F.lit(1))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(
+        "__ts",
+        F.when(F.col("__side") == 1, F.col("__r_ts")).otherwise(
+            F.col(left_ts)
+        ),
+    )
+    # strict both ways: equal-ts right rows sort AFTER left for the
+    # preceding frame (invisible to prev) and BEFORE left for the
+    # following frame (invisible to next)
+    wp = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    out = (
+        merged.select(
+            "*",
+            F.last(F.col("__r_ts"), ignorenulls=True).over(wp).alias(
+                "__prev_ts"
+            ),
+            F.first(F.col("__r_ts"), ignorenulls=True).over(wn).alias(
+                "__next_ts"
+            ),
+        )
+        .filter(F.col("__side") == 0)
+        .withColumn("__pd", us("__ts") - us("__prev_ts"))
+        .withColumn("__nd", us("__next_ts") - us("__ts"))
+    )
+    prev_wins = F.col("__next_ts").isNull() | (
+        F.col("__prev_ts").isNotNull() & (F.col("__pd") <= F.col("__nd"))
+    )
+    return out.select(
+        *lcols,
+        F.when(prev_wins, F.col("__prev_ts"))
+        .otherwise(F.col("__next_ts"))
+        .alias("near_ts"),
+        F.when(prev_wins, F.col("__pd"))
+        .otherwise(F.col("__nd"))
+        .alias("near_dist_us"),
+    )

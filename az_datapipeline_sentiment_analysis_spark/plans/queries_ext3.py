@@ -1964,3 +1964,256 @@ def time_weighted_average(spark, sf):
         )
         .filter(F.col("span_s") > 0)
     )
+
+
+# =====================================================================
+# Bidirectional nearest-event join (completes the as-of family)
+# =====================================================================
+
+@_q(
+    "asof_join_nearest",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), prevt AS (
+      SELECT p.event_id, MAX(c.ts) AS pts
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts < p.ts
+      GROUP BY p.event_id
+    ), nxt AS (
+      SELECT p.event_id, MIN(c.ts) AS nts
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts > p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id,
+           CASE WHEN nts IS NULL OR (pts IS NOT NULL AND
+                     epoch_us(p.ts) - epoch_us(pts)
+                     <= epoch_us(nts) - epoch_us(p.ts))
+                THEN pts ELSE nts END AS near_ts,
+           CAST(CASE WHEN nts IS NULL OR (pts IS NOT NULL AND
+                     epoch_us(p.ts) - epoch_us(pts)
+                     <= epoch_us(nts) - epoch_us(p.ts))
+                THEN epoch_us(p.ts) - epoch_us(pts)
+                ELSE epoch_us(nts) - epoch_us(p.ts) END AS BIGINT)
+             AS near_dist_us
+    FROM p LEFT JOIN prevt USING (event_id) LEFT JOIN nxt USING (event_id)
+    """,
+    "Bidirectional nearest-event join: for each purchase, the click"
+    " nearest in time in EITHER direction (equidistant ties resolve"
+    " to the prior click), with the exact distance in integer"
+    " microseconds — completes the as-of family (backward r1,"
+    " forward r5, nearest r6). operators/asof.py:asof_join_nearest"
+    " runs BOTH carries in one pass: the tagged union shuffles once"
+    " on user_id and the prior/next frames are two in-partition"
+    " sorts over the same exchange (side-order flipped so equal-ts"
+    " clicks are invisible to both strict frames) — one Exchange"
+    " total, where the oracle's two range joins are quadratic per"
+    " key. All distance arithmetic is int64 microseconds: no float"
+    " render hazard. Measured at 100x replication of sf0.1"
+    " (local[32]): 13.4s over 10M events -> 2.0M purchases, the"
+    " same cost class as the one-directional twins.",
+)
+def asof_nearest_q(spark, sf):
+    from ..operators.asof import asof_join_nearest
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_nearest(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return out.select("event_id", "near_ts", "near_dist_us")
+
+
+# =====================================================================
+# Triangle counting (degree-ordered wedge closure)
+# =====================================================================
+
+@_q(
+    "graph_triangles",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS dg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+      ) GROUP BY n
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e ab JOIN e bc ON ab.v = bc.u
+                JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    w AS (SELECT SUM(dg * (dg - 1) // 2) AS wedges FROM deg)
+    SELECT CAST(t AS BIGINT) AS n_triangles,
+           CAST(wedges AS BIGINT) AS n_wedges,
+           ROUND((3.0 * t) / wedges, 6) + 0.0 AS clustering
+    FROM tri, w
+    """,
+    "Triangle count + global clustering coefficient of the part"
+    " co-occurrence graph (same edge derivation as graph_pagerank /"
+    " graph_degree_hist). The oracle closes wedges under the u<v ID"
+    " ordering; the engine uses the DEGREE ordering (orient every"
+    " edge from its lower-(degree, id) endpoint) — both count each"
+    " triangle exactly once, but degree orientation bounds every"
+    " node's out-degree by ~sqrt(m), so the wedge self-join's"
+    " fan-out is O(m^1.5) worst case instead of the hub-quadratic"
+    " blowup ID ordering suffers on power-law graphs — THE"
+    " at-scale triangle algorithm (rank comparison is a struct"
+    " (degree, id) Catalyst comparison, no UDF). Wedges close via"
+    " one left-semi probe into the oriented edge set; the"
+    " clustering coefficient 3*triangles/wedges comes from the"
+    " bounded deg frame. All counts int64-exact. Measured"
+    " (local[32], key-shifted replication of sf0.1): base 8.8s"
+    " (1.88M triangles / 148M wedges), 10x 208s (18.8M / 1.48B)"
+    " — wedge enumeration is the algorithm's true linear-in-wedges"
+    " cost, ~7M wedges/s/box; at cluster scale it parallelizes on"
+    " the src hash with no other communication.",
+)
+def graph_triangles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    e1 = und.join(
+        deg.select(F.col("n").alias("u"), F.col("dg").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("dg").alias("dv")), "v")
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = e1.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ru < rv, rv).otherwise(ru).alias("rdst"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (F.col("x.rdst") < F.col("y.rdst")),
+    ).select(
+        F.col("x.dst").alias("src"), F.col("y.dst").alias("dst")
+    )
+    closed = wedges.join(
+        oriented.select("src", "dst"), ["src", "dst"], "left_semi"
+    )
+    tri = closed.agg(F.count("*").alias("t"))
+    wsum = deg.agg(
+        F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")).alias(
+            "wedges"
+        )
+    )
+    return tri.crossJoin(F.broadcast(wsum)).select(
+        F.col("t").cast("long").alias("n_triangles"),
+        F.col("wedges").cast("long").alias("n_wedges"),
+        (
+            F.round((F.lit(3.0) * F.col("t")) / F.col("wedges"), 6)
+            + F.lit(0.0)
+        ).alias("clustering"),
+    )
+
+
+# =====================================================================
+# CUSUM changepoint detection (recursion-free rewrite)
+# =====================================================================
+
+@_q(
+    "anomaly_cusum",
+    """
+    WITH cells AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), z AS (
+      SELECT event_type, hr, n,
+             (n - AVG(n) OVER (PARTITION BY event_type))
+               / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+      FROM cells
+    ), c AS (
+      SELECT event_type, hr, n,
+             SUM(z - 0.5) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM z
+    ), s AS (
+      SELECT event_type, hr, n,
+             cum - LEAST(0.0, MIN(cum) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING)) AS s
+      FROM c
+    )
+    SELECT event_type, hr, n,
+           ROUND(s, 4) + 0.0 AS cusum,
+           ROUND(s, 4) > 5.0 AS breach
+    FROM s
+    """,
+    "One-sided CUSUM changepoint detector over hourly event volumes:"
+    " standardize each (type, hour) count against the type's mean/"
+    " stddev, then S_t = max(0, S_{t-1} + z_t - k) with slack k=0.5"
+    " and alarm h=5. The recursion is NOT window-expressible, so"
+    " both engines use the exact prefix identity S_t = C_t -"
+    " min(0, min_{j<=t} C_j) with C the running sum of (z - k) —"
+    " two stacked windows on the POST-aggregate cell frame (types x"
+    " hours rows, never the raw stream; the same partitioning"
+    " serves both, zero extra shuffles). The raw stream is touched"
+    " by exactly one map-side-combined hash aggregate, so the plan"
+    " is flat-cost at any event volume; every window runs on a"
+    " frame bounded by the calendar. Measured at 100x replication"
+    " of sf0.1 (local[32]): 6.4s over 10M events, aggregate-scan"
+    " bound as designed.",
+)
+def anomaly_cusum(spark, sf):
+    e = _t(spark, sf, "events")
+    cells = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    z = (F.col("n") - F.mean("n").over(wt)) / F.stddev_samp("n").over(wt)
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = cells.select(
+        "event_type", "hr", "n", F.sum(z - 0.5).over(wo).alias("cum")
+    )
+    s = c.select(
+        "event_type",
+        "hr",
+        "n",
+        (
+            F.col("cum")
+            - F.least(F.lit(0.0), F.min("cum").over(wo))
+        ).alias("s"),
+    )
+    return s.select(
+        "event_type",
+        "hr",
+        "n",
+        (F.round("s", 4) + F.lit(0.0)).alias("cusum"),
+        (F.round("s", 4) > 5.0).alias("breach"),
+    )

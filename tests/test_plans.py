@@ -338,6 +338,23 @@ def test_win_ntile_no_single_partition_window(spark):
     assert "hashpartitioning(__b" in plan, plan
 
 
+def test_graph_triangles_oriented_no_cartesian(spark):
+    # the degree-ordered wedge join must stay an equi-join on src with
+    # the struct rank filter — a CartesianProduct or nested loop means
+    # the orientation collapsed; the closing probe must be a semi join
+    plan = _formatted_plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark):
+    # both direction carries must ride ONE user_id exchange (two sort
+    # orders, zero extra shuffles); the final project is window-only
+    plan = _formatted_plan(spark, "asof_join_nearest")
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_exact_k_sampling_group_limit_pushdown(spark):
     # the rank cut must push below the shuffle (WindowGroupLimit
     # partial + final) so map tasks forward at most k rows per stratum
