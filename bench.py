@@ -142,6 +142,10 @@ HEADLINE = [
     "rolling_wau",
     "token_bpe_count",
     "interval_overlap_join",
+    # round-6 additions: the closed TPC-H hole (broadcast-dim class)
+    # and the recursion-free CUSUM (post-aggregate window class)
+    "q11_important_stock",
+    "anomaly_cusum",
 ]
 
 
