@@ -2523,6 +2523,9 @@ _RECHECK = frozenset(
         "quantile_bucketing", "agg_stats", "agg_median",
         "iqr_outlier_filter", "anomaly_mad", "weighted_median",
         "fulfillment_latency",
+        # oracle switched to truncated-second gap arithmetic (same
+        # lesson as interval_overlap_join) — Spark side unchanged
+        "sessionize_events",
     }
 )
 

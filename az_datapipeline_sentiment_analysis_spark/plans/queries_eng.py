@@ -42,7 +42,8 @@ from .queries import _few_partitions, _q
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+             CASE WHEN (epoch_us(ts) // 1000000)
+                       - (epoch_us(LAG(ts) OVER w) // 1000000) <= 1800
                   THEN 0 ELSE 1 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -62,7 +63,11 @@ from .queries import _few_partitions, _q
     """,
     "Gap-based sessionization (30-min inactivity closes a session):"
     " lag-diff flags session starts, a running sum numbers them, then"
-    " one group-by per (user, session). The batch twin of"
+    " one group-by per (user, session). The gap rule compares"
+    " floor-epoch seconds on BOTH engines (events carry microseconds;"
+    " a full-precision oracle would split a 1800.2s gap the truncated"
+    " Spark side merges — the interval_overlap_join lesson, r6)."
+    " The batch twin of"
     " stream_session_agg's F.session_window. Scale: a single sort"
     " within each user's hash partition plus one co-keyed group-by —"
     " the window and the aggregation share the user_id partitioning,"
