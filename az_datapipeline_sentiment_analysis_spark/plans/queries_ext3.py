@@ -2066,19 +2066,25 @@ def asof_nearest_q(spark, sf):
     " ordering; the engine uses the DEGREE ordering (orient every"
     " edge from its lower-(degree, id) endpoint) — both count each"
     " triangle exactly once, but degree orientation bounds every"
-    " node's out-degree by ~sqrt(m), so the wedge self-join's"
-    " fan-out is O(m^1.5) worst case instead of the hub-quadratic"
-    " blowup ID ordering suffers on power-law graphs — THE"
-    " at-scale triangle algorithm (rank comparison is a struct"
+    " node's out-degree by ~sqrt(m), so per-edge intersection work"
+    " is O(m^1.5) worst case instead of the hub-quadratic blowup"
+    " ID ordering suffers on power-law graphs — THE at-scale"
+    " triangle algorithm (rank comparison is a struct"
     " (degree, id) Catalyst comparison, no UDF). Wedges close via"
-    " one left-semi probe into the oriented edge set; the"
+    " per-edge intersection of bounded out-neighbor lists; the"
     " clustering coefficient 3*triangles/wedges comes from the"
     " bounded deg frame. All counts int64-exact. Measured"
-    " (local[32], key-shifted replication of sf0.1): base 8.8s"
-    " (1.88M triangles / 148M wedges), 10x 208s (18.8M / 1.48B)"
-    " — wedge enumeration is the algorithm's true linear-in-wedges"
-    " cost, ~7M wedges/s/box; at cluster scale it parallelizes on"
-    " the src hash with no other communication.",
+    " (local[32], key-shifted replication of sf0.1): the first"
+    " formulation enumerated wedges through a self-join + semi"
+    " probe — 8.8s base / 208s at 10x, linear in the 1.48B wedges"
+    " SHUFFLED twice; this adjacency-intersect form builds each"
+    " node's sorted out-neighbor array once (state bounded by the"
+    " orientation's ~sqrt(2m) out-degree cap — the reason the"
+    " collect is safe), joins the two arrays onto every edge"
+    " co-keyed, and counts array_intersect sizes JVM-side: the"
+    " wedge set is never materialized or shuffled, only edges and"
+    " m total list entries move. Same counts, measured base"
+    " 8.8s -> 5.2s and 10x 208s -> 19.0s (11x).",
 )
 def graph_triangles(spark, sf):
     li = _t(spark, sf, "lineitem")
@@ -2109,20 +2115,29 @@ def graph_triangles(spark, sf):
     oriented = e1.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(ru < rv, rv).otherwise(ru).alias("rdst"),
     )
-    x, y = oriented.alias("x"), oriented.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src"))
-        & (F.col("x.rdst") < F.col("y.rdst")),
-    ).select(
-        F.col("x.dst").alias("src"), F.col("y.dst").alias("dst")
+    # out-neighbor lists under the degree orientation: array length is
+    # capped by the orientation (every neighbor outranks the node, so
+    # out-degree <= ~sqrt(2m)) — bounded state, unlike a raw
+    # adjacency collect
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    per_edge = (
+        oriented.join(
+            adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u2"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v2"),
+            "left",
+        )
+        .select(
+            F.coalesce(
+                F.size(F.array_intersect("nu", "nv")), F.lit(0)
+            ).alias("tc")
+        )
     )
-    closed = wedges.join(
-        oriented.select("src", "dst"), ["src", "dst"], "left_semi"
-    )
-    tri = closed.agg(F.count("*").alias("t"))
+    tri = per_edge.agg(F.sum("tc").alias("t"))
     wsum = deg.agg(
         F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")).alias(
             "wedges"

@@ -338,13 +338,16 @@ def test_win_ntile_no_single_partition_window(spark):
     assert "hashpartitioning(__b" in plan, plan
 
 
-def test_graph_triangles_oriented_no_cartesian(spark):
-    # the degree-ordered wedge join must stay an equi-join on src with
-    # the struct rank filter — a CartesianProduct or nested loop means
-    # the orientation collapsed; the closing probe must be a semi join
+def test_graph_triangles_adjacency_intersect_no_cartesian(spark):
+    # the adjacency-intersect form must keep the wedge set virtual: no
+    # CartesianProduct, and the triangle count comes from a JVM-side
+    # array_intersect over the bounded out-neighbor lists — the wedge
+    # self-join + semi probe (1.48B shuffled rows at 10x) must not
+    # come back
     plan = _formatted_plan(spark, "graph_triangles")
     assert "CartesianProduct" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "LeftSemi" not in plan, plan
 
 
 def test_asof_nearest_single_exchange_two_sorts(spark):
