@@ -384,7 +384,11 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         "sketch_theta_distinct", "sketch_theta_setops",  # sketches
         "join_bloom_runtime",                       # runtime bloom
         "minhash_neardup", "simhash_neardup",       # copy-group collect
-        "session_paths_topk",                       # per-session path
+        "session_paths_topk",                       # capped at 64/session
+        # out-neighbor lists under the degree orientation: every
+        # neighbor outranks the node, so list length is capped by
+        # ~sqrt(2m) — bounded by graph structure, not row volume
+        "graph_triangles",
     }
     offenders, oha_unlisted = {}, {}
     for name, entry in REGISTRY.items():
