@@ -358,6 +358,23 @@ def test_asof_nearest_single_exchange_two_sorts(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_doc_chunking_zero_shuffle(spark):
+    # the chunker's contract: split -> sequence -> explode -> slice all
+    # fuse into the scan projection — ANY Exchange means a shuffle
+    # appeared in a map-only plan
+    plan = _formatted_plan(spark, "doc_chunking")
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
+def test_anomaly_cusum_windows_on_cell_frame(spark):
+    # one raw-stream aggregate, then windows on the types x hours cell
+    # frame: the raw scan shuffles once for the agg, the cell frame
+    # once for the windows — a third exchange means a window leaked
+    # onto the raw stream
+    plan = _formatted_plan(spark, "anomaly_cusum")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
 def test_exact_k_sampling_group_limit_pushdown(spark):
     # the rank cut must push below the shuffle (WindowGroupLimit
     # partial + final) so map tasks forward at most k rows per stratum
