@@ -567,3 +567,143 @@ def test_session_paths_cap_bounds_botlike_sessions(spark, events):
         assert len(got[0]["path"].split(">")) <= 64
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- nearest as-of join: one-pass double carry vs brute force --------
+
+NEAR_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=120),    # ts offset seconds
+        st.sampled_from(["purchase", "click"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW_OK
+@given(events=NEAR_EVENTS)
+def test_asof_nearest_matches_bruteforce(spark, events):
+    """The single-exchange double-carry must equal the brute-force
+    nearest-click-per-purchase for arbitrary streams — including
+    equal timestamps (excluded both ways: strict < and >), equidistant
+    ties (prior wins), and users with no clicks (nulls)."""
+    import datetime
+
+    from az_datapipeline_sentiment_analysis_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    base = datetime.datetime(2024, 7, 1)
+    rows = [
+        Row(
+            event_id=i,
+            user_id=u,
+            ts=base + datetime.timedelta(seconds=o),
+            event_type=t,
+        )
+        for i, (u, o, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows)
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+    got = {
+        r["event_id"]: (r["near_ts"], r["near_dist_us"])
+        for r in asof_join_nearest(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # brute force model
+    for i, (u, o, t) in enumerate(events):
+        if t != "purchase":
+            continue
+        clicks_u = [
+            oo for (uu, oo, tt) in events if uu == u and tt == "click"
+        ]
+        prevs = [c for c in clicks_u if c < o]
+        nxts = [c for c in clicks_u if c > o]
+        pd_ = o - max(prevs) if prevs else None
+        nd_ = min(nxts) - o if nxts else None
+        if pd_ is None and nd_ is None:
+            want = (None, None)
+        elif nd_ is None or (pd_ is not None and pd_ <= nd_):
+            want = (
+                base + datetime.timedelta(seconds=o - pd_),
+                pd_ * 1_000_000,
+            )
+        else:
+            want = (
+                base + datetime.timedelta(seconds=o + nd_),
+                nd_ * 1_000_000,
+            )
+        assert got[i] == want, (i, got[i], want)
+
+
+# --- triangle counting: degree-oriented intersect vs brute force -----
+
+EDGE_SETS = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW_OK
+@given(edges=EDGE_SETS)
+def test_triangle_orientation_matches_bruteforce(spark, edges):
+    """The degree-(degree,id)-oriented adjacency-intersect count must
+    equal brute-force triangle enumeration for arbitrary small graphs
+    — including hubs, isolated edges, and complete subgraphs."""
+    from itertools import combinations
+
+    und = spark.createDataFrame(
+        [Row(u=u, v=v) for u, v in sorted(edges)]
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    e1 = und.join(
+        deg.select(F.col("n").alias("u"), F.col("dg").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("dg").alias("dv")), "v")
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = e1.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    got = (
+        oriented.join(
+            adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u2"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v2"),
+            "left",
+        )
+        .select(
+            F.coalesce(
+                F.size(F.array_intersect("nu", "nv")), F.lit(0)
+            ).alias("tc")
+        )
+        .agg(F.sum("tc"))
+        .collect()[0][0]
+    )
+    nodes = sorted({n for e in edges for n in e})
+    es = set(edges)
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert got == want, (got, want)
