@@ -31,10 +31,12 @@ Memory per task is bounded by the bucket-count frames (groups x nb
 rows) and the target buckets' distinct values — never by the column.
 Every pass over the fact is a codegen'd hash aggregate or filter.
 
-The group-stats / bucket-count frames are broadcast, which is correct
-while ``groups x nb`` fits in the driver (thousands of groups). For
-unbounded group cardinality the same plan holds with the broadcasts
-turned into co-keyed shuffle joins on the group key.
+The group-stats / bucket-count frames are broadcast by default,
+which is correct while ``groups x nb`` fits in the driver (thousands
+of groups). For unbounded group cardinality pass
+``broadcast_groups=False``: the same plan runs with every group-keyed
+broadcast turned into a co-keyed shuffle join — no other change,
+property-tested equivalent.
 
 Reference grounding: generalizes the Grafana-style summary statistics
 the reference's dashboard DB serves (applications/applications.tf:
@@ -65,6 +67,7 @@ def exact_group_quantiles(
     *,
     nb: int = 1024,
     keep: dict[str, str] | None = None,
+    broadcast_groups: bool = True,
 ) -> DataFrame:
     """Exact interpolated quantiles per group, bounded memory.
 
@@ -83,6 +86,11 @@ def exact_group_quantiles(
         per-group stats the phase-1 aggregate computes anyway, exposed
         for free so callers don't re-scan the input for them (count and
         min/max come back as the value column's double cast).
+    broadcast_groups : True (default) ships the group-stats /
+        bucket-sweep / located frames broadcast — right while groups
+        fit the driver. False turns every group-keyed join into a
+        co-keyed shuffle join for unbounded group cardinality;
+        identical results (unit-tested), one extra shuffle per phase.
 
     Returns one row per group: ``group_cols + list(quantiles) [+ keep
     columns]``, quantiles DoubleType, UNROUNDED (callers own output
@@ -90,6 +98,7 @@ def exact_group_quantiles(
     aggregate semantics).
     """
     g = list(group_cols or [])
+    bg = broadcast_groups
     vals = df.select(
         *g, F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull())
@@ -151,7 +160,7 @@ def exact_group_quantiles(
         )
     )
     fact = (
-        _join(vals, stats.select(*g, "__lo", "__hi"), g)
+        _join(vals, stats.select(*g, "__lo", "__hi"), g, broadcast=bg)
         .withColumn("__b", bucket)
         .select(*g, "__v", "__b")
     )
@@ -165,7 +174,7 @@ def exact_group_quantiles(
         *g, "__b", "__w", F.sum("__w").over(wc).alias("__cum")
     )
     located = (
-        _join(pos, marked, g)
+        _join(pos, marked, g, broadcast=bg)
         .filter(
             (F.col("__cum") - F.col("__w") <= F.col("__k"))
             & (F.col("__k") < F.col("__cum"))
@@ -188,7 +197,7 @@ def exact_group_quantiles(
         Window.unboundedPreceding, Window.currentRow
     )
     positioned = (
-        _join(fact, tbs, g + ["__b"])
+        _join(fact, tbs, g + ["__b"], broadcast=bg)
         .groupBy(*g, "__b", "__before", "__v")
         .agg(F.count("*").alias("__c"))
         .select(
@@ -203,7 +212,7 @@ def exact_group_quantiles(
     # values (~n/nb rows per bucket, growing with data volume) — the
     # big frame stays distributed, the tiny one ships
     sel = (
-        _join(positioned, located, g + ["__b"])
+        _join(positioned, located, g + ["__b"], broadcast=bg)
         .filter(F.col("__gcum") >= F.col("__k") + 1)
         .groupBy(*g, "__alias", "__frac", "__side")
         .agg(F.min("__v").alias("__val"))

@@ -707,3 +707,34 @@ def test_triangle_orientation_matches_bruteforce(spark, edges):
         if (a, b) in es and (b, c) in es and (a, c) in es
     )
     assert got == want, (got, want)
+
+
+@SLOW_OK
+@given(st.lists(GROUPED_VALUES, min_size=2, max_size=4))
+def test_exact_group_quantiles_cokeyed_equals_broadcast(spark, batches):
+    """broadcast_groups=False (the unbounded-group-cardinality mode:
+    co-keyed shuffle joins instead of broadcasts) must return exactly
+    the frame the broadcast plan returns."""
+    from az_datapipeline_sentiment_analysis_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rows = [
+        Row(bid=i, g=g, v=v)
+        for i, batch in enumerate(batches)
+        for g, v in batch
+    ]
+    df = spark.createDataFrame(rows, schema="bid int, g string, v double")
+    ps = {"q25": 0.25, "med": 0.5}
+    kw = dict(group_cols=["bid", "g"], nb=8, keep={"n": "count"})
+    a = {
+        (r["bid"], r["g"]): (r["q25"], r["med"], r["n"])
+        for r in exact_group_quantiles(df, "v", ps, **kw).collect()
+    }
+    b = {
+        (r["bid"], r["g"]): (r["q25"], r["med"], r["n"])
+        for r in exact_group_quantiles(
+            df, "v", ps, broadcast_groups=False, **kw
+        ).collect()
+    }
+    assert a == b
