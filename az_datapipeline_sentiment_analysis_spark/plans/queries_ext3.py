@@ -2392,3 +2392,58 @@ def join_key_skew_report(spark, sf):
             "top_key",
         )
     )
+
+
+# =====================================================================
+# Leakage-proof dataset split (assignment by canonical fingerprint)
+# =====================================================================
+
+@_q(
+    "dataset_split_leakproof",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             substring(md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')), 1, 2) AS fp2
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN fp2 < 'cc' THEN 'train'
+                WHEN fp2 < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM f
+    """,
+    "Leakage-proof train/val/test split: assignment hashes the"
+    " CANONICAL bag-of-words fingerprint instead of the doc id, so"
+    " every verbatim copy AND every permuted near-copy of a document"
+    " lands in the same split by construction — the prevention to"
+    " split_leakage_check's detection (dataset_split, hashing ids,"
+    " is exactly the splitter whose cross-split contamination that"
+    " audit catches). Buckets come from the fingerprint's first hex"
+    " byte compared lexicographically ('cc'=204/256=79.7% train,"
+    " 'e6' adds 26/256=10.2% val, rest test) — fixed-width lowercase"
+    " hex makes the string compare equal the numeric compare in both"
+    " engines with no hex->int conversion. Map-only over the scan:"
+    " zero shuffle at any corpus size, and re-running on a grown"
+    " corpus never reassigns an existing document.",
+)
+def dataset_split_leakproof(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp2 = F.substring(
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+                " ",
+            )
+        ),
+        1,
+        2,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(fp2 < "cc", "train")
+        .when(fp2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
