@@ -1470,3 +1470,29 @@ def test_exact_group_quantiles_keep_stats(spark):
         assert got[t]["n"] == want[t]["n"]
         assert got[t]["vmin"] == want[t]["vmin"]
         assert got[t]["vmax"] == want[t]["vmax"]
+
+
+def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
+    """Driver-shaped robustness for the round-6 entries (and the
+    win_ntile rewrite): run twice in one session — the eager
+    localCheckpoint materializations must not collide or leak — and
+    once against a second sf dir."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    names = [
+        "q11_important_stock", "asof_join_nearest", "graph_triangles",
+        "anomaly_cusum", "doc_chunking", "join_key_skew_report",
+        "dataset_split_leakproof", "win_ntile",
+    ]
+    for name in names:
+        fn = REGISTRY[name].fn
+        a = fn(spark, SF_SMOKE).count()
+        b = fn(spark, SF_SMOKE).count()
+        assert a == b > 0, name
+    # second sf dir in the same session; every doc yields >= 1 chunk
+    # (both smoke dirs hold 500 docs — lengths differ, counts don't)
+    for sf in ("/root/testdata/sf0.01", SF_SMOKE):
+        n_docs = table(spark, sf, "documents").count()
+        chunks = REGISTRY["doc_chunking"].fn(spark, sf)
+        assert chunks.count() >= n_docs
+        assert chunks.select("doc_id").distinct().count() == n_docs
