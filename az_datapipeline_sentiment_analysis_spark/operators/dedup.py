@@ -135,8 +135,61 @@ def ngram_jaccard_pairs(
     wall-time growth, while the shingle join itself still runs on one
     representative per copy-group (linear in distinct texts).
     """
+    union = (
+        lambda inter: F.first("sz_a") + F.first("sz_b") - inter
+    )
+    return _ngram_overlap_pairs(
+        df, id_col, text_col, threshold,
+        score=lambda inter: inter.cast("double") / union(inter),
+        out="jaccard",
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set CONTAINMENT >= threshold (exact).
+
+    Containment = |A ∩ B| / min(|A|, |B|) — the asymmetric twin of
+    Jaccard. It catches the doc-in-doc duplication Jaccard dilutes
+    away: a short document pasted verbatim inside a much longer one
+    (boilerplate-wrapped reposts, quote-and-extend threads, template
+    expansions) has containment ~1.0 but Jaccard ~|A|/|B|, which falls
+    below any workable Jaccard threshold once the wrapper is a few
+    times the payload. Curation pipelines run BOTH: Jaccard for
+    near-identical pairs, containment for subsumption.
+
+    Same inverted-index + exact-copy-collapse plan as
+    :func:`ngram_jaccard_pairs` (shared core) — only the scoring
+    arithmetic differs, so every scale property measured there
+    (representative-level shingle join, linear member expansion,
+    skew caveat) carries over unchanged. Output:
+    (doc_a, doc_b, containment) with doc_a < doc_b; containment is
+    symmetric under the min(), so undirected pairs lose nothing.
+    """
+    return _ngram_overlap_pairs(
+        df, id_col, text_col, threshold,
+        score=lambda inter: inter.cast("double")
+        / F.least(F.first("sz_a"), F.first("sz_b")),
+        out="containment",
+    )
+
+
+def _ngram_overlap_pairs(df, id_col, text_col, threshold, *, score, out):
+    """Shared inverted-index core for exact shingle-overlap measures.
+
+    ``score(inter)`` builds the aggregate scoring column from the
+    intersection count (``inter``) with ``F.first("sz_a")`` /
+    ``F.first("sz_b")`` in scope; within-copy-group pairs are emitted
+    with score 1.0, correct for any measure that equals 1 on identical
+    non-empty sets (Jaccard and containment both do).
+    """
     if threshold <= 0:
-        raise ValueError("inverted-index Jaccard requires threshold > 0")
+        raise ValueError("inverted-index overlap requires threshold > 0")
     # Copy-groups: same fingerprint => identical token stream =>
     # identical shingle set. `ok` (>= SHINGLE_WIDTH tokens, i.e. at
     # least one shingle) is constant within a group for the same
@@ -174,34 +227,32 @@ def ngram_jaccard_pairs(
     )
     a = ex.select(F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), "s")
     b = ex.select(F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), "s")
-    inter = F.count("*")
-    union = F.first("sz_a") + F.first("sz_b") - inter
     rep_pairs = (
         a.join(b, ["s"])
         .filter(F.col("fp_a") < F.col("fp_b"))
         .groupBy("fp_a", "fp_b")
-        .agg(F.round(inter.cast("double") / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .agg(F.round(score(F.count("*")), 4).alias(out))
+        .filter(F.col(out) >= threshold)
     )
     # Cross-group expansion: every member pair inherits the rep-level
-    # jaccard (identical sets). fps in rep_pairs all have shingles, so
+    # score (identical sets). fps in rep_pairs all have shingles, so
     # no `ok` filter is needed here. Linear joins keyed on fp.
     ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("id_a"))
     mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("id_b"))
     cross = rep_pairs.join(ma, "fp_a").join(mb, "fp_b").select(
         F.least("id_a", "id_b").alias("doc_a"),
         F.greatest("id_a", "id_b").alias("doc_b"),
-        "jaccard",
+        out,
     )
     if threshold > 1.0:
         return cross
-    # Within-group pairs: identical shingle sets => jaccard exactly 1.0.
+    # Within-group pairs: identical shingle sets => score exactly 1.0.
     okm = members.filter("ok")
     within = (
         okm.select("fp", F.col("id").alias("doc_a"))
         .join(okm.select("fp", F.col("id").alias("doc_b")), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias(out))
     )
     return cross.unionByName(within)
 

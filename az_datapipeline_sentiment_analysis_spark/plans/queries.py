@@ -2364,6 +2364,7 @@ def win_ntile(spark, sf):
 
 # registers the round-1 widening batch into REGISTRY (safe circular
 # import: _q is defined above, queries_ext only needs that symbol)
+from . import queries_drift as _drift  # noqa: E402,F401
 from . import queries_eng as _eng  # noqa: E402,F401
 from . import queries_ext as _ext  # noqa: E402,F401
 from . import queries_ext2 as _ext2  # noqa: E402,F401

@@ -1,0 +1,458 @@
+"""Dataset monitoring / drift + cross-doc novelty: round-6 widening.
+
+The operators a production training-data pipeline runs CONTINUOUSLY —
+after every ingest batch, split refresh, or source mix change — to
+catch distribution drift and content duplication before they reach a
+training run:
+
+* ``ks_drift`` — exact two-sample Kolmogorov–Smirnov statistic of each
+  held-out split against the train split (did the deterministic split
+  induce length drift?);
+* ``psi_drift`` — Population Stability Index over train-decile buckets
+  (the standard ML-monitoring drift score, here with exact interpolated
+  deciles from the bounded-memory two-phase selection);
+* ``containment_neardup`` — asymmetric shingle-set containment pairs
+  (doc-in-doc duplication that Jaccard dilutes away);
+* ``novelty_bigram_loo`` — leave-one-doc-out bigram LM score (Stupid
+  Backoff): how surprising is each document to a language model fit on
+  *the rest of the corpus* — the cheap perplexity-novelty signal that
+  flags both boilerplate (novelty ~ 0) and gibberish (novelty high).
+
+Generalizes the reference's per-review text handling
+(``FunctionApp2/process_data/__init__.py:49-52``) toward the
+BASELINE.json north star (dedup / text analysis at scale). Scale notes
+per operator in the docstrings; shared conventions: every shuffle is
+keyed on (pair, value), (word) or (bigram) — never on the document —
+and every cumulative window runs on a value-domain-bounded post-
+aggregate frame, mirroring ``interval_concurrency``'s sweep-line
+pattern.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from ..operators.dedup import ngram_containment_pairs
+from ..operators.quantiles import exact_group_quantiles
+from .queries import _q
+from .queries_llm import _TOKS, _TOKS_DD
+
+# The deterministic split rule shared with queries_llm.dataset_split —
+# drift is measured BETWEEN the splits that rule produces, so the two
+# operators must agree on it.
+_SPLIT_CASE_DD = """
+         CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+              WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
+              ELSE 'test' END
+"""
+
+
+def _split_col():
+    h = ((F.col("doc_id") % 100) * 61) % 100
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+
+def _pair_exploded(d):
+    """(v, pair, is_ref) rows: train rows fan out to BOTH comparisons
+    via a 2-element array explode — ONE scan of the corpus feeds every
+    pairwise test, instead of re-scanning train per comparison."""
+    return (
+        d.select(F.col("n_chars").alias("v"), _split_col().alias("split"))
+        .select(
+            "v",
+            F.explode(
+                F.when(
+                    F.col("split") == "train",
+                    F.array(F.lit("val"), F.lit("test")),
+                ).otherwise(F.array(F.col("split")))
+            ).alias("pair"),
+            (F.col("split") == "train").cast("long").alias("is_ref"),
+        )
+    )
+
+
+# =====================================================================
+# Distribution drift
+# =====================================================================
+
+@_q(
+    "ks_drift",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars, {_SPLIT_CASE_DD} AS split
+      FROM documents
+    ),
+    e AS (
+      SELECT n_chars AS v,
+             unnest(CASE WHEN split = 'train' THEN ['val', 'test']
+                         ELSE [split] END) AS pair,
+             CASE WHEN split = 'train' THEN 1 ELSE 0 END AS is_ref
+      FROM s
+    ),
+    c AS (
+      SELECT pair, v,
+             SUM(is_ref) AS ref_c, SUM(1 - is_ref) AS cur_c
+      FROM e GROUP BY pair, v
+    ),
+    w AS (
+      SELECT pair,
+             SUM(ref_c) OVER (PARTITION BY pair ORDER BY v) AS cum_ref,
+             SUM(cur_c) OVER (PARTITION BY pair ORDER BY v) AS cum_cur,
+             SUM(ref_c) OVER (PARTITION BY pair) AS n_ref,
+             SUM(cur_c) OVER (PARTITION BY pair) AS n_cur
+      FROM c
+    )
+    SELECT pair,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)),
+                 6) AS ks_stat
+    FROM w GROUP BY pair
+    """,
+    "EXACT two-sample Kolmogorov–Smirnov statistic of each held-out"
+    " split's document-length distribution against the train split:"
+    " D = max over the pooled support of |ECDF_train − ECDF_split|."
+    " The split-distribution audit run after every split refresh —"
+    " a deterministic doc_id hash SHOULD be length-independent, and"
+    " this is the test that proves it. Plan: one corpus scan fans"
+    " train rows to both comparisons via a 2-element array explode;"
+    " per-(pair, value) counts map-side combine into the one hash"
+    " shuffle; the cumulative ECDF windows then run per pair on the"
+    " DISTINCT-VALUE frame (bounded by the length domain, not the"
+    " corpus — the sweep-line trick interval_concurrency uses), so"
+    " no window ever sees a corpus-sized partition. The two ECDFs"
+    " are compared as correctly-rounded int64/int64 divisions —"
+    " bit-identical in both engines — so the max needs no tolerance.",
+)
+def ks_drift(spark, sf):
+    d = _t(spark, sf, "documents")
+    c = (
+        _pair_exploded(d)
+        .groupBy("pair", "v")
+        .agg(
+            F.sum("is_ref").alias("ref_c"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cur_c"),
+        )
+    )
+    wcum = Window.partitionBy("pair").orderBy("v")
+    wall = Window.partitionBy("pair")
+    w = c.select(
+        "pair",
+        F.sum("ref_c").over(wcum).alias("cum_ref"),
+        F.sum("cur_c").over(wcum).alias("cum_cur"),
+        F.sum("ref_c").over(wall).alias("n_ref"),
+        F.sum("cur_c").over(wall).alias("n_cur"),
+    )
+    diff = F.abs(
+        F.col("cum_ref") * F.lit(1.0) / F.col("n_ref")
+        - F.col("cum_cur") * F.lit(1.0) / F.col("n_cur")
+    )
+    return w.groupBy("pair").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+    )
+
+
+_PSI_PS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@_q(
+    "psi_drift",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars, {_SPLIT_CASE_DD} AS split
+      FROM documents
+    ),
+    cuts AS (
+      SELECT quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM s WHERE split = 'train'
+    ),
+    e AS (
+      SELECT n_chars AS v,
+             unnest(CASE WHEN split = 'train' THEN ['val', 'test']
+                         ELSE [split] END) AS pair,
+             CASE WHEN split = 'train' THEN 1 ELSE 0 END AS is_ref
+      FROM s
+    ),
+    b AS (
+      SELECT pair, is_ref,
+             len(list_filter(qs, c -> v > c)) AS bucket
+      FROM e CROSS JOIN cuts
+    ),
+    c AS (
+      SELECT pair, bucket,
+             SUM(is_ref) AS ref_n, SUM(1 - is_ref) AS cur_n
+      FROM b GROUP BY pair, bucket
+    ),
+    t AS (
+      SELECT pair, bucket, ref_n, cur_n,
+             SUM(ref_n) OVER (PARTITION BY pair) AS tr,
+             SUM(cur_n) OVER (PARTITION BY pair) AS tc
+      FROM c
+    ),
+    contrib AS (
+      SELECT pair, CAST(bucket AS BIGINT) AS bucket,
+             CAST(ref_n AS BIGINT) AS ref_n,
+             CAST(cur_n AS BIGINT) AS cur_n,
+             CAST(ROUND(
+               ((cur_n + 0.5) / (tc + 5.0) - (ref_n + 0.5) / (tr + 5.0))
+               * ln(((cur_n + 0.5) / (tc + 5.0))
+                    / ((ref_n + 0.5) / (tr + 5.0)))
+               * 10000.0) AS BIGINT) AS tu
+      FROM t
+    )
+    SELECT pair, bucket, ref_n, cur_n,
+           tu / 10000.0 AS psi_term,
+           SUM(tu) OVER (PARTITION BY pair) / 10000.0 AS psi_total
+    FROM contrib
+    """,
+    "Population Stability Index of each held-out split against train,"
+    " over TRAIN-DECILE buckets of document length — the standard"
+    " ML-monitoring drift score (rule of thumb: <0.1 stable, >0.25"
+    " shifted), emitted per bucket so the oracle checks every cell,"
+    " not just the total. Decile cut points are EXACT interpolated"
+    " quantiles from operators/quantiles' two-phase bounded-memory"
+    " selection (hash-matching DuckDB quantile_cont — the agg_median"
+    " contract), broadcast as one 9-column row onto the same"
+    " one-scan pair-exploded stream ks_drift uses; bucket assignment"
+    " is 9 codegen comparisons, no per-row quantile lookup join."
+    " PSI terms are Laplace-smoothed (+0.5 per bucket) so empty"
+    " current-side buckets stay finite, then QUANTIZED to integer"
+    " 1e-4 units before the per-pair total — summing int64 is"
+    " order-independent, so the engines cannot drift in the last"
+    " float ulp the way a float sum over a reordered partition can.",
+)
+def psi_drift(spark, sf):
+    d = _t(spark, sf, "documents")
+    train = d.filter(_split_col() == "train").select(
+        F.col("n_chars").alias("v")
+    )
+    cuts = exact_group_quantiles(
+        train, "v", {f"c{i}": p for i, p in enumerate(_PSI_PS, 1)}
+    )
+    bucket = reduce(
+        add,
+        [
+            (F.col("v") > F.col(f"c{i}")).cast("long")
+            for i in range(1, len(_PSI_PS) + 1)
+        ],
+    )
+    c = (
+        _pair_exploded(d)
+        .crossJoin(F.broadcast(cuts))
+        .select("pair", "is_ref", bucket.alias("bucket"))
+        .groupBy("pair", "bucket")
+        .agg(
+            F.sum("is_ref").alias("ref_n"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cur_n"),
+        )
+    )
+    wall = Window.partitionBy("pair")
+    t = c.select(
+        "pair", "bucket", "ref_n", "cur_n",
+        F.sum("ref_n").over(wall).alias("tr"),
+        F.sum("cur_n").over(wall).alias("tc"),
+    )
+    p_cur = (F.col("cur_n") + F.lit(0.5)) / (F.col("tc") + F.lit(5.0))
+    p_ref = (F.col("ref_n") + F.lit(0.5)) / (F.col("tr") + F.lit(5.0))
+    tu = F.round(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(10000.0)
+    ).cast("long")
+    contrib = t.select(
+        "pair",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        tu.alias("tu"),
+    )
+    return contrib.select(
+        "pair", "bucket", "ref_n", "cur_n",
+        (F.col("tu") / F.lit(10000.0)).alias("psi_term"),
+        (F.sum("tu").over(wall) / F.lit(10000.0)).alias("psi_total"),
+    )
+
+
+# =====================================================================
+# Containment dedup (doc-in-doc)
+# =====================================================================
+
+@_q(
+    "containment_neardup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z]+'), 1) AS i
+      FROM documents
+    ),
+    sh AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+      FROM t a
+      JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    ss AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ss GROUP BY doc_id),
+    p AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n
+      FROM ss x JOIN ss y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+    FROM p
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n * 1.0 / least(sa.sz, sb.sz), 4) >= 0.5
+    """,
+    "Exact shingle-set CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — the"
+    " asymmetric twin of ngram_jaccard_neardup, sharing its inverted-"
+    " index + exact-copy-collapse core (operators/dedup.py). Catches"
+    " doc-in-doc duplication (a short doc pasted inside a long one has"
+    " containment ~1.0 but Jaccard ~|A|/|B| — invisible at any usable"
+    " Jaccard threshold). Curation pipelines run both measures off the"
+    " same shingle index.",
+)
+def containment_neardup(spark, sf):
+    return ngram_containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+
+
+# =====================================================================
+# Leave-one-out bigram novelty (Stupid Backoff)
+# =====================================================================
+
+@_q(
+    "novelty_bigram_loo",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest({_TOKS_DD}) AS w,
+             generate_subscripts({_TOKS_DD}, 1) AS i
+      FROM documents
+    ),
+    bgr AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    dbc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS dc FROM bgr GROUP BY 1, 2, 3
+    ),
+    gbc AS (SELECT w1, w2, SUM(dc) AS gc FROM dbc GROUP BY 1, 2),
+    duc AS (SELECT doc_id, w, COUNT(*) AS du FROM t GROUP BY 1, 2),
+    guc AS (SELECT w, SUM(du) AS gu FROM duc GROUP BY 1),
+    dl AS (SELECT doc_id, SUM(du) AS dlen FROM duc GROUP BY 1),
+    nn AS (SELECT SUM(du) AS n FROM duc),
+    sc AS (
+      SELECT d.doc_id, d.dc,
+             CAST(ROUND(d.dc * log10(
+               CASE WHEN g.gc - d.dc > 0
+                    THEN (g.gc - d.dc) * 1.0 / (gu1.gu - du1.du)
+                    ELSE 0.4 * ((gu2.gu - du2.du) + 0.5)
+                         / ((nn.n - dl.dlen) + 1.0)
+               END) * 1000000.0) AS BIGINT) AS tu
+      FROM dbc d
+      JOIN gbc g ON g.w1 = d.w1 AND g.w2 = d.w2
+      JOIN duc du1 ON du1.doc_id = d.doc_id AND du1.w = d.w1
+      JOIN duc du2 ON du2.doc_id = d.doc_id AND du2.w = d.w2
+      JOIN guc gu1 ON gu1.w = d.w1
+      JOIN guc gu2 ON gu2.w = d.w2
+      JOIN dl ON dl.doc_id = d.doc_id
+      CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT doc_id, SUM(dc) AS nb, SUM(tu) AS su FROM sc GROUP BY doc_id
+    )
+    SELECT docs.doc_id,
+           CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+           ROUND(-(agg.su / 1000000.0) / agg.nb, 4) + 0.0 AS novelty
+    FROM documents docs LEFT JOIN agg ON agg.doc_id = docs.doc_id
+    """,
+    "Per-document novelty under a LEAVE-ONE-DOC-OUT bigram LM with"
+    " Stupid Backoff (score = c(w1 w2)/c(w1) from the rest of the"
+    " corpus; backoff 0.4·(c(w2)+0.5)/(N+1) when the bigram exists"
+    " nowhere else): novelty = −mean log10 score over the doc's"
+    " bigram stream. Low novelty flags boilerplate/copies (the rest"
+    " of the corpus predicts them perfectly), high novelty flags"
+    " gibberish and out-of-domain text — the cheap perplexity proxy"
+    " curation ranks by, with none of the train-on-self leakage a"
+    " same-corpus LM has (the LOO subtraction is exact integer"
+    " arithmetic on (global − own) counts, no second corpus pass)."
+    " Plan: token/bigram count frames shuffle on word / bigram /"
+    " doc_id keys only; vocabulary-sized aggregates stay distributed"
+    " (AQE broadcasts them at small scale); the only crossJoin ships"
+    " the one-row corpus total. Per-bigram log terms are quantized"
+    " to integer 1e-6 units so the per-doc sum is order-independent"
+    " — the same anti-ulp discipline as psi_drift.",
+)
+def novelty_bigram_loo(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    duc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("du"))
+    guc = duc.groupBy("w").agg(F.sum("du").alias("gu"))
+    dl = duc.groupBy("doc_id").agg(F.sum("du").alias("dlen"))
+    nn = duc.agg(F.sum("du").alias("n"))
+    pairs = (
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE zip_with(slice(__t, 1, size(__t) - 1), "
+        "             slice(__t, 2, size(__t) - 1), "
+        "             (x, y) -> struct(x AS w1, y AS w2)) END"
+    )
+    bg = (
+        d.withColumn("__t", F.expr(_TOKS))
+        .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    dbc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("dc"))
+    gbc = dbc.groupBy("w1", "w2").agg(F.sum("dc").alias("gc"))
+    j = (
+        dbc.join(gbc, ["w1", "w2"])
+        .join(
+            duc.select(
+                "doc_id", F.col("w").alias("w1"), F.col("du").alias("du1")
+            ),
+            ["doc_id", "w1"],
+        )
+        .join(
+            duc.select(
+                "doc_id", F.col("w").alias("w2"), F.col("du").alias("du2")
+            ),
+            ["doc_id", "w2"],
+        )
+        .join(guc.select(F.col("w").alias("w1"), F.col("gu").alias("gu1")), "w1")
+        .join(guc.select(F.col("w").alias("w2"), F.col("gu").alias("gu2")), "w2")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nn))
+    )
+    bco = F.col("gc") - F.col("dc")
+    s = F.when(
+        bco > 0,
+        bco.cast("double") * F.lit(1.0) / (F.col("gu1") - F.col("du1")),
+    ).otherwise(
+        F.lit(0.4)
+        * ((F.col("gu2") - F.col("du2")) + F.lit(0.5))
+        / ((F.col("n") - F.col("dlen")) + F.lit(1.0))
+    )
+    tu = F.round(F.col("dc") * F.log10(s) * F.lit(1000000.0)).cast("long")
+    agg = (
+        j.select("doc_id", "dc", tu.alias("tu"))
+        .groupBy("doc_id")
+        .agg(F.sum("dc").alias("nb"), F.sum("tu").alias("su"))
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+        (
+            F.round(-(F.col("su") / F.lit(1000000.0)) / F.col("nb"), 4)
+            + F.lit(0.0)
+        ).alias("novelty"),
+    )

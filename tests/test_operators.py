@@ -1496,3 +1496,178 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         chunks = REGISTRY["doc_chunking"].fn(spark, sf)
         assert chunks.count() >= n_docs
         assert chunks.select("doc_id").distinct().count() == n_docs
+
+
+# --- round-6 drift / novelty additions -------------------------------
+
+def test_containment_bruteforce(spark):
+    """ngram_containment_pairs vs a pure-Python trigram-set model:
+    doc-in-doc (containment 1.0, low Jaccard), exact copies, an
+    unrelated doc, and a shingle-less doc that must never pair."""
+    import re
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="intro words here alpha beta gamma delta"
+                           " epsilon zeta plus a long tail of extra"
+                           " filler content words everywhere"),
+        Row(doc_id=3, text="totally different content nothing shared"
+                           " at all here honestly"),
+        Row(doc_id=4, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=5, text="aa bb"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.ngram_containment_pairs(df, threshold=0.2).collect()
+    }
+
+    def sh(t):
+        toks = re.findall("[a-z]+", t.lower())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    texts = {r.doc_id: r.text for r in rows}
+    exp = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            c = round(len(sa & sb) / min(len(sa), len(sb)), 4)
+            if c >= 0.2:
+                exp[(a, b)] = c
+    assert got == exp
+    assert got[(1, 2)] == 1.0  # doc-in-doc: the case Jaccard misses
+    assert got[(1, 4)] == 1.0  # exact copy via the collapse pre-pass
+
+
+def test_ks_drift_matches_numpy_model(spark):
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.pair: (r.n_ref, r.n_cur, r.ks_stat)
+        for r in REGISTRY["ks_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    doc = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    h = ((doc.doc_id % 100) * 61) % 100
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    train = np.sort(doc.n_chars[split == "train"].to_numpy())
+    assert set(got) == {"val", "test"}
+    for pair in ("val", "test"):
+        cur = np.sort(doc.n_chars[split == pair].to_numpy())
+        pooled = np.unique(np.concatenate([train, cur]))
+        d = np.max(np.abs(
+            np.searchsorted(train, pooled, side="right") / train.size
+            - np.searchsorted(cur, pooled, side="right") / cur.size
+        ))
+        n_ref, n_cur, ks = got[pair]
+        assert (n_ref, n_cur) == (train.size, cur.size)
+        assert ks == pytest.approx(d, abs=1e-6)
+
+
+def test_psi_drift_matches_numpy_model(spark):
+    """Cell-level check against numpy: train-decile cuts via
+    np.quantile (linear interpolation == quantile_cont == the
+    two-phase selection), integer-quantized terms, and the
+    order-independent psi_total identity."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["psi_drift"].fn(spark, SF_SMOKE).collect()
+    doc = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    h = ((doc.doc_id % 100) * 61) % 100
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    train = doc.n_chars[split == "train"].to_numpy()
+    cuts = np.quantile(train, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+                               0.8, 0.9])
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for pair in ("val", "test"):
+        cur = doc.n_chars[split == pair].to_numpy()
+        rb = np.searchsorted(cuts, train, side="left")
+        cb = np.searchsorted(cuts, cur, side="left")
+        # searchsorted('left') counts cuts < v... we need cuts < v
+        # strictly (v > c); equal-to-cut goes LOW. side='left' gives
+        # index of first cut >= v, i.e. count of cuts strictly < v.
+        tus, total = {}, 0
+        for b in range(10):
+            rn, cn = int((rb == b).sum()), int((cb == b).sum())
+            pr = (rn + 0.5) / (train.size + 5.0)
+            pc = (cn + 0.5) / (cur.size + 5.0)
+            tu = half_up((pc - pr) * math.log(pc / pr) * 10000.0)
+            tus[b] = (rn, cn, tu)
+            total += tu
+        seen = 0
+        for r in rows:
+            if r.pair != pair:
+                continue
+            seen += 1
+            rn, cn, tu = tus[r.bucket]
+            assert (r.ref_n, r.cur_n) == (rn, cn), (pair, r.bucket)
+            assert r.psi_term == pytest.approx(tu / 10000.0, abs=2e-4)
+            assert r.psi_total == pytest.approx(total / 10000.0,
+                                                abs=2e-3)
+        assert seen == 10  # every bucket emitted (train deciles are
+        #                    nonempty by construction)
+
+
+def test_novelty_bigram_loo_bruteforce(spark):
+    """Leave-one-doc-out Stupid-Backoff model in pure Python over the
+    smoke corpus; per-doc novelty must match within the final-rounding
+    + log-ulp envelope."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.novelty)
+        for r in REGISTRY["novelty_bigram_loo"].fn(spark, SF_SMOKE).collect()
+    }
+    doc = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    toks = {
+        int(r.doc_id): re.findall("[a-z]+", str(r.text).lower())
+        for r in doc.itertuples()
+    }
+    assert set(got) == set(toks)
+    guc, gbc, n_total = Counter(), Counter(), 0
+    for t in toks.values():
+        guc.update(t)
+        n_total += len(t)
+        gbc.update(zip(t, t[1:]))
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for did, t in toks.items():
+        dbc = Counter(zip(t, t[1:]))
+        duc = Counter(t)
+        nb = sum(dbc.values())
+        assert got[did][0] == nb, did
+        if nb == 0:
+            assert got[did][1] is None, did
+            continue
+        su = 0
+        for (w1, w2), dc in dbc.items():
+            bco = gbc[(w1, w2)] - dc
+            if bco > 0:
+                s = bco * 1.0 / (guc[w1] - duc[w1])
+            else:
+                s = (0.4 * ((guc[w2] - duc[w2]) + 0.5)
+                     / ((n_total - len(t)) + 1.0))
+            su += half_up(dc * math.log10(s) * 1000000.0)
+        exp = -(su / 1000000.0) / nb
+        assert got[did][1] == pytest.approx(exp, abs=1e-4), did

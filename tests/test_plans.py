@@ -421,3 +421,22 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
             oha_unlisted[name] = "unlisted ObjectHashAggregate"
     assert not offenders, offenders
     assert not oha_unlisted, oha_unlisted
+
+
+def test_drift_family_plans_stay_distributed(spark):
+    # round-6 drift/novelty entries: no CartesianProduct anywhere, no
+    # single-partition exchange (the ECDF/PSI windows partition by
+    # pair and the final aggregates hash on it), and nested-loop
+    # joins only as broadcasts of one-row stats frames (the PSI cut
+    # row, the novelty corpus total).
+    for name in ("ks_drift", "psi_drift", "containment_neardup",
+                 "novelty_bigram_loo"):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, (name, plan)
+    # the containment inverted index is pure equi-join — not even a
+    # broadcast nested loop
+    assert "BroadcastNestedLoopJoin" not in _formatted_plan(
+        spark, "containment_neardup"
+    )
