@@ -170,6 +170,13 @@ def ngram_containment_pairs(
     skew caveat) carries over unchanged. Output:
     (doc_a, doc_b, containment) with doc_a < doc_b; containment is
     symmetric under the min(), so undirected pairs lose nothing.
+
+    Measured (local[32], key-shifted replication of sf0.1, full
+    materialization): 10x = 10.1s / 251k pairs, 100x = 15.4s /
+    27.31M pairs — OUTPUT-bound exactly like the Jaccard twin
+    (under replication every doc gains 100 exact copies, so each
+    rep-level pair expands ~100x100 member pairs) while the shingle
+    join itself still runs on one representative per copy-group.
     """
     return _ngram_overlap_pairs(
         df, id_col, text_col, threshold,

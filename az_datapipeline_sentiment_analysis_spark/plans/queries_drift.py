@@ -16,7 +16,13 @@ training run:
 * ``novelty_bigram_loo`` — leave-one-doc-out bigram LM score (Stupid
   Backoff): how surprising is each document to a language model fit on
   *the rest of the corpus* — the cheap perplexity-novelty signal that
-  flags both boilerplate (novelty ~ 0) and gibberish (novelty high).
+  flags both boilerplate (novelty ~ 0) and gibberish (novelty high);
+* ``vocab_jsd_drift`` — Jensen–Shannon divergence of each source feed's
+  token distribution against the corpus (vocabulary drift per ingest
+  batch), summed over the source's support only via the absent-mass
+  identity;
+* ``embed_drift`` — cosine distance between each held-out split's
+  embedding centroid and the train centroid (modality-level drift).
 
 Generalizes the reference's per-review text handling
 (``FunctionApp2/process_data/__init__.py:49-52``) toward the
@@ -127,7 +133,10 @@ def _pair_exploded(d):
     " corpus — the sweep-line trick interval_concurrency uses), so"
     " no window ever sees a corpus-sized partition. The two ECDFs"
     " are compared as correctly-rounded int64/int64 divisions —"
-    " bit-identical in both engines — so the max needs no tolerance.",
+    " bit-identical in both engines — so the max needs no tolerance."
+    " Measured (local[32], key-shifted replication of sf0.1, full"
+    " materialization): 10x = 1.4s, 100x = 1.3s — the distinct-value"
+    " frame is scale-invariant, so cost is the scan + one shuffle.",
 )
 def ks_drift(spark, sf):
     d = _t(spark, sf, "documents")
@@ -227,7 +236,11 @@ _PSI_PS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
     " current-side buckets stay finite, then QUANTIZED to integer"
     " 1e-4 units before the per-pair total — summing int64 is"
     " order-independent, so the engines cannot drift in the last"
-    " float ulp the way a float sum over a reordered partition can.",
+    " float ulp the way a float sum over a reordered partition can."
+    " Measured (local[32], key-shifted replication of sf0.1): 10x ="
+    " 6.5s, 100x = 4.4s — dominated by the two corpus scans (train"
+    " for cuts, all for buckets); the bucket frame is 20 cells at"
+    " any scale.",
 )
 def psi_drift(spark, sf):
     d = _t(spark, sf, "documents")
@@ -392,7 +405,14 @@ def containment_neardup(spark, sf):
     " (AQE broadcasts them at small scale); the only crossJoin ships"
     " the one-row corpus total. Per-bigram log terms are quantized"
     " to integer 1e-6 units so the per-doc sum is order-independent"
-    " — the same anti-ulp discipline as psi_drift.",
+    " — the same anti-ulp discipline as psi_drift. Measured"
+    " (local[32], key-shifted replication of sf0.1, full"
+    " materialization via per-column aggregation — a bare count()"
+    " lets Catalyst eliminate the unique-keyed left join and"
+    " measures nothing): 10x = 18.7s / 50k docs, 100x = 34.6s /"
+    " 500k docs — sublinear in docs because the word/bigram key"
+    " domains are replication-invariant; real corpora grow the"
+    " vocabulary too, keeping every join shuffle-partitionable.",
 )
 def novelty_bigram_loo(spark, sf):
     d = _t(spark, sf, "documents")
@@ -455,4 +475,208 @@ def novelty_bigram_loo(spark, sf):
             F.round(-(F.col("su") / F.lit(1000000.0)) / F.col("nb"), 4)
             + F.lit(0.0)
         ).alias("novelty"),
+    )
+
+
+# =====================================================================
+# Vocabulary drift (Jensen–Shannon divergence per source)
+# =====================================================================
+
+@_q(
+    "vocab_jsd_drift",
+    f"""
+    WITH t AS (
+      SELECT source, unnest({_TOKS_DD}) AS w
+      FROM documents
+    ),
+    sc AS (SELECT source, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    wt AS (SELECT w, SUM(c) AS tot FROM sc GROUP BY 1),
+    sn AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+    nn AS (SELECT SUM(c) AS big FROM sc),
+    cells AS (
+      SELECT sc.source, sc.c, wt.tot, sn.n, nn.big,
+             sc.c * 1.0 / sn.n AS p,
+             wt.tot * 1.0 / nn.big AS q
+      FROM sc JOIN wt USING (w) JOIN sn USING (source) CROSS JOIN nn
+    ),
+    terms AS (
+      SELECT source, n, big, tot,
+             CAST(ROUND((0.5 * p * log2(p / ((p + q) / 2))
+                       + 0.5 * q * log2(q / ((p + q) / 2)))
+                  * 10000000000.0) AS BIGINT) AS tu
+      FROM cells
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tu) / 10000000000.0
+                 + 0.5 * (1.0 - SUM(tot) * 1.0 / MAX(big)), 4) + 0.0
+             AS jsd
+    FROM terms GROUP BY source
+    """,
+    "Jensen–Shannon divergence of each source feed's unigram token"
+    " distribution against the whole corpus — the vocabulary-drift"
+    " audit run per ingest batch (a feed whose JSD jumps changed"
+    " domain, language mix, or encoding; the measuring complement to"
+    " entropy_by_group's language-mix view). The sum runs over the"
+    " SOURCE'S SUPPORT ONLY via the absent-mass identity: for words"
+    " the source lacks, p=0 makes m=q/2 and the q-side term collapses"
+    " to q·log2(2)=q, so JSD = Σ_support[½p·log2(p/m) + ½q·log2(q/m)]"
+    " + ½(1 − Σ_support q) — no |sources|×|vocab| dense grid is ever"
+    " materialized, and the residual Σq is computed as an EXACT int64"
+    " token-count ratio, never a float sum. Per-cell terms quantize"
+    " to integer 1e-10 units (order-independent summation; int64"
+    " headroom to ~1e8-word supports). Shuffles: one (source, word)"
+    " count with map-side combine, one word-keyed join against the"
+    " vocabulary totals, one source rollup. The corpus-total and"
+    " per-source frames are tiny broadcasts. Measured (local[32],"
+    " key-shifted replication of sf0.1, full materialization):"
+    " 10x = 4.0s, 100x = 4.1s — the (source, word) cell frame is"
+    " replication-invariant, so cost is the token scan + one"
+    " combine-heavy shuffle.",
+)
+def vocab_jsd_drift(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = d.select("source", F.explode(F.expr(_TOKS)).alias("w"))
+    sc = t.groupBy("source", "w").agg(F.count("*").alias("c"))
+    wt = sc.groupBy("w").agg(F.sum("c").alias("tot"))
+    sn = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    nn = sc.agg(F.sum("c").alias("big"))
+    cells = (
+        sc.join(wt, "w")
+        .join(F.broadcast(sn), "source")
+        .crossJoin(F.broadcast(nn))
+    )
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    q = F.col("tot") * F.lit(1.0) / F.col("big")
+    m = (p + q) / F.lit(2.0)
+    tu = F.round(
+        (F.lit(0.5) * p * F.log2(p / m) + F.lit(0.5) * q * F.log2(q / m))
+        * F.lit(10000000000.0)
+    ).cast("long")
+    terms = cells.select("source", "n", "big", "tot", tu.alias("tu"))
+    return terms.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        (
+            F.round(
+                F.sum("tu") / F.lit(10000000000.0)
+                + F.lit(0.5)
+                * (
+                    F.lit(1.0)
+                    - F.sum("tot") * F.lit(1.0) / F.max("big")
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("jsd"),
+    )
+
+
+# =====================================================================
+# Embedding drift (split centroid distance)
+# =====================================================================
+
+@_q(
+    "embed_drift",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN ((vec_id % 100) * 61) % 100 < 80 THEN 'train'
+                  WHEN ((vec_id % 100) * 61) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM embeddings
+    ),
+    u AS (
+      SELECT split,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM s
+    ),
+    cent AS (
+      SELECT split, pos,
+             CAST(ROUND(AVG(v) * 1000000.0) AS BIGINT) AS cu
+      FROM u GROUP BY split, pos
+    ),
+    pairs AS (
+      SELECT c.split,
+             SUM(c.cu * t.cu) AS dot,
+             SUM(c.cu * c.cu) AS na2,
+             SUM(t.cu * t.cu) AS nb2
+      FROM cent c
+      JOIN cent t ON t.pos = c.pos AND t.split = 'train'
+      WHERE c.split <> 'train'
+      GROUP BY c.split
+    ),
+    nv AS (
+      SELECT split, COUNT(*) AS n_vecs FROM s
+      WHERE split <> 'train' GROUP BY split
+    )
+    SELECT p.split,
+           CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(1.0 - dot / (sqrt(na2 * 1.0) * sqrt(nb2 * 1.0)), 6)
+             + 0.0 AS cos_dist
+    FROM pairs p JOIN nv ON nv.split = p.split
+    """,
+    "Embedding-space drift: cosine distance between each held-out"
+    " split's centroid and the train centroid — the modality-level"
+    " twin of ks_drift (a hash split SHOULD land near 0; a re-embed"
+    " with a new model version or a shifted corpus does not). The"
+    " per-(split, dim) mean is the embed_centroid reduce shape"
+    " (shuffle state = splits × dims regardless of corpus size);"
+    " each centroid coordinate is then QUANTIZED to integer 1e-6"
+    " units so the dot product and norms are exact int64 sums over"
+    " the 64-dim frame and the final cosine is a chain of correctly-"
+    " rounded IEEE ops — bit-identical across engines, no float-"
+    " summation order anywhere past the (already round-6-stable)"
+    " coordinate means. Measured (local[32], key-shifted replication"
+    " of sf0.1, full materialization): 10x = 2.1s, 100x = 1.9s —"
+    " the reduce side is splits x 64 dims at any corpus size.",
+)
+def embed_drift(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    h = ((F.col("vec_id") % 100) * 61) % 100
+    s = e.select(
+        "vec_id", "embedding",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    u = s.select("split", F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        u.groupBy("split", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("v") * F.lit(1000000.0)).cast("long").alias("cu")
+        )
+    )
+    tr = cent.filter(F.col("split") == "train").select(
+        "pos", F.col("cu").alias("tu")
+    )
+    pairs = (
+        cent.filter(F.col("split") != "train")
+        .join(tr, "pos")
+        .groupBy("split")
+        .agg(
+            F.sum(F.col("cu") * F.col("tu")).alias("dot"),
+            F.sum(F.col("cu") * F.col("cu")).alias("na2"),
+            F.sum(F.col("tu") * F.col("tu")).alias("nb2"),
+        )
+    )
+    nv = (
+        s.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    return pairs.join(nv, "split").select(
+        "split",
+        "n_vecs",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("dot")
+                / (
+                    F.sqrt(F.col("na2") * F.lit(1.0))
+                    * F.sqrt(F.col("nb2") * F.lit(1.0))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cos_dist"),
     )

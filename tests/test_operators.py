@@ -1671,3 +1671,78 @@ def test_novelty_bigram_loo_bruteforce(spark):
             su += half_up(dc * math.log10(s) * 1000000.0)
         exp = -(su / 1000000.0) / nb
         assert got[did][1] == pytest.approx(exp, abs=1e-4), did
+
+
+def test_vocab_jsd_drift_dense_model(spark):
+    """The support-only JSD identity vs a DENSE pure-Python model that
+    sums over the full vocabulary (p=0 terms handled explicitly) —
+    proving the absent-mass shortcut is exact, not an approximation."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.source: (r.n_tokens, r.jsd)
+        for r in REGISTRY["vocab_jsd_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    doc = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    per_src, corpus = {}, Counter()
+    for r in doc.itertuples():
+        t = re.findall("[a-z]+", str(r.text).lower())
+        per_src.setdefault(str(r.source), Counter()).update(t)
+        corpus.update(t)
+    big = sum(corpus.values())
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        assert got[src][0] == n, src
+        jsd = 0.0
+        for w, tot in corpus.items():  # DENSE: every corpus word
+            p = cnt.get(w, 0) / n
+            q = tot / big
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log2(q / m)
+        assert got[src][1] == pytest.approx(jsd, abs=2e-4), src
+
+
+def test_embed_drift_numpy_model(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.split: (r.n_vecs, r.cos_dist)
+        for r in REGISTRY["embed_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    emb = pd.read_parquet(SF_SMOKE + "/embeddings.parquet")
+    h = ((emb.vec_id % 100) * 61) % 100
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    mat = np.vstack(emb.embedding.to_numpy())
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def cent(mask):
+        m = mat[mask].mean(axis=0)
+        return np.array([half_up(v * 1e6) for v in m], dtype=np.int64)
+
+    tr = cent(split == "train")
+    assert set(got) == {"val", "test"}
+    for pair in ("val", "test"):
+        cu = cent(split == pair)
+        cos = float(cu @ tr) / (
+            math.sqrt(float(cu @ cu)) * math.sqrt(float(tr @ tr))
+        )
+        n_vecs, cos_dist = got[pair]
+        assert n_vecs == int((split == pair).sum())
+        assert cos_dist == pytest.approx(1.0 - cos, abs=2e-6), pair

@@ -440,3 +440,12 @@ def test_drift_family_plans_stay_distributed(spark):
     assert "BroadcastNestedLoopJoin" not in _formatted_plan(
         spark, "containment_neardup"
     )
+    # vocab_jsd_drift / embed_drift: no cartesian; the one global
+    # total in vocab_jsd is a legitimate one-row SinglePartition agg,
+    # so only the join shapes are pinned here (formatted plans list
+    # each node twice — tree + details — so <= 2 means one real BNLJ,
+    # the broadcast one-row corpus total)
+    for name in ("vocab_jsd_drift", "embed_drift"):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, (name, plan)
