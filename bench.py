@@ -98,6 +98,9 @@ SCALE_HEADLINE = [
     # 3-partition window sort); the bucket-route + target-sort cost
     # needs the replicated scale to show
     "weighted_median",
+    # round-6: the LOO bigram join stack — word/bigram-keyed shuffles
+    # whose cost only replication surfaces (18.7s at 10x)
+    "novelty_bigram_loo",
 ]
 
 HEADLINE = [
@@ -146,6 +149,10 @@ HEADLINE = [
     # and the recursion-free CUSUM (post-aggregate window class)
     "q11_important_stock",
     "anomaly_cusum",
+    # round-6 drift/novelty family: the word/bigram-keyed LOO join
+    # stack and the sweep-line ECDF comparison
+    "novelty_bigram_loo",
+    "ks_drift",
 ]
 
 
