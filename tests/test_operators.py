@@ -1483,6 +1483,11 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "q11_important_stock", "asof_join_nearest", "graph_triangles",
         "anomaly_cusum", "doc_chunking", "join_key_skew_report",
         "dataset_split_leakproof", "win_ntile",
+        # drift/novelty batch (the psi cut computation persists and
+        # releases caches inside exact_group_quantiles — rerunning in
+        # one session is exactly where a leak would show)
+        "ks_drift", "psi_drift", "containment_neardup",
+        "novelty_bigram_loo", "vocab_jsd_drift", "embed_drift",
     ]
     for name in names:
         fn = REGISTRY[name].fn

@@ -738,3 +738,36 @@ def test_exact_group_quantiles_cokeyed_equals_broadcast(spark, batches):
         ).collect()
     }
     assert a == b
+
+
+@given(texts=TEXTS)
+@SLOW_OK
+def test_containment_pairs_match_set_model(spark, texts):
+    """ngram_containment_pairs vs the direct trigram-set containment
+    on generated corpora — exercises copy-groups (duplicate texts),
+    shingle-less docs, and the threshold boundary together."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.ngram_containment_pairs(df, threshold=0.3).collect()
+    }
+    pat = re.compile("[a-z]+")
+
+    def sh(t):
+        toks = pat.findall(t.lower())
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    exp = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            c = round(len(sa & sb) / min(len(sa), len(sb)), 4)
+            if c >= 0.3:
+                exp[(a, b)] = c
+    assert got == exp
