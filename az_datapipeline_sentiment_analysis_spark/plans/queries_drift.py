@@ -680,3 +680,54 @@ def embed_drift(spark, sf):
             + F.lit(0.0)
         ).alias("cos_dist"),
     )
+
+
+# =====================================================================
+# Winsorization (robust feature prep on the exact-quantile engine)
+# =====================================================================
+
+@_q(
+    "winsorize_clip",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice AS price,
+           least(greatest(l.l_extendedprice, c.p01), c.p99) AS clipped,
+           (l.l_extendedprice < c.p01 OR l.l_extendedprice > c.p99)
+             AS was_clipped
+    FROM lineitem l JOIN cuts c USING (l_returnflag)
+    """,
+    "Per-group winsorization: clip each value into its group's exact"
+    " [p1, p99] band — the standard outlier treatment before scaling"
+    " / regression when dropping rows (iqr_outlier_filter) loses too"
+    " much data. Cut points come from operators/quantiles' bounded-"
+    " memory two-phase selection (the agg_median quantile_cont"
+    " contract), broadcast as a groups-sized frame onto a MAP-ONLY"
+    " clip — least/greatest over bit-identical interpolated doubles,"
+    " so no rounding is needed anywhere. The fact table is scanned"
+    " twice (once inside the quantile phases, once for the clip) and"
+    " never shuffled on its own rows.",
+)
+def winsorize_clip(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cuts = exact_group_quantiles(
+        li.select("l_returnflag", F.col("l_extendedprice").alias("v")),
+        "v",
+        {"p01": 0.01, "p99": 0.99},
+        group_cols=["l_returnflag"],
+    )
+    v = F.col("l_extendedprice")
+    return li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        v.alias("price"),
+        F.least(F.greatest(v, F.col("p01")), F.col("p99"))
+        .alias("clipped"),
+        ((v < F.col("p01")) | (v > F.col("p99"))).alias("was_clipped"),
+    )

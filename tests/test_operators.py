@@ -1751,3 +1751,36 @@ def test_embed_drift_numpy_model(spark):
         n_vecs, cos_dist = got[pair]
         assert n_vecs == int((split == pair).sum())
         assert cos_dist == pytest.approx(1.0 - cos, abs=2e-6), pair
+
+
+def test_winsorize_clip_bruteforce(spark):
+    """winsorize_clip vs numpy: group p1/p99 via np.quantile (linear
+    interpolation == quantile_cont), then clip — every row's clipped
+    value and flag must match."""
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = REGISTRY["winsorize_clip"].fn(spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(SF_SMOKE + "/lineitem.parquet")
+    keys = ["l_orderkey", "l_linenumber", "price"]
+    for flag, grp in li.groupby("l_returnflag"):
+        v = grp.l_extendedprice.to_numpy()
+        p01, p99 = np.quantile(v, 0.01), np.quantile(v, 0.99)
+        want = grp.assign(price=grp.l_extendedprice).assign(
+            clipped=np.clip(grp.l_extendedprice, p01, p99),
+            was_clipped=(grp.l_extendedprice < p01)
+            | (grp.l_extendedprice > p99),
+        )[keys + ["clipped", "was_clipped"]].sort_values(
+            keys, ignore_index=True
+        )
+        sub = got[got.l_returnflag == flag][
+            keys + ["clipped", "was_clipped"]
+        ].sort_values(keys, ignore_index=True)
+        assert len(sub) == len(want)
+        assert (sub.was_clipped.to_numpy()
+                == want.was_clipped.to_numpy()).all(), flag
+        assert np.allclose(sub.clipped.to_numpy(),
+                           want.clipped.to_numpy(), atol=1e-9), flag
+        assert bool(want.was_clipped.any()), flag  # test has teeth
