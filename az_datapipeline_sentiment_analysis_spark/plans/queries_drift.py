@@ -711,7 +711,10 @@ def embed_drift(spark, sf):
     " clip — least/greatest over bit-identical interpolated doubles,"
     " so no rounding is needed anywhere. The fact table is scanned"
     " twice (once inside the quantile phases, once for the clip) and"
-    " never shuffled on its own rows.",
+    " never shuffled on its own rows. Measured (local[32],"
+    " key-shifted replication of sf0.1, full materialization):"
+    " 10x = 13.8s / 6M rows, 100x = 23.0s / 60M rows — scan-bound,"
+    " 1.7x time for the last 10x of data.",
 )
 def winsorize_clip(spark, sf):
     li = _t(spark, sf, "lineitem")
