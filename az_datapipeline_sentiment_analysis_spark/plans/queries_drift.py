@@ -734,3 +734,53 @@ def winsorize_clip(spark, sf):
         .alias("clipped"),
         ((v < F.col("p01")) | (v > F.col("p99"))).alias("was_clipped"),
     )
+
+
+@_q(
+    "robust_scaler",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - c.med) / nullif(c.q3 - c.q1, 0.0), 6) + 0.0
+             AS scaled
+    FROM events e JOIN cuts c USING (event_type)
+    """,
+    "Robust standardization: (value − median) / IQR per event type —"
+    " the scaler of choice when outliers would stretch a min-max or"
+    " z-score fit (median and IQR have a 25% breakdown point; mean"
+    " and stddev have 0). Completes the feature-prep trio with"
+    " minmax_scaler (range fit) and winsorize_clip (clipping): all"
+    " three share the shape of a tiny broadcast stats frame over a"
+    " map-only transform, and this one's quartiles come from"
+    " operators/quantiles' bounded-memory two-phase selection —"
+    " bit-identical interpolated doubles in both engines, so only"
+    " the final division is rounded. Zero-IQR groups (constant"
+    " value) scale to NULL via nullif, matching both engines.",
+)
+def robust_scaler(spark, sf):
+    ev = _t(spark, sf, "events")
+    cuts = exact_group_quantiles(
+        ev.select("event_type", F.col("value").alias("v")),
+        "v",
+        {"q1": 0.25, "med": 0.5, "q3": 0.75},
+        group_cols=["event_type"],
+    )
+    return ev.join(F.broadcast(cuts), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.round(
+                (F.col("value") - F.col("med"))
+                / F.nullif(F.col("q3") - F.col("q1"), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("scaled"),
+    )

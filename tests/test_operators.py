@@ -1784,3 +1784,27 @@ def test_winsorize_clip_bruteforce(spark):
         assert np.allclose(sub.clipped.to_numpy(),
                            want.clipped.to_numpy(), atol=1e-9), flag
         assert bool(want.was_clipped.any()), flag  # test has teeth
+
+
+def test_robust_scaler_bruteforce(spark):
+    """robust_scaler vs numpy: per-type quartiles via np.quantile,
+    then (v − med)/IQR — every row's scaled value must match."""
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = (
+        REGISTRY["robust_scaler"].fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    ev = pd.read_parquet(SF_SMOKE + "/events.parquet")
+    for etype, grp in ev.groupby("event_type"):
+        v = grp.value.to_numpy()
+        q1, med, q3 = np.quantile(v, [0.25, 0.5, 0.75])
+        sub = got[got.event_type == etype].set_index("event_id")
+        assert len(sub) == len(grp)
+        want = (grp.set_index("event_id").value - med) / (q3 - q1)
+        diff = (sub.scaled - want.round(6)).abs()
+        assert float(diff.max()) <= 1e-9, etype

@@ -449,9 +449,11 @@ def test_drift_family_plans_stay_distributed(spark):
         plan = _formatted_plan(spark, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert plan.count("BroadcastNestedLoopJoin") <= 2, (name, plan)
-    # winsorize_clip: broadcast cut frame onto a map-only clip — all
-    # equi-joins, no nested loop, no single-partition exchange
-    plan = _formatted_plan(spark, "winsorize_clip")
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    # winsorize_clip / robust_scaler: broadcast stats frame onto a
+    # map-only transform — all equi-joins, no nested loop, no
+    # single-partition exchange
+    for name in ("winsorize_clip", "robust_scaler"):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
