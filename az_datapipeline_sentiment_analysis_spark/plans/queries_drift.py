@@ -784,3 +784,103 @@ def robust_scaler(spark, sf):
             + F.lit(0.0)
         ).alias("scaled"),
     )
+
+
+# =====================================================================
+# Perplexity bucketing (head/middle/tail curation split)
+# =====================================================================
+
+@_q(
+    "perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM freq),
+    term AS (
+      SELECT doc_id, lang,
+             CAST(ROUND(ln(freq.c / tot.n) * 1000000.0) AS BIGINT) AS tu
+      FROM tok JOIN freq ON tok.token = freq.token CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+             -((SUM(tu) / 1000000.0) / COUNT(*)) AS ppl
+      FROM term GROUP BY doc_id, lang
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(ppl, 0.3333333333333333) AS c1,
+             quantile_cont(ppl, 0.6666666666666666) AS c2
+      FROM sc GROUP BY lang
+    )
+    SELECT sc.doc_id, sc.lang,
+           ROUND(ppl, 4) + 0.0 AS ppl_proxy,
+           CASE WHEN ppl <= c1 THEN 'head'
+                WHEN ppl <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc JOIN cuts USING (lang)
+    """,
+    "Head/middle/tail curation split by unigram-perplexity terciles"
+    " WITHIN each language — the bucketing move from the published"
+    " CCNet pipeline (Wenzek et al. 2019): per-language cuts stop the"
+    " split from just ranking languages by their average perplexity,"
+    " and downstream sampling draws head-heavy. The per-doc score is"
+    " assembled from per-token log terms QUANTIZED to integer 1e-6"
+    " units (order-independent sums — unlike a float AVG, no"
+    " partial-aggregation order can move a doc across a tercile"
+    " boundary between engines), tercile cuts come from operators/"
+    " quantiles' bounded-memory two-phase selection per language"
+    " (languages x 1024 buckets of state), and the bucket CASE"
+    " compares bit-identical doubles. Shuffles: token-keyed freq"
+    " (vocabulary-sized, broadcast back), doc-keyed score aggregate,"
+    " the quantile phases; the fact is never shuffled on its rows.",
+)
+def perplexity_buckets(spark, sf):
+    d = _t(spark, sf, "documents")
+    tok = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    tu = F.round(
+        F.log(F.col("c") / F.col("n")) * F.lit(1000000.0)
+    ).cast("long")
+    sc = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", tu.alias("tu"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("tu").alias("su"), F.count("*").alias("nt"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -(
+                    (F.col("su") / F.lit(1000000.0))
+                    / F.col("nt")
+                )
+            ).alias("ppl"),
+        )
+    )
+    cuts = exact_group_quantiles(
+        sc.select("lang", F.col("ppl").alias("v")),
+        "v",
+        {"c1": 1 / 3, "c2": 2 / 3},
+        group_cols=["lang"],
+    )
+    return sc.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        (F.round("ppl", 4) + F.lit(0.0)).alias("ppl_proxy"),
+        F.when(F.col("ppl") <= F.col("c1"), "head")
+        .when(F.col("ppl") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1808,3 +1808,56 @@ def test_robust_scaler_bruteforce(spark):
         want = (grp.set_index("event_id").value - med) / (q3 - q1)
         diff = (sub.scaled - want.round(6)).abs()
         assert float(diff.max()) <= 1e-9, etype
+
+
+def test_perplexity_buckets_bruteforce(spark):
+    """perplexity_buckets vs a pure-Python model: integer-quantized
+    unigram log terms, per-lang tercile cuts via np.quantile (linear
+    == quantile_cont), and the head/middle/tail CASE — bucket counts
+    per lang must be ~balanced and every doc's bucket must match."""
+    import math
+    from collections import Counter, defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    got = {
+        r.doc_id: (r.lang, r.ppl_proxy, r.bucket)
+        for r in REGISTRY["perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    doc = pd.read_parquet(SF_SMOKE + "/documents.parquet")
+    toks = {
+        int(r.doc_id): ([t for t in str(r.text).split(" ") if t], r.lang)
+        for r in doc.itertuples()
+    }
+    freq = Counter()
+    for t, _ in toks.values():
+        freq.update(t)
+    n = sum(freq.values())
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    ppl, by_lang = {}, defaultdict(list)
+    for did, (t, lang) in toks.items():
+        if not t:
+            assert did not in got
+            continue
+        su = sum(half_up(math.log(freq[w] / n) * 1e6) for w in t)
+        p = -((su / 1e6) / len(t))
+        ppl[did] = (lang, p)
+        by_lang[lang].append(p)
+    cuts = {
+        lang: (np.quantile(v, 1 / 3), np.quantile(v, 2 / 3))
+        for lang, v in by_lang.items()
+    }
+    assert set(got) == set(ppl)
+    for did, (lang, p) in ppl.items():
+        c1, c2 = cuts[lang]
+        want = "head" if p <= c1 else ("middle" if p <= c2 else "tail")
+        glang, gppl, gbucket = got[did]
+        assert glang == lang
+        assert gppl == pytest.approx(p, abs=1e-4)
+        assert gbucket == want, (did, p, c1, c2)
