@@ -761,7 +761,10 @@ def winsorize_clip(spark, sf):
     " operators/quantiles' bounded-memory two-phase selection —"
     " bit-identical interpolated doubles in both engines, so only"
     " the final division is rounded. Zero-IQR groups (constant"
-    " value) scale to NULL via nullif, matching both engines.",
+    " value) scale to NULL via nullif, matching both engines."
+    " Measured (local[32], key-shifted replication of sf0.1, full"
+    " materialization): 10x = 11.9s cold / 100x = 6.8s warm over"
+    " 10M events — scan-bound.",
 )
 def robust_scaler(spark, sf):
     ev = _t(spark, sf, "events")
@@ -837,7 +840,10 @@ def robust_scaler(spark, sf):
     " (languages x 1024 buckets of state), and the bucket CASE"
     " compares bit-identical doubles. Shuffles: token-keyed freq"
     " (vocabulary-sized, broadcast back), doc-keyed score aggregate,"
-    " the quantile phases; the fact is never shuffled on its rows.",
+    " the quantile phases; the fact is never shuffled on its rows."
+    " Measured (local[32], key-shifted replication of sf0.1, full"
+    " materialization): 10x = 9.3s / 50k docs, 100x = 18.3s / 500k"
+    " docs — 2x time for the last 10x of data.",
 )
 def perplexity_buckets(spark, sf):
     d = _t(spark, sf, "documents")

@@ -403,3 +403,125 @@ def stream_ohlc_bars(spark, sf):
         )
     )
     return _drain(agg, spark, mode="complete")
+
+
+@_q(
+    "stream_psi_drift",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM events WHERE event_type = 'view'
+    ),
+    e AS (
+      SELECT event_type,
+             len(list_filter(qs, c -> value > c)) AS bucket
+      FROM events CROSS JOIN cuts
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+      SELECT bucket,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS ref_n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS cur_n
+      FROM e GROUP BY bucket
+    ),
+    t AS (
+      SELECT bucket, ref_n, cur_n,
+             SUM(ref_n) OVER () AS tr,
+             SUM(cur_n) OVER () AS tc
+      FROM c
+    ),
+    contrib AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(ref_n AS BIGINT) AS ref_n,
+             CAST(cur_n AS BIGINT) AS cur_n,
+             CAST(ROUND(
+               ((cur_n + 0.5) / (tc + 5.0) - (ref_n + 0.5) / (tr + 5.0))
+               * ln(((cur_n + 0.5) / (tc + 5.0))
+                    / ((ref_n + 0.5) / (tr + 5.0)))
+               * 10000.0) AS BIGINT) AS tu
+      FROM t
+    )
+    SELECT bucket, ref_n, cur_n,
+           tu / 10000.0 AS psi_term,
+           SUM(tu) OVER () / 10000.0 AS psi_total
+    FROM contrib
+    """,
+    "STREAMING drift monitor: PSI of the live purchase-value stream"
+    " against a FIXED reference histogram (the view events' exact"
+    " deciles, computed batch-side and stream-static-joined onto the"
+    " arrivals). This is how drift monitoring actually deploys —"
+    " reference fit once, current counts folded incrementally — and"
+    " the streaming state is BUCKET-sized (10 rows) regardless of"
+    " stream volume, the smallest state of any operator here. After"
+    " the AvailableNow drain the counts equal the batch scan, so the"
+    " full PSI math (same Laplace smoothing + integer 1e-4"
+    " quantization as psi_drift) is hash-checked against the batch"
+    " oracle; bucket assignment is the same 9 codegen comparisons"
+    " against broadcast cut points.",
+)
+def stream_psi_drift(spark, sf):
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = _t(spark, sf, "events")
+    cuts = exact_group_quantiles(
+        ev.filter(F.col("event_type") == "view").select(
+            F.col("value").alias("v")
+        ),
+        "v",
+        {f"c{i}": p / 10.0 for i, p in enumerate(range(1, 10), 1)},
+    )
+    bucket_of = sum(
+        (F.col("value") > F.col(f"c{i}")).cast("long") for i in range(1, 10)
+    )
+    ref = (
+        ev.filter(F.col("event_type") == "view")
+        .crossJoin(F.broadcast(cuts))
+        .select(bucket_of.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ref_n"))
+    )
+    src = stream.stream_events(spark, _staged_events(spark, sf, doubled=False))
+    cur = _drain(
+        src.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cuts))
+        .select(bucket_of.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cur_n")),
+        spark,
+        mode="complete",
+    )
+    c = (
+        ref.join(cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    t = c.select(
+        "bucket", "ref_n", "cur_n",
+        F.sum("ref_n").over(wall).alias("tr"),
+        F.sum("cur_n").over(wall).alias("tc"),
+    )
+    p_cur = (F.col("cur_n") + F.lit(0.5)) / (F.col("tc") + F.lit(5.0))
+    p_ref = (F.col("ref_n") + F.lit(0.5)) / (F.col("tr") + F.lit(5.0))
+    tu = F.round(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(10000.0)
+    ).cast("long")
+    contrib = t.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        tu.alias("tu"),
+    )
+    return contrib.select(
+        "bucket", "ref_n", "cur_n",
+        (F.col("tu") / F.lit(10000.0)).alias("psi_term"),
+        (F.sum("tu").over(wall) / F.lit(10000.0)).alias("psi_total"),
+    )

@@ -243,3 +243,23 @@ def test_stream_ohlc_equals_batch_rollup(spark):
         for r in REGISTRY["ohlc_bars"].fn(spark, sf).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_psi_drift_counts_and_total(spark):
+    """The streaming PSI's drained bucket counts must equal the batch
+    type counts, and psi_total must be the exact integer-unit sum of
+    the per-bucket terms (the order-independence contract)."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["stream_psi_drift"].fn(spark, sf).collect()
+    ev = table(spark, sf, "events")
+    n_view = ev.filter("event_type = 'view'").count()
+    n_purchase = ev.filter("event_type = 'purchase'").count()
+    assert sum(r.ref_n for r in rows) == n_view
+    assert sum(r.cur_n for r in rows) == n_purchase
+    total_units = sum(round(r.psi_term * 10000) for r in rows)
+    for r in rows:
+        assert r.psi_total == total_units / 10000.0
+    assert rows and rows[0].psi_total >= 0.0
