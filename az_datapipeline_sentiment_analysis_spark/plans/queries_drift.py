@@ -697,7 +697,8 @@ def embed_drift(spark, sf):
     )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            l.l_extendedprice AS price,
-           least(greatest(l.l_extendedprice, c.p01), c.p99) AS clipped,
+           ROUND(least(greatest(l.l_extendedprice, c.p01), c.p99), 6)
+             AS clipped,
            (l.l_extendedprice < c.p01 OR l.l_extendedprice > c.p99)
              AS was_clipped
     FROM lineitem l JOIN cuts c USING (l_returnflag)
@@ -708,8 +709,18 @@ def embed_drift(spark, sf):
     " much data. Cut points come from operators/quantiles' bounded-"
     " memory two-phase selection (the agg_median quantile_cont"
     " contract), broadcast as a groups-sized frame onto a MAP-ONLY"
-    " clip — least/greatest over bit-identical interpolated doubles,"
-    " so no rounding is needed anywhere. The fact table is scanned"
+    " clip. The clipped value is rounded to 6: the two engines'"
+    " interpolated cuts can differ in the LAST ULP (lo + frac*(hi-lo)"
+    " vs an algebraically-equal-but-differently-associated form), and"
+    " rows clipped exactly TO the cut would otherwise render that ulp"
+    " — the unrounded form failed the exact local parity test while"
+    " sailing through the driver's round-6 hash, which is precisely"
+    " the gap the stricter test exists to catch. The boolean"
+    " was_clipped compares raw values against the cut, which is safe:"
+    " zero-frac cuts are EXACT data values in both engines and"
+    " nonzero-frac cuts lie strictly between adjacent data values,"
+    " so an ulp of cut wobble cannot cross a data point. The fact"
+    " table is scanned"
     " twice (once inside the quantile phases, once for the clip) and"
     " never shuffled on its own rows. Measured (local[32],"
     " key-shifted replication of sf0.1, full materialization):"
@@ -730,7 +741,7 @@ def winsorize_clip(spark, sf):
         "l_linenumber",
         "l_returnflag",
         v.alias("price"),
-        F.least(F.greatest(v, F.col("p01")), F.col("p99"))
+        F.round(F.least(F.greatest(v, F.col("p01")), F.col("p99")), 6)
         .alias("clipped"),
         ((v < F.col("p01")) | (v > F.col("p99"))).alias("was_clipped"),
     )
