@@ -848,3 +848,131 @@ def q11_important_stock(spark, sf):
         .select("ps_partkey", "value_cents")
         .orderBy(F.col("value_cents").desc(), "ps_partkey")
     )
+
+
+# =====================================================================
+# Q2 — minimum-cost supplier (over the DERIVED partsupp)
+# =====================================================================
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i * 1009)
+               % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+             100 + (p_partkey * 31 + i.i * 17) % 100000 AS ps_cost_cents
+      FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+      WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ), rs AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), offers AS (
+      SELECT ps_partkey, ps_cost_cents, s_suppkey, s_name, s_acctbal,
+             n_name
+      FROM ps JOIN rs ON ps_suppkey = s_suppkey
+    ), mc AS (
+      SELECT ps_partkey, MIN(ps_cost_cents) AS min_cost
+      FROM offers GROUP BY ps_partkey
+    )
+    SELECT ROUND(o.s_acctbal, 2) AS s_acctbal, o.s_name, o.n_name,
+           o.ps_partkey AS p_partkey,
+           CAST(o.ps_cost_cents AS BIGINT) AS cost_cents
+    FROM offers o JOIN mc ON o.ps_partkey = mc.ps_partkey
+               AND o.ps_cost_cents = mc.min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H-Q2 shape: for each qualifying part, the minimum-supply-"
+    "cost supplier within a region — the correlated-MIN subquery"
+    " decorrelated by hand into a per-part MIN aggregate joined back"
+    " on (part, cost), so the physical plan is explicit. partsupp is"
+    " the same 4-rows-per-part integer-congruence derivation Q11"
+    " introduced (both engines compute it identically; cost is int64"
+    " cents so the MIN equality join is exact, no float compare)."
+    " This was the last TPC-H query without a literal named entry —"
+    " the registry now holds all 22 shapes by name. Plan: the part"
+    " filter (type + size range) prunes BEFORE partsupp derives, so"
+    " the derived frame is ~40 rows/SF — the whole query runs on"
+    " broadcast-sized frames after the scans: region-filtered"
+    " suppliers broadcast into the offer join, the per-part MIN is a"
+    " tiny agg, and its join back is broadcast too. At 100 TB the"
+    " only real cost is the two dim scans; nothing shuffles a fact."
+    " Ordering ties break on (n_name, s_name, p_partkey), total"
+    " because s_name is unique per supplier and each (part,"
+    " supplier) offer row is distinct in cost — LIMIT 100 is"
+    " deterministic across engines.",
+)
+def q2_min_cost_supplier(spark, sf):
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey")
+    )
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    scount = sup.agg(F.count("*").alias("__n_supp"))
+    i = F.col("__i").cast("long")
+    ps = (
+        p.crossJoin(F.broadcast(scount))
+        .select(
+            "p_partkey",
+            "__n_supp",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("__i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + i * 1009) % F.col("__n_supp")).alias(
+                "ps_suppkey"
+            ),
+            (100 + (F.col("p_partkey") * 31 + i * 17) % 100000).alias(
+                "ps_cost_cents"
+            ),
+        )
+    )
+    rs = (
+        sup.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat.n_regionkey == reg.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            sup.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(
+        F.broadcast(rs), ps.ps_suppkey == F.col("s_suppkey")
+    ).select(
+        "ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name"
+    )
+    mc = (
+        offers.groupBy("ps_partkey")
+        .agg(F.min("ps_cost_cents").alias("__min_cost"))
+        .select(F.col("ps_partkey").alias("__mc_partkey"), "__min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(mc),
+            (F.col("ps_partkey") == F.col("__mc_partkey"))
+            & (F.col("ps_cost_cents") == F.col("__min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_cost_cents").cast("long").alias("cost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
