@@ -1606,3 +1606,58 @@ def minmax_scaler_join(spark, sf):
             ).alias("acctbal_scaled"),
         )
     )
+
+
+@_q(
+    "global_shuffle_order",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+    "Deterministic global training-data shuffle: every training run"
+    " needs the corpus in a pseudorandom but REPRODUCIBLE order (same"
+    " seed => same shard contents => resumable jobs, byte-identical"
+    " reruns), so the shuffle key is md5(doc_id, seed) rather than"
+    " rand(). The naive form — row_number over an unpartitioned"
+    " ORDER BY — plans as a single-partition global sort; this is the"
+    " two-phase global-position rewrite win_ntile uses: the first two"
+    " hex chars of the key route rows into 256 monotone buckets"
+    " (lexicographic hex order == numeric bucket order, so bucket"
+    " order composes with the in-bucket key order into the total"
+    " order), per-bucket counts form a <=256-row frame whose prefix"
+    " sweep yields broadcast offsets, and the only fact-side window"
+    " is a row_number PARTITIONED by bucket — 256 parallel sorts of"
+    " ~n/256 rows each, no Exchange SinglePartition anywhere."
+    " md5 spreads uniformly, so bucket skew is bounded; doc_id"
+    " tiebreak makes the order total even under (astronomically"
+    " unlikely) digest collisions.",
+)
+def global_shuffle_order(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
+            "__k"
+        ),
+    ).withColumn(
+        "__b", F.conv(F.substring("__k", 1, 2), 16, 10).cast("int")
+    )
+    bw = keyed.groupBy("__b").agg(F.count("*").alias("__w")).coalesce(1)
+    wc = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bw.select(
+        "__b", F.coalesce(F.sum("__w").over(wc), F.lit(0)).alias("__off")
+    )
+    wloc = Window.partitionBy("__b").orderBy("__k", "doc_id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "__b")
+        .select(
+            "doc_id",
+            (F.col("__off") + F.col("__rn")).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+    )

@@ -740,3 +740,58 @@ def quality_filter_gate(spark, sf):
         .otherwise("ok")
         .alias("reason"),
     )
+
+
+@_q(
+    "bpe_merge_pairs",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ), t2 AS (
+      SELECT tok FROM toks WHERE length(tok) >= 2
+    ), pos AS (
+      SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+      FROM t2
+    )
+    SELECT substr(tok, CAST(i AS INT), 2) AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pos
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    "BPE merge-candidate mining: the first iteration of byte-pair"
+    " encoding — count every adjacent symbol pair across the token"
+    " stream (occurrence-weighted, which is exactly the"
+    " frequency-weighted pair count BPE training uses) and rank the"
+    " top merges. This is the corpus-wide statistics pass a tokenizer"
+    " trainer runs before each merge; at 100 TB it is the expensive"
+    " step, so the plan matters: tokenization and pair expansion are"
+    " one map-only JVM projection (regexp_extract_all + a"
+    " higher-order transform over sequence(1, len-1) — no Python"
+    " workers, no intermediate shuffle), and the single shuffle is"
+    " the pair hash-aggregate, which map-side combines into at most"
+    " 26x26 partial rows per task before anything moves. The top-50"
+    " is a TakeOrdered over the <=676-row aggregate. Ties rank"
+    " lexicographically so the cut is engine-deterministic.",
+)
+def bpe_merge_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                " filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+                "        t -> length(t) >= 2),"
+                " tok -> transform(sequence(1, length(tok) - 1),"
+                "                  i -> substring(tok, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )

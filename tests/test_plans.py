@@ -457,3 +457,25 @@ def test_drift_family_plans_stay_distributed(spark):
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_global_shuffle_order_no_single_partition(spark):
+    # the deterministic training shuffle is the same two-phase
+    # global-position shape as win_ntile: the only fact-side window
+    # partitions by the 256-way hex bucket, the prefix sweep rides a
+    # coalesce(1) — a row_number over an unpartitioned ORDER BY (one
+    # task sorts the corpus) must never come back
+    plan = _formatted_plan(spark, "global_shuffle_order")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
+
+
+def test_bpe_merge_pairs_map_only_expansion(spark):
+    # pair expansion must stay a JVM projection: no Python workers
+    # (the transform/sequence lambdas are Catalyst expressions) and
+    # exactly the aggregate's exchanges — an extra shuffle means the
+    # explode materialized through a repartition
+    plan = _formatted_plan(spark, "bpe_merge_pairs")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
