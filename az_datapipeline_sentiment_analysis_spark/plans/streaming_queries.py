@@ -525,3 +525,60 @@ def stream_psi_drift(spark, sf):
         (F.col("tu") / F.lit(10000.0)).alias("psi_term"),
         (F.sum("tu").over(wall) / F.lit(10000.0)).alias("psi_total"),
     )
+
+
+@_q(
+    "stream_static_enrich",
+    """
+    SELECT date_trunc('hour', e.ts) AS hr,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    "Stream-static enrichment: the canonical streaming-ETL shape the"
+    " stream family was missing — a watermark-free file-source stream"
+    " LEFT-joined against a STATIC dimension (user -> market segment),"
+    " then aggregated per (event-hour, segment) in complete mode."
+    " Unlike a stream-stream join this holds NO join state at all:"
+    " the static side broadcasts into every micro-batch (Spark plans"
+    " stream-static joins as batch joins per micro-batch), so the"
+    " only streaming state is the windowed-aggregate partials, keyed"
+    " by (window, segment) across executors. Unmatched users coalesce"
+    " to 'UNKNOWN' rather than dropping — enrichment must never lose"
+    " fact rows. Drained AvailableNow, the sink must equal the batch"
+    " left-join group-by (the oracle).",
+)
+def stream_static_enrich(spark, sf):
+    src = stream.stream_events(
+        spark, _staged_events(spark, sf, doubled=False)
+    )
+    dim = (
+        _t(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("__ck"),
+            F.col("c_mktsegment").alias("__seg"),
+        )
+    )
+    enriched = src.join(
+        F.broadcast(dim), src.user_id == F.col("__ck"), "left"
+    ).select(
+        "ts",
+        "value",
+        F.coalesce(F.col("__seg"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("__w"), "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("__tv"),
+        )
+        .select(
+            F.col("__w.start").alias("hr"),
+            "segment",
+            "n",
+            F.round("__tv", 4).alias("total_value"),
+        )
+    )
+    return _drain(agg, spark, mode="complete")

@@ -1488,6 +1488,9 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         # one session is exactly where a leak would show)
         "ks_drift", "psi_drift", "containment_neardup",
         "novelty_bigram_loo", "vocab_jsd_drift", "embed_drift",
+        # round-6 second batch
+        "q2_min_cost_supplier", "bpe_merge_pairs",
+        "global_shuffle_order", "stream_static_enrich",
     ]
     for name in names:
         fn = REGISTRY[name].fn
