@@ -2447,3 +2447,176 @@ def dataset_split_leakproof(spark, sf):
         .otherwise("test")
         .alias("split"),
     )
+
+
+# =====================================================================
+# k-NN majority-vote classification (embedding auto-labeling)
+# =====================================================================
+
+@_q(
+    "knn_classify",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id < 50
+    ), c AS (
+      SELECT vec_id, embedding AS c_vec, label
+      FROM embeddings WHERE vec_id >= 50
+    ), scored AS (
+      SELECT q.q_id, c.vec_id, c.label,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(c.c_vec)),
+                 i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.c_vec,
+                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+      FROM c, q
+    ), ranked AS (
+      SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ), votes AS (
+      SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM ranked WHERE rnk <= 5
+      GROUP BY q_id, label
+    ), best AS (
+      SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM votes
+    )
+    SELECT q_id, CAST(label AS BIGINT) AS pred_label, votes
+    FROM best WHERE rn = 1
+    """,
+    "k-NN majority-vote classification: label the unlabeled slice of"
+    " the embedding table from its 5 nearest labeled neighbors — the"
+    " auto-labeling / label-propagation pass training pipelines run"
+    " to extend a small seed of human labels across a corpus. Built"
+    " as a composition over operators/similarity.brute_force_topk"
+    " (the exact baseline; the 100-TB path swaps the candidate"
+    " generator for embed_ann_lsh/_ann_ivf buckets, identical vote"
+    " stage): queries broadcast into a shuffle-free corpus scan, the"
+    " per-query top-k is a q_id-partitioned WindowGroupLimit, the"
+    " tiny (queries x k) neighbor frame broadcasts back onto the"
+    " label lookup, and the vote is a (q_id, label) count with"
+    " deterministic ties (votes DESC, then smallest label). Ranking"
+    " uses the ROUNDED double cosine with vec_id tiebreak, so the"
+    " k-cut and therefore the vote is engine-stable.",
+)
+def knn_classify(spark, sf):
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    c = e.filter(F.col("vec_id") >= 50)
+    nn = sim.brute_force_topk(c, q, k=5).select("q_id", "vec_id")
+    labels = c.select("vec_id", "label")
+    votes = (
+        labels.join(F.broadcast(nn), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
+# =====================================================================
+# AUC / Mann-Whitney U per cohort (rank-based model evaluation)
+# =====================================================================
+
+@_q(
+    "auc_by_cohort",
+    """
+    WITH s AS (
+      SELECT user_id % 10 AS cohort,
+             value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), ranked AS (
+      SELECT cohort, label,
+             RANK() OVER (PARTITION BY cohort ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY cohort, score) - 1) / 2.0
+               AS avg_rank
+      FROM s
+    ), agg AS (
+      SELECT cohort,
+             SUM(CASE WHEN label = 1 THEN avg_rank ELSE 0 END) AS rpos,
+             SUM(label) AS npos,
+             COUNT(*) - SUM(label) AS nneg
+      FROM ranked GROUP BY cohort
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           ROUND((rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6)
+             AS auc
+    FROM agg
+    WHERE npos > 0 AND nneg > 0
+    ORDER BY cohort
+    """,
+    "Distributed AUC (equivalently the Mann-Whitney U statistic) per"
+    " cohort: the standard ranking-model evaluation metric, computed"
+    " exactly via the rank-sum identity AUC = (R+ - n+(n+ + 1)/2) /"
+    " (n+ n-) with midrank tie correction (RANK + (ties-1)/2 is the"
+    " average rank of a tied score group — the same correction both"
+    " engines' statistical libraries apply). Labels are"
+    " purchase-vs-rest, scores are the event value, cohorts a"
+    " deterministic user hash. The ranking windows partition BY"
+    " COHORT, so each task sorts one cohort's slice — no global sort;"
+    " with finer cohorts (the realistic per-model/per-slice eval"
+    " matrix) parallelism grows with the cohort count, and the"
+    " rank-sum reduction is a plain hash aggregate. Arithmetic stays"
+    " in integers-and-halves until the final division, so the AUC is"
+    " hash-exact across engines. Degenerate cohorts (all-positive /"
+    " all-negative) are excluded — AUC is undefined there.",
+)
+def auc_by_cohort(spark, sf):
+    e = _t(spark, sf, "events")
+    s = e.select(
+        (F.col("user_id") % 10).alias("cohort"),
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    wr = Window.partitionBy("cohort").orderBy("score")
+    wt = Window.partitionBy("cohort", "score")
+    ranked = s.select(
+        "cohort",
+        "label",
+        (
+            F.rank().over(wr)
+            + (F.count("*").over(wt) - F.lit(1)) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("cohort").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0))
+        .alias("rpos"),
+        F.sum("label").alias("npos"),
+        (F.count("*") - F.sum("label")).alias("nneg"),
+    )
+    npos, nneg = F.col("npos"), F.col("nneg")
+    return (
+        agg.filter((npos > 0) & (nneg > 0))
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            npos.cast("long").alias("n_pos"),
+            nneg.cast("long").alias("n_neg"),
+            F.round(
+                (F.col("rpos") - npos * (npos + 1) / 2.0) / (npos * nneg),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("cohort")
+    )

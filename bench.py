@@ -101,6 +101,11 @@ SCALE_HEADLINE = [
     # round-6: the LOO bigram join stack — word/bigram-keyed shuffles
     # whose cost only replication surfaces (18.7s at 10x)
     "novelty_bigram_loo",
+    # round-6 second batch: the BPE pair explosion (rows x avg token
+    # length) and the 256-bucket global sort — both costs replication
+    # has to surface
+    "bpe_merge_pairs",
+    "global_shuffle_order",
 ]
 
 HEADLINE = [
@@ -153,6 +158,12 @@ HEADLINE = [
     # stack and the sweep-line ECDF comparison
     "novelty_bigram_loo",
     "ks_drift",
+    # round-6 second batch: literal TPC-H Q2 (broadcast-dim class),
+    # the BPE pair-count corpus pass (explode + map-combined agg) and
+    # the two-phase deterministic global shuffle (bucketed sort class)
+    "q2_min_cost_supplier",
+    "bpe_merge_pairs",
+    "global_shuffle_order",
 ]
 
 
