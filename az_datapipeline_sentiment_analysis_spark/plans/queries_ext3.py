@@ -2503,7 +2503,10 @@ def dataset_split_leakproof(spark, sf):
     " label lookup, and the vote is a (q_id, label) count with"
     " deterministic ties (votes DESC, then smallest label). Ranking"
     " uses the ROUNDED double cosine with vec_id tiebreak, so the"
-    " k-cut and therefore the vote is engine-stable.",
+    " k-cut and therefore the vote is engine-stable. Measured at"
+    " 100x replication of sf0.1 (local[32]): 19.6s for 50 queries"
+    " against 6.4M labeled vectors — the exact-scan baseline cost"
+    " the ANN candidate generators exist to amortize.",
 )
 def knn_classify(spark, sf):
     from ..operators import similarity as sim
@@ -2579,7 +2582,9 @@ def knn_classify(spark, sf):
     " rank-sum reduction is a plain hash aggregate. Arithmetic stays"
     " in integers-and-halves until the final division, so the AUC is"
     " hash-exact across engines. Degenerate cohorts (all-positive /"
-    " all-negative) are excluded — AUC is undefined there.",
+    " all-negative) are excluded — AUC is undefined there. Measured"
+    " at 100x replication of sf0.1 (local[32]): 7.5s over 10M events"
+    " (one rank sort per cohort + a 10-row reduction).",
 )
 def auc_by_cohort(spark, sf):
     e = _t(spark, sf, "events")

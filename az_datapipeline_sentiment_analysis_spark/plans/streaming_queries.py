@@ -548,7 +548,9 @@ def stream_psi_drift(spark, sf):
     " by (window, segment) across executors. Unmatched users coalesce"
     " to 'UNKNOWN' rather than dropping — enrichment must never lose"
     " fact rows. Drained AvailableNow, the sink must equal the batch"
-    " left-join group-by (the oracle).",
+    " left-join group-by (the oracle). Measured at 100x replication"
+    " of sf0.1 (local[32]): 22.9s end-to-end for 10M events"
+    " including the one-time backlog staging write.",
 )
 def stream_static_enrich(spark, sf):
     src = stream.stream_events(
