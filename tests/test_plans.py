@@ -479,3 +479,26 @@ def test_bpe_merge_pairs_map_only_expansion(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_auc_by_cohort_windows_partition_by_cohort(spark):
+    # the rank windows must partition by cohort — an unpartitioned
+    # rank (one task sorts every event) or a SinglePartition exchange
+    # means the per-slice parallelism contract broke
+    plan = _formatted_plan(spark, "auc_by_cohort")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(cohort" in plan, plan
+
+
+def test_knn_classify_broadcasts_queries_and_neighbors(spark):
+    # the corpus scan must never shuffle: queries broadcast into the
+    # scoring join (the non-equi self-exclusion makes it a BNLJ against
+    # the tiny broadcast side — intended), and the (queries x k)
+    # neighbor frame broadcasts back onto the label lookup; a
+    # SortMergeJoin or corpus-keyed exchange means a fact shuffle
+    # appeared
+    plan = _formatted_plan(spark, "knn_classify")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert "WindowGroupLimit" in plan, plan
