@@ -164,6 +164,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "bpe_merge_pairs",
     "global_shuffle_order",
+    # exact distinct-from-partials (bitmap agg class)
+    "bitmap_distinct_exact",
 ]
 
 

@@ -1491,7 +1491,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         # round-6 second batch
         "q2_min_cost_supplier", "bpe_merge_pairs",
         "global_shuffle_order", "stream_static_enrich",
-        "knn_classify", "auc_by_cohort",
+        "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
     ]
     for name in names:
         fn = REGISTRY[name].fn
