@@ -1865,3 +1865,34 @@ def test_perplexity_buckets_bruteforce(spark):
         assert glang == lang
         assert gppl == pytest.approx(p, abs=1e-4)
         assert gbucket == want, (did, p, c1, c2)
+
+
+def test_order_sensitive_entries_invariant_to_partitioning(spark):
+    """Determinism contract at cluster scale: the entries whose OUTPUT
+    encodes an ordering (global shuffle positions, packed bins, OHLC
+    open/close picks, knn votes) must return byte-identical results
+    whatever ``spark.sql.shuffle.partitions`` is — on a 1000-executor
+    cluster that knob differs from the test value by orders of
+    magnitude, and any hidden dependence on physical row order would
+    surface as non-reproducible shards."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    names = [
+        "global_shuffle_order", "pack_sequences", "ohlc_bars",
+        "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
+    ]
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for parts in ("3", "32"):
+            spark.conf.set(key, parts)
+            for name in names:
+                rows = sorted(
+                    map(tuple, REGISTRY[name].fn(spark, SF_SMOKE).collect())
+                )
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set(key, prev)
+    for name, (a, b) in results.items():
+        assert a == b, name
