@@ -407,7 +407,7 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # ~sqrt(2m) — bounded by graph structure, not row volume
         "graph_triangles",
     }
-    offenders, oha_unlisted = {}, {}
+    offenders, oha_unlisted, cartesian = {}, {}, {}
     for name, entry in REGISTRY.items():
         try:
             plan = entry.fn(spark, SF_SMOKE)._jdf.queryExecution() \
@@ -419,8 +419,15 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
             offenders[name] = "exact percentile/median"
         if "ObjectHashAggregate" in plan and name not in BOUNDED_STATE_OHA:
             oha_unlisted[name] = "unlisted ObjectHashAggregate"
+        # registry-wide shuffle-safety invariant: a CartesianProduct
+        # (the NON-broadcast nested loop — both sides materialized and
+        # replicated) must never appear; intended tiny-side cross
+        # joins plan as BroadcastNestedLoopJoin instead
+        if "CartesianProduct" in plan:
+            cartesian[name] = "CartesianProduct"
     assert not offenders, offenders
     assert not oha_unlisted, oha_unlisted
+    assert not cartesian, cartesian
 
 
 def test_drift_family_plans_stay_distributed(spark):
