@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_expr
+from ..functions.arrays import cosine_expr, dot_expr, norm_expr
 
 
 def brute_force_topk(
@@ -37,13 +37,29 @@ def brute_force_topk(
     Ranking uses the ROUNDED cosine with id tiebreak so results are
     stable across engines/float orderings.
     """
+    # norms are per-ROW quantities: compute each side's norm once in a
+    # pre-join projection instead of inside the pair expression, where
+    # a corpus row would recompute its norm once per query (measured
+    # at 100x / 50 queries: 19.6s -> norm work cut 50x, see
+    # knn_classify). Same doubles, same multiplication — the rounded
+    # cosine is bit-identical to the per-pair form.
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("__q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("__c_norm"),
+    )
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_expr("q_vec", "c_vec") / denom
+    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        .withColumn("cosine", F.round(cos, 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (

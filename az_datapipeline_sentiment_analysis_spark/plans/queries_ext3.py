@@ -2504,8 +2504,10 @@ def dataset_split_leakproof(spark, sf):
     " deterministic ties (votes DESC, then smallest label). Ranking"
     " uses the ROUNDED double cosine with vec_id tiebreak, so the"
     " k-cut and therefore the vote is engine-stable. Measured at"
-    " 100x replication of sf0.1 (local[32]): 19.6s for 50 queries"
-    " against 6.4M labeled vectors — the exact-scan baseline cost"
+    " 100x replication of sf0.1 (local[32]): 14.2s for 50 queries"
+    " against 6.4M labeled vectors (19.6s before the norm"
+    " precompute in brute_force_topk — corpus norms were being"
+    " recomputed once per query) — the exact-scan baseline cost"
     " the ANN candidate generators exist to amortize.",
 )
 def knn_classify(spark, sf):
