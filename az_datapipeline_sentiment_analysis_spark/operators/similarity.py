@@ -20,7 +20,18 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_expr, dot_expr, norm_expr
+from ..functions.arrays import dot_expr, norm_expr
+
+
+def _hoisted_cosine() -> F.Column:
+    """Pair cosine from pre-hoisted per-side norms (``__q_norm`` /
+    ``__c_norm`` columns): only the dot product is per-pair work.
+    Same doubles, same multiplication — bit-identical to evaluating
+    the norms inside the pair expression."""
+    denom = F.col("__q_norm") * F.col("__c_norm")
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_expr("q_vec", "c_vec") / denom
+    )
 
 
 def brute_force_topk(
@@ -53,13 +64,9 @@ def brute_force_topk(
         F.col(vec_col).alias("c_vec"),
         norm_expr(vec_col).alias("__c_norm"),
     )
-    denom = F.col("__q_norm") * F.col("__c_norm")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_expr("q_vec", "c_vec") / denom
-    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("cosine", F.round(_hoisted_cosine(), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -117,10 +124,14 @@ def lsh_topk(
     """
     planes = _planes(dim, n_planes)
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("__c_norm"),
     ).withColumn("bucket", _bucket_expr("c_vec", planes))
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("__q_norm"),
     ).withColumn("bucket", _bucket_expr("q_vec", planes))
     if multiprobe >= 1:
         # query-side bucket fan-out: home bucket + every XOR mask with
@@ -139,8 +150,9 @@ def lsh_topk(
         .filter(F.col("q_id") != F.col("c_id"))
         .drop("bucket")
         # no dedup needed: each corpus row lives in exactly one bucket
-        # and the probed buckets are pairwise distinct
-        .withColumn("cosine", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        # and the probed buckets are pairwise distinct; norms hoisted
+        # per side (bit-identical rounded cosine, see brute_force_topk)
+        .withColumn("cosine", F.round(_hoisted_cosine(), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -233,17 +245,23 @@ def ivf_topk(
         return pd.Series([row.astype("int64").tolist() for row in order])
 
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("__c_norm"),
     ).withColumn("list_id", assign_list(F.col("c_vec")))
     q = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_expr(vec_col).alias("__q_norm"),
+        )
         .withColumn("list_id", F.explode(probe_lists(F.col("q_vec"))))
     )
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
         .drop("list_id")
-        .withColumn("cosine", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        .withColumn("cosine", F.round(_hoisted_cosine(), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
