@@ -2546,6 +2546,11 @@ _RECHECK = frozenset(
         # oracle switched to truncated-second gap arithmetic (same
         # lesson as interval_overlap_join) — Spark side unchanged
         "sessionize_events",
+        # late round 6: per-side norm hoist in brute-force top-k, the
+        # LSH/IVF re-ranks, and embed_neardup (bit-identical rounded
+        # cosines by construction; re-verify under the driver anyway)
+        "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
+        "embed_neardup",
     }
 )
 
