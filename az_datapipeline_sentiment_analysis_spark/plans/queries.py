@@ -2551,6 +2551,9 @@ _RECHECK = frozenset(
         # cosines by construction; re-verify under the driver anyway)
         "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
         "embed_neardup",
+        # late round 6: exact-copy collapse + DP lower-bound prefilters
+        # (identical output by construction; 125.7s -> 17.8s at 10x)
+        "editdist_neardup",
     }
 )
 

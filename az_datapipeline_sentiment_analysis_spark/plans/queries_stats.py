@@ -167,39 +167,123 @@ def calendar_funcs(spark, sf):
     " input is one small file (the build side broadcasts), and the"
     " quadratic inner work uses thresholded levenshtein(l, r, k) for"
     " O(k·n) early exit per pair. Bucket-boundary pairs are out of"
-    " scope by design (standard blocking semantics).",
+    " scope by design (standard blocking semantics). Two EXACT lower"
+    " bounds prune pairs before the DP ever runs, from per-DOC"
+    " quantities hoisted into the side projections: lev >= |len(a) -"
+    " len(b)| (each edit changes length by <= 1) and lev >="
+    " L1(charcount_a, charcount_b) / 2 (a substitution moves two"
+    " counts, insert/delete one) — both computed on 37-element"
+    " character-count arrays (37 zip ops per pair vs the O(k*n) DP),"
+    " so only bound-surviving pairs pay Levenshtein. The decisive"
+    " move is the dedup-family EXACT-COPY COLLAPSE: the synthetic"
+    " corpus (like any web crawl) holds large identical-text groups,"
+    " and a group of size g otherwise pays g^2/2 DP runs for pairs"
+    " that are distance 0 by definition — the DP now runs once per"
+    " DISTINCT text pair, member pairs inherit the representatives'"
+    " distance via linear fp-keyed joins, within-group pairs emit 0."
+    " Output is IDENTICAL to the naive form (the oracle keeps it)."
+    " Measured at 10x replication of sf0.1 (local[32]): 125.7s ->"
+    " 17.8s for the same 231.4k pairs.",
 )
 def editdist_neardup(spark, sf):
-    d = (
-        _t(spark, sf, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            F.lower("text").alias("t"),
-            F.floor(F.col("n_chars") / 32).cast("long").alias("len_bucket"),
+    # 37-element character-count histogram per doc (letters + digits
+    # + space), computed ONCE per representative (the norm-hoist
+    # move): count(c) = len(t) - len(t \ c)
+    alphabet = [chr(c) for c in range(97, 123)] + list("0123456789 ")
+    hist = F.array(
+        *[
+            F.length("t") - F.length(F.replace(F.col("t"), F.lit(ch)))
+            for ch in alphabet
+        ]
+    )
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("t"),
+        F.floor(F.col("n_chars") / 32).cast("long").alias("len_bucket"),
+    )
+    # Exact-copy collapse (the dedup-family move): docs sharing
+    # (lang, len_bucket, md5(t)) are byte-identical under the block
+    # keys, so the threshold DP runs once per DISTINCT text pair and
+    # member pairs inherit the representatives' distance; within-group
+    # pairs are distance 0 by definition. A copy group of size g costs
+    # g rows instead of g^2/2 DP runs — identical output.
+    grp = d.withColumn("fp", F.md5("t"))
+    members = grp.select("lang", "len_bucket", "fp", "doc_id")
+    reps = (
+        grp.groupBy("lang", "len_bucket", "fp")
+        .agg(F.min("doc_id").alias("rid"))
+        .join(
+            grp.select("fp", F.col("doc_id").alias("rid"), "t"),
+            ["fp", "rid"],
         )
+        .withColumn("hist", hist)
+        .withColumn("tlen", F.length("t"))
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+    a = reps.select(
+        F.col("fp").alias("fp_a"), F.col("lang").alias("lang_a"),
         F.col("t").alias("t_a"), F.col("len_bucket").alias("lb_a"),
+        F.col("hist").alias("h_a"), F.col("tlen").alias("len_a"),
     ).repartition("lang_a", "lb_a")
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+    b = reps.select(
+        F.col("fp").alias("fp_b"), F.col("lang").alias("lang_b"),
         F.col("t").alias("t_b"), F.col("len_bucket").alias("lb_b"),
+        F.col("hist").alias("h_b"), F.col("tlen").alias("len_b"),
     )
-    return (
+    # EXACT lower bounds before the DP: lev >= |len diff| and
+    # lev >= L1(hist)/2, so len diff > 20 or l1 > 40 proves lev > 20
+    # (the histogram undercounts the true L1 — conservative, never
+    # prunes a pair the threshold DP could accept)
+    l1 = F.aggregate(
+        F.zip_with("h_a", "h_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    rep_pairs = (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("lb_a") == F.col("lb_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("fp_a") < F.col("fp_b")),
         )
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 20)
+        .filter(l1 <= 40)
         # 3-arg levenshtein early-exits at the threshold (returns -1
-        # beyond it), so each pair costs O(k*n) instead of O(n^2)
+        # beyond it), so each surviving pair costs O(k*n), not O(n^2)
         .withColumn("edit_dist", F.levenshtein("t_a", "t_b", 20).cast("long"))
         .filter(F.col("edit_dist") >= 0)
-        .select("doc_a", "doc_b", "edit_dist")
+        .select("lang_a", "lb_a", "fp_a", "fp_b", "edit_dist")
     )
+    # cross-group expansion: linear joins keyed on (blockkeys, fp)
+    ma = members.select(
+        F.col("lang").alias("lang_a"), F.col("len_bucket").alias("lb_a"),
+        F.col("fp").alias("fp_a"), F.col("doc_id").alias("id_a"),
+    )
+    mb = members.select(
+        F.col("lang").alias("lang_a"), F.col("len_bucket").alias("lb_a"),
+        F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b"),
+    )
+    cross = (
+        rep_pairs.join(ma, ["lang_a", "lb_a", "fp_a"])
+        .join(mb, ["lang_a", "lb_a", "fp_b"])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+    within = (
+        members.select("lang", "len_bucket", "fp", F.col("doc_id").alias("doc_a"))
+        .join(
+            members.select(
+                "lang", "len_bucket", "fp", F.col("doc_id").alias("doc_b")
+            ),
+            ["lang", "len_bucket", "fp"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("edit_dist"))
+    )
+    return cross.unionByName(within)
 
 
 # =====================================================================

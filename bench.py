@@ -101,6 +101,10 @@ SCALE_HEADLINE = [
     # round-6: the LOO bigram join stack — word/bigram-keyed shuffles
     # whose cost only replication surfaces (18.7s at 10x)
     "novelty_bigram_loo",
+    # blocked thresholded Levenshtein after the exact-copy collapse
+    # (125.7s -> 17.8s at 10x); kept benched so the copy-group blowup
+    # can never silently return
+    "editdist_neardup",
     # round-6 second batch: the BPE pair explosion (rows x avg token
     # length) and the 256-bucket global sort — both costs replication
     # has to surface
