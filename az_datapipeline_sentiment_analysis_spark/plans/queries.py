@@ -2554,6 +2554,9 @@ _RECHECK = frozenset(
         # late round 6: exact-copy collapse + DP lower-bound prefilters
         # (identical output by construction; 125.7s -> 17.8s at 10x)
         "editdist_neardup",
+        # late round 6: loop-invariant contribution frame persisted
+        # once (49.2s -> 37.0s at 10x)
+        "graph_pagerank",
     }
 )
 
