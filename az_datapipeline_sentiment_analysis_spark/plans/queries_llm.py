@@ -798,3 +798,53 @@ def bpe_merge_pairs(spark, sf):
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@_q(
+    "domain_mix_temperature",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), m AS (SELECT MIN(cnt) AS m FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               ::UBIGINT % 1000000 AS DOUBLE) / 1000000
+          < sqrt(CAST(m.m AS DOUBLE) / c.cnt)
+    """,
+    "Temperature-based language rebalancing (alpha = 0.5): keep each"
+    " doc of language l with probability (cnt_l / min_cnt)^(alpha-1)"
+    " = sqrt(min/cnt) — the published multilingual sampling move"
+    " (mT5/XLM-R style) that INTERPOLATES between the raw mix"
+    " (alpha=1) and domain_mix_rebalance's full equalization"
+    " (alpha->0): high-resource languages are downsampled"
+    " sub-linearly so they still contribute more data, low-resource"
+    " ones keep everything. Deterministic md5 coin per doc (same"
+    " doc -> same verdict across runs/engines, the sample_weighted"
+    " pattern); the keep threshold is sqrt of an int64 ratio — one"
+    " correctly-rounded IEEE division + sqrt, so both engines compute"
+    " the identical double and the comparison is hash-exact. Plan:"
+    " the per-language count frame (|langs| rows) and the 1-row min"
+    " broadcast onto a map-only filter — the fact table never"
+    " shuffles; at 100 TB this is scan-speed like the equalizing"
+    " form.",
+)
+def domain_mix_temperature(spark, sf):
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    draw = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000000"
+        ).cast("double")
+        / 1000000
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            draw < F.sqrt(F.col("m").cast("double") / F.col("cnt"))
+        )
+        .select("doc_id", "lang")
+    )
