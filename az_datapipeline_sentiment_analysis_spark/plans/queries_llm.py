@@ -848,3 +848,52 @@ def domain_mix_temperature(spark, sf):
         )
         .select("doc_id", "lang")
     )
+
+
+@_q(
+    "upsample_epochs",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), m AS (SELECT MAX(cnt) AS mx FROM c)
+    SELECT d.doc_id, d.lang,
+           CAST(e.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN c ON d.lang = c.lang
+    CROSS JOIN m,
+    LATERAL unnest(generate_series(1,
+        LEAST(4, (m.mx + c.cnt - 1) // c.cnt))) AS e(epoch)
+    """,
+    "Deterministic minority oversampling — the complement of the"
+    " downsampling entries: low-resource languages are replicated"
+    " ceil(max_cnt / cnt) times (capped at 4 epochs, the published"
+    " practice bound beyond which repetition stops helping) so every"
+    " language approaches the head language's volume, and each"
+    " replica carries an explicit epoch index so shard writers and"
+    " dedup stay aware of intentional repetition. All arithmetic is"
+    " integer ((mx + cnt - 1) / cnt is exact ceil-division in int64),"
+    " so the replication factors are hash-exact across engines. Plan:"
+    " the |langs|-row count frame and 1-row max broadcast onto a"
+    " map-only explode(sequence(...)) — a controlled fan-out"
+    " projection, never a shuffle; at 100 TB output volume is the"
+    " only cost and it is bounded by 4x the input.",
+)
+def upsample_epochs(spark, sf):
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.max("cnt").alias("mx"))
+    epochs = F.least(
+        F.lit(4).cast("long"),
+        F.expr("(mx + cnt - 1) div cnt"),
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), epochs)).alias(
+                "epoch"
+            ),
+        )
+    )
