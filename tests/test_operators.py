@@ -1492,6 +1492,8 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "q2_min_cost_supplier", "bpe_merge_pairs",
         "global_shuffle_order", "stream_static_enrich",
         "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
+        "domain_mix_temperature", "upsample_epochs", "shard_manifest",
+        "k_anonymity_audit",
     ]
     for name in names:
         fn = REGISTRY[name].fn
@@ -1880,6 +1882,8 @@ def test_order_sensitive_entries_invariant_to_partitioning(spark):
     names = [
         "global_shuffle_order", "pack_sequences", "ohlc_bars",
         "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
+        "domain_mix_temperature", "upsample_epochs", "shard_manifest",
+        "k_anonymity_audit",
     ]
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)

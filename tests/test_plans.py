@@ -509,3 +509,22 @@ def test_knn_classify_broadcasts_queries_and_neighbors(spark):
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_curation_sampling_entries_never_shuffle_the_fact(spark):
+    # the sampling/accounting additions are broadcast-stats onto
+    # map-only projections (plus their own small aggregates): the
+    # documents/events scan must never hash-partition on its own rows
+    # beyond the declared aggregates, and no Python workers appear
+    for name, max_exchanges in (
+        ("domain_mix_temperature", 2),  # lang counts + 1-row min aggs
+        ("upsample_epochs", 2),         # lang counts + 1-row max aggs
+        ("shard_manifest", 1),          # the 64-group manifest agg
+        ("k_anonymity_audit", 2),       # class frame + per-type rollup
+    ):
+        plan = _formatted_plan(spark, name)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        n = len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan))
+        assert n <= max_exchanges, (name, n, plan)
