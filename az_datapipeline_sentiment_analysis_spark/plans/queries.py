@@ -2557,6 +2557,9 @@ _RECHECK = frozenset(
         # late round 6: loop-invariant contribution frame persisted
         # once (49.2s -> 37.0s at 10x)
         "graph_pagerank",
+        # late round 6: rank sums moved onto the (cohort, score)
+        # tie-group frame (identical midrank algebra)
+        "auc_by_cohort",
     }
 )
 
