@@ -771,3 +771,156 @@ def test_containment_pairs_match_set_model(spark, texts):
             if c >= 0.3:
                 exp[(a, b)] = c
     assert got == exp
+
+
+# --- AUC tie-group algebra vs a raw-row midrank model ----------------
+
+AUC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # cohort
+        st.integers(min_value=0, max_value=4),      # quantized score
+        st.booleans(),                              # label
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@SLOW_OK
+@given(rows=AUC_ROWS)
+def test_auc_tie_group_matches_midrank_model(spark, rows):
+    """The (cohort, score)-aggregated rank-sum must equal the textbook
+    raw-row midrank AUC — the synthetic gate data has near-unique
+    doubles, so heavy TIES (the part the tie-group algebra exists for)
+    are exercised here with a 5-value score domain."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(cohort=c, score=float(v), label=int(lb)) for c, v, lb in rows]
+    )
+    g = df.groupBy("cohort", "score").agg(
+        F.count("*").alias("cnt"), F.sum("label").alias("pos")
+    )
+    wp = (
+        Window.partitionBy("cohort")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    avg_rank = (
+        F.coalesce(F.sum("cnt").over(wp), F.lit(0))
+        + (F.col("cnt") + 1) / 2.0
+    )
+    agg = (
+        g.select("cohort", "cnt", "pos", avg_rank.alias("avg_rank"))
+        .groupBy("cohort")
+        .agg(
+            F.sum(F.col("pos") * F.col("avg_rank")).alias("rpos"),
+            F.sum("pos").alias("npos"),
+            (F.sum("cnt") - F.sum("pos")).alias("nneg"),
+        )
+        .collect()
+    )
+    got = {
+        r["cohort"]: (r["rpos"], r["npos"], r["nneg"]) for r in agg
+    }
+    # pure-Python midrank model on raw rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for c, v, lb in rows:
+        by_cohort[c].append((float(v), int(lb)))
+    for c, vals in by_cohort.items():
+        vals.sort()
+        n = len(vals)
+        # average rank per tied value group
+        ranks = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            for k in range(i, j):
+                ranks[k] = (i + 1 + j) / 2.0  # midrank of positions i+1..j
+            i = j
+        rpos = sum(ranks[k] for k in range(n) if vals[k][1] == 1)
+        npos = sum(lb for _, lb in vals)
+        nneg = n - npos
+        gr = got[c]
+        assert abs(gr[0] - rpos) < 1e-9 and gr[1] == npos and gr[2] == nneg, (
+            c, gr, (rpos, npos, nneg)
+        )
+
+
+# --- editdist collapse equivalence vs the naive blocked form ---------
+
+ED_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),                       # lang
+        st.sampled_from(["abcd", "abce", "abcdx", "zzzz",    # near/far texts
+                         "abcd", "qrst", "abcf"]),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@SLOW_OK
+@given(docs=ED_DOCS)
+def test_editdist_collapse_matches_naive_pairs(spark, docs):
+    """The exact-copy-collapse Levenshtein must return the IDENTICAL
+    pair set as the naive blocked form — exercised with many exact
+    copies (the collapse path) across two langs and small texts whose
+    distances straddle the threshold."""
+    import itertools
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+    import az_datapipeline_sentiment_analysis_spark.catalog as cat
+
+    rows = [
+        Row(doc_id=i, lang=lang, text=t, source="s", n_chars=len(t))
+        for i, (lang, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows)
+    orig = cat.table
+    try:
+        cat.table = lambda _s, _sf, name: df  # only documents is read
+        import az_datapipeline_sentiment_analysis_spark.plans.queries_stats as qs_mod
+
+        qs_mod._t, _saved = cat.table, qs_mod._t
+        try:
+            got = {
+                (r["doc_a"], r["doc_b"]): r["edit_dist"]
+                for r in REGISTRY["editdist_neardup"].fn(spark, "unused")
+                .collect()
+            }
+        finally:
+            qs_mod._t = _saved
+    finally:
+        cat.table = orig
+
+    def lev(a, b):
+        if a == b:
+            return 0
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    exp = {}
+    for (i, (la, ta)), (j, (lb, tb)) in itertools.combinations(
+        enumerate(docs), 2
+    ):
+        if la != lb or len(ta) // 32 != len(tb) // 32:
+            continue
+        d = lev(ta.lower(), tb.lower())
+        if d <= 20:
+            exp[(min(i, j), max(i, j))] = d
+    assert got == exp
