@@ -2560,6 +2560,10 @@ _RECHECK = frozenset(
         # late round 6: rank sums moved onto the (cohort, score)
         # tie-group frame (identical midrank algebra)
         "auc_by_cohort",
+        # late round 6: k 8192 -> 32768 (sketch_kll_merge's sizing) so
+        # the sketch stays exact at sf0.1 too — the full-registry
+        # sf0.1 sweep caught the one correctly-approximate quartile
+        "sketch_kll_quantiles",
     }
 )
 

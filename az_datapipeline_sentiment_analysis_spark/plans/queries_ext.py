@@ -884,22 +884,22 @@ def sketch_theta_distinct(spark, sf):
     "Apache DataSketches KLL quantiles of event value per type — the"
     " modern mergeable quantile sketch (tighter error/space than"
     " Greenwald-Khanna, partials merge across partitions/days). With"
-    " k=8192 the sketch retains every gate-scale group outright, so"
-    " the quartiles are exact data values matching quantile_disc; at"
-    " 100 TB the identical plan gives rank-error eps ~ 1.7%/sqrt(k)"
-    " with O(k) memory per group. The sketch is aggregated ONCE and"
-    " probed three times in a downstream project, keeping the output"
-    " flat scalar columns. Known by-design mirror divergence: at"
-    " sf0.1 the 100k-row event groups exceed k=8192 retained items,"
-    " the sketch becomes (correctly) approximate, and one quartile"
-    " lands a neighboring data value vs quantile_disc — the driver"
-    " gates at sf0.01 where retention is exact, and the pytest"
-    " ε-envelope bounds rank error above capacity.",
+    " k=32768 (the sketch_kll_merge sizing) the sketch retains every"
+    " test-scale group outright — sf0.1's 20k-row type groups"
+    " included — so the quartiles are exact data values matching"
+    " quantile_disc at ALL three verification scales (k=8192"
+    " previously went correctly-approximate at sf0.1, landing one"
+    " quartile a neighboring value off the oracle); at 100 TB the"
+    " identical plan gives rank-error eps ~ 1.7%/sqrt(k) with O(k)"
+    " memory per group, and the pytest ε-envelope bounds rank error"
+    " above capacity. The sketch is aggregated ONCE and probed three"
+    " times in a downstream project, keeping the output flat scalar"
+    " columns.",
 )
 def sketch_kll_quantiles(spark, sf):
     ev = _t(spark, sf, "events")
     sk = ev.groupBy("event_type").agg(
-        F.expr("kll_sketch_agg_double(value, 8192)").alias("_sk")
+        F.expr("kll_sketch_agg_double(value, 32768)").alias("_sk")
     )
     return sk.select(
         "event_type",
