@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -304,3 +305,53 @@ def media_features(df: DataFrame, *, dim: int = 8) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, schema=MEDIA_FEATURES_SCHEMA
     )
+
+
+def pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL PCM decode of the WAV payloads: numpy int16 sample stats.
+
+    Parses the 44-byte RIFF/WAVE header for the sample rate, then
+    reads the data chunk as little-endian int16 (odd trailing byte
+    truncated, per PCM block alignment) and reduces to integer-exact
+    per-clip statistics: sample count, duration in ms (integer
+    division), sum of absolute amplitudes, and peak amplitude. An
+    Arrow-batched mapInPandas pass — one numpy frombuffer + abs/sum
+    per clip, no Python-per-sample loops; at scale this is the
+    feature-extraction shape for any fixed-rate PCM corpus.
+    """
+    schema = (
+        "doc_id long, sample_rate long, n_samples long, "
+        "duration_ms long, sum_abs long, peak long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                raw = bytes(payload)
+                meta = parse_media_header(raw)
+                if not meta or meta.get("format") != "wav":
+                    continue
+                rate = int(meta["sample_rate"])
+                body = raw[WAV_HEADER_LEN:]
+                body = body[: len(body) - (len(body) % 2)]
+                s = np.frombuffer(body, dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        len(s),
+                        len(s) * 1000 // rate,
+                        int(np.abs(s).sum()) if len(s) else 0,
+                        int(np.abs(s).max()) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=schema)
