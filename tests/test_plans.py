@@ -30,13 +30,38 @@ from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # name -> (max Exchange nodes, min BroadcastHashJoin nodes)
+# Budgets are the audited per-query plan numbers (late round 6 extended
+# this to the FULL TPC-H set): an Exchange above budget means an extra
+# full-fact shuffle appeared; a BroadcastHashJoin below budget means a
+# hinted dimension silently fell back to a shuffle join. q2/q11/q22's
+# BroadcastNestedLoopJoins are intended one-row/stats broadcasts, so
+# those three are exempted from the no-BNLJ assertion (never from the
+# no-Cartesian one).
 PLAN_BUDGETS = {
+    "q2_min_cost_supplier": (3, 7),
     "q3_shipping_priority": (2, 2),
+    "q4_order_priority": (1, 1),
     "q5_local_supplier": (2, 5),
+    "q6_forecast_revenue": (1, 0),
+    "q7_volume_shipping": (1, 5),
     "q8_market_share": (2, 7),
+    "q9_product_profit": (1, 4),
     "q10_returned_items": (2, 3),
+    "q11_important_stock": (6, 4),
+    "q12_late_shipments": (1, 1),
+    "q13_customer_distribution": (2, 1),
+    "q14_promo_revenue": (1, 1),
+    "q15_top_supplier": (3, 2),
+    "q16_supplier_cnt": (2, 2),
+    "q17_small_qty_revenue": (2, 3),
+    "q18_large_orders": (1, 1),
+    "q19_disjunctive_revenue": (1, 1),
+    "q20_part_promotion": (2, 3),
     "q21_waiting_supplier": (4, 1),
+    "q22_global_sales": (2, 1),
 }
+# intended broadcast one-row/stats nested-loop joins
+_BNLJ_OK = {"q2_min_cost_supplier", "q11_important_stock", "q22_global_sales"}
 
 
 def _formatted_plan(spark, name: str) -> str:
@@ -61,7 +86,9 @@ def test_tpch_plan_shape(spark, name):
         f"{name}: only {n_bhj} broadcast joins (expected >= {min_broadcast}) — "
         "a hinted dimension fell back to a shuffle join\n" + plan
     )
-    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    assert "CartesianProduct" not in plan, (name, plan)
 
 
 def test_flagship_q1_single_exchange(spark):
