@@ -1493,7 +1493,8 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "global_shuffle_order", "stream_static_enrich",
         "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
         "domain_mix_temperature", "upsample_epochs", "shard_manifest",
-        "k_anonymity_audit",
+        "k_anonymity_audit", "multimodal_audio_pcm",
+        "dynamic_partition_overwrite",
     ]
     for name in names:
         fn = REGISTRY[name].fn
@@ -1883,7 +1884,8 @@ def test_order_sensitive_entries_invariant_to_partitioning(spark):
         "global_shuffle_order", "pack_sequences", "ohlc_bars",
         "knn_classify", "auc_by_cohort", "bitmap_distinct_exact",
         "domain_mix_temperature", "upsample_epochs", "shard_manifest",
-        "k_anonymity_audit",
+        "k_anonymity_audit", "multimodal_audio_pcm",
+        "dynamic_partition_overwrite",
     ]
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
