@@ -2648,3 +2648,92 @@ def auc_by_cohort(spark, sf):
         )
         .orderBy("cohort")
     )
+
+
+# =====================================================================
+# Higher-order MAP lambdas (the map half of the Catalyst lambda surface)
+# =====================================================================
+
+@_q(
+    "map_lambda_funcs",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             SUM(CAST(round(value * 1000000) AS BIGINT)) AS s_micro
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_freq_types,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN s_micro END)
+                // MAX(CASE WHEN event_type = 'click' THEN n END)
+                AS BIGINT) AS click_avg_micro,
+           array_to_string(list_sort(list(upper(event_type))), ',')
+             AS types_upper
+    FROM b GROUP BY user_id
+    """,
+    "Higher-order MAP lambdas — the map half of the Catalyst lambda"
+    " surface (array_lambda_funcs covers the array half): per-user"
+    " event profiles built as map<type, count> / map<type, sum> via"
+    " map_from_entries over sorted entry structs, then reduced with"
+    " map_filter (frequent types), map_zip_with (per-type averages ="
+    " sums-map zipped with counts-map), transform_keys (case"
+    " normalization), map_keys and element_at — all JVM-side Catalyst"
+    " expressions, no Python. Outputs are FLAT scalars (the round-3"
+    " lesson: array/map-typed outputs break the driver canonicalizer),"
+    " so the oracle is conventional conditional aggregation. Plan: one"
+    " (user, type) hash aggregate then a per-user rollup — the maps"
+    " live only inside the second aggregate's projection, bounded by"
+    " |types| entries per user. Averages are integer micro-units end"
+    " to end (agg_decimal_exact's move): per-row int64 quantization"
+    " before summing makes the sums exact and order-free and the"
+    " per-type average a floor division — two float formulations both"
+    " landed summation-order ulps exactly on a ROUND render boundary"
+    " at one scale or another, which no post-hoc rounding fixes."
+    " (value is nonnegative in the fixtures; signed data would need"
+    " the floor-vs-truncate division convention pinned explicitly.)",
+)
+def map_lambda_funcs(spark, sf):
+    e = _t(spark, sf, "events")
+    # integer micro-units end to end (the agg_decimal_exact move):
+    # each row's value quantizes to an int64 micro-amount BEFORE any
+    # aggregation, so the per-type sums are exact and order-free and
+    # the per-type average is an integer division — two float forms
+    # (raw, and 6-decimal-prequantized) both landed summation-order
+    # ulps exactly on a ROUND boundary at one scale or another
+    b = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("value") * 1000000).cast("long")
+        ).alias("s"),
+    )
+    per_user = b.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sums"),
+    )
+    avg_map = F.map_zip_with(
+        "counts", "sums", lambda k, c, s: s.cast("long") / c
+    )
+    return per_user.select(
+        "user_id",
+        F.size("counts").cast("long").alias("n_types"),
+        F.size(
+            F.map_filter("counts", lambda k, v: v >= 10)
+        ).cast("long").alias("n_freq_types"),
+        F.floor(F.element_at(avg_map, F.lit("click")))
+        .cast("long")
+        .alias("click_avg_micro"),
+        F.array_join(
+            F.array_sort(
+                F.map_keys(
+                    F.transform_keys("counts", lambda k, v: F.upper(k))
+                )
+            ),
+            ",",
+        ).alias("types_upper"),
+    )
