@@ -1495,6 +1495,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "domain_mix_temperature", "upsample_epochs", "shard_manifest",
         "k_anonymity_audit", "multimodal_audio_pcm",
         "dynamic_partition_overwrite", "map_lambda_funcs",
+        "collation_funcs",
     ]
     for name in names:
         fn = REGISTRY[name].fn
@@ -1886,6 +1887,7 @@ def test_order_sensitive_entries_invariant_to_partitioning(spark):
         "domain_mix_temperature", "upsample_epochs", "shard_manifest",
         "k_anonymity_audit", "multimodal_audio_pcm",
         "dynamic_partition_overwrite", "map_lambda_funcs",
+        "collation_funcs",
     ]
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
