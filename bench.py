@@ -170,6 +170,10 @@ HEADLINE = [
     "global_shuffle_order",
     # exact distinct-from-partials (bitmap agg class)
     "bitmap_distinct_exact",
+    # late round-6: the map-lambda rollup and the collation-aware
+    # distinct aggregates (two distinct-aggs over the token stream)
+    "map_lambda_funcs",
+    "collation_funcs",
 ]
 
 
