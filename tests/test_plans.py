@@ -433,6 +433,10 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # neighbor outranks the node, so list length is capped by
         # ~sqrt(2m) — bounded by graph structure, not row volume
         "graph_triangles",
+        # map_from_entries over the (user, type) POST-AGGREGATE frame:
+        # the collected entry list is bounded by |event_type| (5) per
+        # user, not row volume
+        "map_lambda_funcs",
     }
     offenders, oha_unlisted, cartesian = {}, {}, {}
     for name, entry in REGISTRY.items():
