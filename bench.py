@@ -110,6 +110,11 @@ SCALE_HEADLINE = [
     # has to surface
     "bpe_merge_pairs",
     "global_shuffle_order",
+    # round-6 third batch: the CMS exact-count double pass (two
+    # event-key shuffles) and the triple full-text regex scan — the
+    # two costs of the metrics family that replication surfaces
+    "sketch_cms",
+    "readability_flesch",
 ]
 
 HEADLINE = [
@@ -174,6 +179,12 @@ HEADLINE = [
     # distinct aggregates (two distinct-aggs over the token stream)
     "map_lambda_funcs",
     "collation_funcs",
+    # round-6 third batch (population metrics): the CMS double-pass
+    # over events, the distinct-duration KM windows, and the fused
+    # triple-regex readability scan
+    "sketch_cms",
+    "survival_km",
+    "readability_flesch",
 ]
 
 

@@ -559,3 +559,33 @@ def test_curation_sampling_entries_never_shuffle_the_fact(spark):
         assert "CartesianProduct" not in plan, (name, plan)
         n = len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan))
         assert n <= max_exchanges, (name, n, plan)
+
+
+def test_metrics_family_windows_stay_value_bounded(spark):
+    # round-6 third batch (queries_metrics): every window must run on
+    # a value-domain-bounded frame, so no plan may exceed its audited
+    # exchange budget, the CMS probe join must broadcast the 8192-cell
+    # sketch, and the one single-partition window (apportion_quota)
+    # is tolerated only because its input is the #sources aggregate
+    for name, max_exchanges, min_bhj in (
+        ("sketch_cms", 3, 1),       # key agg, cell agg, probe re-agg
+        ("gini_by_group", 2, 0),    # (seg,v) agg + seg window/agg
+        ("survival_km", 3, 0),      # user agg, (cohort,dur) agg, window
+        ("apportion_quota", 2, 0),  # source agg + tiny global windows
+        ("readability_flesch", 0, 0),  # zero-shuffle map
+    ):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n - plan.count("SinglePartition") <= max_exchanges, (
+            name, n, plan,
+        )
+        bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+        assert bhj >= min_bhj, (name, bhj, plan)
+    # apportion_quota's global windows are the ONLY tolerated
+    # single-partition exchanges in the family, and gini/survival must
+    # never plan one (their windows are keyed by segment/cohort)
+    for name in ("gini_by_group", "survival_km", "sketch_cms",
+                 "readability_flesch"):
+        assert "SinglePartition" not in _formatted_plan(spark, name), name
