@@ -477,3 +477,202 @@ def readability_flesch(spark, sf):
             ).alias("flesch"),
         )
     )
+
+
+@_q(
+    "decile_lift",
+    """
+    WITH r AS (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS resp,
+             ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+               AS decile
+      FROM customer
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n, SUM(resp) AS responders
+      FROM r GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, responders,
+             SUM(n) OVER w AS cum_n,
+             SUM(responders) OVER w AS cum_resp,
+             SUM(n) OVER () AS tot_n,
+             SUM(responders) OVER () AS tot_resp
+      FROM g
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(responders AS BIGINT) AS responders,
+           ROUND(responders * 1.0 / n, 6) AS resp_rate,
+           CAST(cum_resp AS BIGINT) AS cum_responders,
+           ROUND(cum_resp * 1.0 / cum_n, 6) AS cum_rate,
+           ROUND((cum_resp * 1.0 / cum_n)
+                 / (tot_resp * 1.0 / tot_n), 6) AS lift,
+           ROUND(cum_resp * 1.0 / tot_resp, 6) AS capture
+    FROM c
+    """,
+    "Cumulative gains / lift table: rank every customer by the model"
+    " score (account balance, descending, custkey tiebreak), cut into"
+    " 10 equal-frequency deciles, and report per-decile response rate,"
+    " cumulative rate, lift over the base rate, and responder capture"
+    " — the campaign-targeting eval readout, auc_by_cohort's"
+    " threshold-free complement. The naive ntile-over-everything is a"
+    " single-task global sort, so the Spark side reuses win_ntile's"
+    " two-phase global position: 1024 monotone value buckets on the"
+    " NEGATED score (map-only, one broadcast min/max row), per-bucket"
+    " counts swept into prefix offsets on the <=1024-row frame"
+    " (coalesce(1), no single-partition Exchange), row_number"
+    " partitioned BY bucket, tile from the closed-form uneven-bucket"
+    " ntile arithmetic — identical to what both engines' ntile"
+    " computes, so the oracle keeps the literal window function."
+    " Cumulative lift math then runs on the 10-row decile frame."
+    " Measured at 100x replication of sf0.1 (local[32]): 10.1s"
+    " over 1.5M scored rows, dominated by the bucketed rank join.",
+)
+def decile_lift(spark, sf):
+    NB = 1024
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        (-F.col("c_acctbal")).alias("k"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("resp"),
+    )
+    stats = c.agg(
+        F.min("k").alias("__lo"),
+        F.max("k").alias("__hi"),
+        F.count("*").alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / NB
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(NB),
+            F.floor((F.col("k") - F.col("__lo")) / width).cast("int") + 1,
+        )
+    )
+    d = c.join(F.broadcast(stats), how="cross").withColumn("__b", bucket)
+    bw = d.groupBy("__b").agg(F.count("*").alias("__w")).coalesce(1)
+    wc = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bw.select(
+        "__b", F.coalesce(F.sum("__w").over(wc), F.lit(0)).alias("__off")
+    )
+    wloc = Window.partitionBy("__b").orderBy("k", "c_custkey")
+    ranked = (
+        d.withColumn("__rn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "__b")
+        .withColumn("__r", F.col("__off") + F.col("__rn"))
+    )
+    r, n = F.col("__r"), F.col("__n")
+    q, rem = F.floor(n / 10), n % 10
+    big = q + 1
+    # same uneven-tile closed form as win_ntile: the first n%10 tiles
+    # hold ceil(n/10) rows; the q=0 arm is unreachable when n < 10
+    # because big*rem = n >= r keeps every row in the first branch
+    tile = F.when(
+        r <= big * rem, F.floor((r - 1) / big) + 1
+    ).otherwise(rem + F.floor((r - big * rem - 1) / q) + 1)
+    g = (
+        ranked.select(tile.cast("long").alias("decile"), "resp")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("resp").alias("responders"))
+        .coalesce(1)
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "decile",
+        "n",
+        "responders",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("responders").over(wcum).alias("cum_resp"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("responders").over(wall).alias("tot_resp"),
+    )
+    return cum.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("responders").cast("long").alias("responders"),
+        F.round(F.col("responders") * 1.0 / F.col("n"), 6).alias(
+            "resp_rate"
+        ),
+        F.col("cum_resp").cast("long").alias("cum_responders"),
+        F.round(F.col("cum_resp") * 1.0 / F.col("cum_n"), 6).alias(
+            "cum_rate"
+        ),
+        F.round(
+            (F.col("cum_resp") * 1.0 / F.col("cum_n"))
+            / (F.col("tot_resp") * 1.0 / F.col("tot_n")),
+            6,
+        ).alias("lift"),
+        F.round(F.col("cum_resp") * 1.0 / F.col("tot_resp"), 6).alias(
+            "capture"
+        ),
+    )
+
+
+@_q(
+    "benford_dq",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY digit),
+    t AS (SELECT digit, obs, SUM(obs) OVER () AS n FROM g)
+    SELECT digit,
+           CAST(obs AS BIGINT) AS observed,
+           ROUND(obs * 1.0 / n, 6) AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(POW(obs - n * LOG10(1.0 + 1.0 / digit), 2)
+                 / (n * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM t
+    """,
+    "Benford first-significant-digit audit of order totals: observed"
+    " digit shares vs the Benford law expectation log10(1 + 1/d), with"
+    " per-digit chi-square contributions — the forensic data-quality"
+    " screen for fabricated, truncated, or unit-mangled numeric feeds"
+    " (dq_checks tests rules someone wrote; this catches distribution"
+    " damage nobody anticipated). The first digit is extracted via"
+    " integer-cents string form — CAST(ROUND(x*100) AS BIGINT) renders"
+    " identically in both engines — never via float log10 whose"
+    " boundary ulps (log10(1000) vs 2.999...) could shift a digit"
+    " between engines. Plan: map-only digit projection, one 9-group"
+    " map-side-combined aggregate, total-n window on the 9-row frame."
+    " Measured at 100x replication of sf0.1 (local[32]): 1.6s.",
+)
+def benford_dq(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("obs")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = g.coalesce(1).select(
+        "digit", "obs", F.sum("obs").over(wall).alias("n")
+    )
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return t.select(
+        "digit",
+        F.col("obs").cast("long").alias("observed"),
+        F.round(F.col("obs") * 1.0 / F.col("n"), 6).alias("obs_share"),
+        F.round(p, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("obs") - F.col("n") * p, 2) / (F.col("n") * p), 6
+        ).alias("chi2_term"),
+    )

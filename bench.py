@@ -185,6 +185,10 @@ HEADLINE = [
     "sketch_cms",
     "survival_km",
     "readability_flesch",
+    # the two-phase lift table (bucketed rank-join class) and the
+    # integer-digit Benford audit (map + tiny-agg class)
+    "decile_lift",
+    "benford_dq",
 ]
 
 

@@ -589,3 +589,21 @@ def test_metrics_family_windows_stay_value_bounded(spark):
     for name in ("gini_by_group", "survival_km", "sketch_cms",
                  "readability_flesch"):
         assert "SinglePartition" not in _formatted_plan(spark, name), name
+
+
+def test_decile_lift_two_phase_rank_and_benford_map_only(spark):
+    # decile_lift must keep win_ntile's two-phase shape: NO literal
+    # ntile window (that's the one-task global sort), the fact-side
+    # row_number partitioned by the value bucket, and single-partition
+    # exchanges confined to the <=1024-row offset / 10-row decile
+    # frames (same two win_ntile's plan carries)
+    plan = _formatted_plan(spark, "decile_lift")
+    assert "ntile(" not in plan, plan
+    assert "hashpartitioning(__b" in plan, plan
+    assert plan.count("Arguments: SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # benford: one 9-group aggregate shuffle, nothing else
+    plan = _formatted_plan(spark, "benford_dq")
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 1, plan
+    assert "SinglePartition" not in plan, plan
