@@ -356,6 +356,94 @@ def stream_stream_join(spark, sf):
 
 
 @_q(
+    "stream_stream_left_join",
+    """
+    WITH a AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT (LEAST((SELECT MAX(epoch_us(ts)) FROM a),
+                    (SELECT MAX(epoch_us(ts)) FROM b))
+              // 1000 - 86400000) * 1000 AS wm_us
+    ),
+    m AS (
+      SELECT a.click_id, b.purchase_id, a.user_id,
+             CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delay_ms
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+    )
+    SELECT click_id, purchase_id, user_id, delay_ms FROM m
+    UNION ALL
+    SELECT a.click_id, CAST(NULL AS BIGINT) AS purchase_id, a.user_id,
+           CAST(NULL AS BIGINT) AS delay_ms
+    FROM a, wm
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = a.click_id)
+      AND epoch_us(a.ts) + 7200000000 < wm.wm_us
+    """,
+    "Watermarked LEFT OUTER stream-stream join: stream_stream_join's"
+    " click->purchase attribution, but clicks that never convert"
+    " within the 2h window are ALSO emitted (null purchase) once the"
+    " watermark proves no future purchase can match — the abandoned-"
+    " funnel feed an unconverted-click remarketing pipeline consumes,"
+    " impossible to build from the inner join alone. Outer-null"
+    " emission is WATERMARK-GATED: a click emits null only when"
+    " ts_click + 2h falls behind the global watermark"
+    " (min(max_click_ts, max_purchase_ts) - 24h, ms-truncated exactly"
+    " as Spark's EventTimeWatermark tracks it), so clicks near the"
+    " backlog's end stay buffered — the oracle reproduces that"
+    " eviction rule literally, making even the held-back set"
+    " hash-checked. State is finite at 100 TB for the same reason as"
+    " the inner form: each side buffers only rows younger than"
+    " watermark + interval, keyed by user_id across executors."
+    " Drained AvailableNow (the final no-data micro-batch flushes"
+    " evictions), append mode.",
+)
+def stream_stream_left_join(spark, sf):
+    staged = _staged_events(spark, sf, doubled=False)
+    a = (
+        stream.stream_events(spark, staged)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("uid_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "24 hours")
+    )
+    b = (
+        stream.stream_events(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("uid_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "24 hours")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "uid_a = uid_b AND ts_b > ts_a"
+            " AND ts_b <= ts_a + interval 120 minutes"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("uid_a").alias("user_id"),
+        (F.unix_millis("ts_b") - F.unix_millis("ts_a"))
+        .cast("long")
+        .alias("delay_ms"),
+    )
+    return _drain(joined, spark, mode="append")
+
+
+@_q(
     "stream_ohlc_bars",
     """
     SELECT date_trunc('hour', ts) AS window_start,

@@ -263,3 +263,59 @@ def test_stream_psi_drift_counts_and_total(spark):
     for r in rows:
         assert r.psi_total == total_units / 10000.0
     assert rows and rows[0].psi_total >= 0.0
+
+
+def test_stream_stream_left_join_watermark_gated_nulls(spark):
+    """The left-outer stream-stream join must (a) emit every inner
+    pair, (b) emit null-purchase rows ONLY for clicks whose 2h match
+    window fell behind the final watermark (min of both sides' max
+    event time - 24h), and (c) hold back every other unmatched click —
+    the eviction rule the oracle reproduces literally."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["stream_stream_left_join"].fn(spark, sf).toPandas()
+    inner = got[got["purchase_id"].notna()]
+    outer = got[got["purchase_id"].isna()]
+    assert len(inner) > 0 and len(outer) > 0
+
+    from az_datapipeline_sentiment_analysis_spark.catalog import table as _ct
+
+    ev = _ct(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ts_b"),
+        F.col("user_id").alias("u2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("u") == F.col("u2"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("interval 120 minutes")),
+    )
+    want_inner = {
+        (r.click_id, r.purchase_id) for r in pairs.collect()
+    }
+    assert {
+        (int(r.click_id), int(r.purchase_id)) for _, r in inner.iterrows()
+    } == want_inner
+
+    # the watermark eviction rule, in Spark's own ms-truncated units
+    mx = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.unix_millis("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))).alias("mp"),
+    ).collect()[0]
+    wm_ms = min(mx.mc, mx.mp) - 24 * 3600 * 1000
+    matched_ids = {c for c, _ in want_inner}
+    evictable = {
+        r.click_id
+        for r in a.collect()
+        if r.click_id not in matched_ids
+        and int(r.ts_a.timestamp() * 1000) + 7200000 < wm_ms
+    }
+    assert {int(r.click_id) for _, r in outer.iterrows()} == evictable
