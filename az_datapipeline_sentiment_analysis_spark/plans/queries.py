@@ -2584,36 +2584,45 @@ _DRIVER_GREEN_R5 = frozenset(
 # driver's own 50-slot window too.
 _RECHECK = frozenset(
     {
+        # SEMANTIC rechecks — the round-6 change touched the oracle or
+        # the result-producing arithmetic, so a fresh driver row is
+        # non-negotiable: win_ntile's two-phase rewrite, the truncated-
+        # second oracle arithmetic (interval_overlap_join /
+        # session_paths_topk / sessionize_events), the quantile-engine
+        # broadcast swap behind the agg family, and the KLL k-bump
+        # that changed a quartile from approximate to exact.
         "win_ntile", "interval_overlap_join", "session_paths_topk",
         "quantile_bucketing", "agg_stats", "agg_median",
-        "iqr_outlier_filter", "anomaly_mad", "weighted_median",
-        "fulfillment_latency",
-        # oracle switched to truncated-second gap arithmetic (same
-        # lesson as interval_overlap_join) — Spark side unchanged
+        "iqr_outlier_filter", "anomaly_mad",
         "sessionize_events",
-        # late round 6: per-side norm hoist in brute-force top-k, the
-        # LSH/IVF re-ranks, and embed_neardup (bit-identical rounded
-        # cosines by construction; re-verify under the driver anyway)
-        "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
-        "embed_neardup",
-        # late round 6: exact-copy collapse + DP lower-bound prefilters
-        # (identical output by construction; 125.7s -> 17.8s at 10x)
-        "editdist_neardup",
-        # late round 6: loop-invariant contribution frame persisted
-        # once (49.2s -> 37.0s at 10x)
-        "graph_pagerank",
-        # late round 6: rank sums moved onto the (cohort, score)
-        # tie-group frame (identical midrank algebra)
-        "auc_by_cohort",
-        # late round 6: k 8192 -> 32768 (sketch_kll_merge's sizing) so
-        # the sketch stays exact at sf0.1 too — the full-registry
-        # sf0.1 sweep caught the one correctly-approximate quartile
         "sketch_kll_quantiles",
     }
 )
 
+# PERF-ONLY rechecks — round-6 rewrites that are bit-identical by
+# construction (norm hoists, exact-copy collapse, loop-invariant
+# persist, tie-group rank algebra, broadcast-side swaps on unchanged
+# math), each re-proved by the strict mirror after the change. They
+# still deserve a fresh driver row, but AFTER the never-checked
+# entries: round 6 added 40 queries with no driver row at all, and
+# 20 rechecks + 40 first-checks don't fit one 50-slot window — a
+# first driver signal on a new operator outranks a second signal on a
+# mirror-reproved rewrite (VERDICT r5 #3's staleness logic, applied
+# to the overflow).
+_RECHECK_PERF_ONLY = frozenset(
+    {
+        "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
+        "embed_neardup",
+        "editdist_neardup",
+        "graph_pagerank",
+        "auc_by_cohort",
+        "weighted_median",
+        "fulfillment_latency",
+    }
+)
 
-def _gate_priority(name: str) -> int:
+
+def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
 
@@ -2627,7 +2636,9 @@ def _gate_priority(name: str) -> int:
     round (e.g. q1/scan_parquet/filter_flag are in both R1 and R5).
     """
     if name in _RECHECK:
-        return 0  # changed this round — re-verify first
+        return 0  # semantics changed this round — re-verify first
+    if name in _RECHECK_PERF_ONLY:
+        return 1.5  # bit-identical rewrite — recheck after first-checks
     if name in _DRIVER_GREEN_R5:
         return 7
     if name in _DRIVER_GREEN_R4:
