@@ -193,6 +193,10 @@ HEADLINE = [
     "decile_lift",
     "benford_dq",
     "bootstrap_ci",
+    # round-6 fourth batch: the anti-join negative-pair generator and
+    # the two-level hierarchy share rollup
+    "negative_sampling",
+    "share_of_parent",
 ]
 
 

@@ -621,3 +621,24 @@ def test_bootstrap_ci_one_weighted_pass(spark):
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= 3, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
+
+
+def test_sampling_split_hierarchy_decay_shapes(spark):
+    # round-6 fourth batch: negative_sampling's only BNLJ is the
+    # broadcast one-row part count and its anti-join stays co-keyed;
+    # dataset_split_time must be a zero-shuffle pushed-predicate map;
+    # share_of_parent aggregates once and windows on the 25-row frame;
+    # time_decayed_score collapses to the (type x age) cell frame
+    for name, max_ex in (
+        ("negative_sampling", 4),
+        ("dataset_split_time", 0),
+        ("share_of_parent", 2),
+        ("time_decayed_score", 3),
+    ):
+        plan = _formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n <= max_ex, (name, n, plan)
+    plan = _formatted_plan(spark, "dataset_split_time")
+    assert "PushedFilters: []" not in plan, plan
