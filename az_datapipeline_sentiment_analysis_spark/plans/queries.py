@@ -2592,8 +2592,7 @@ _RECHECK = frozenset(
         # broadcast swap behind the agg family, and the KLL k-bump
         # that changed a quartile from approximate to exact.
         "win_ntile", "interval_overlap_join", "session_paths_topk",
-        "quantile_bucketing", "agg_stats", "agg_median",
-        "iqr_outlier_filter", "anomaly_mad",
+        "quantile_bucketing",
         "sessionize_events",
         "sketch_kll_quantiles",
     }
@@ -2611,6 +2610,10 @@ _RECHECK = frozenset(
 # to the overflow).
 _RECHECK_PERF_ONLY = frozenset(
     {
+        # the quantile-engine broadcast swap is bit-identical math;
+        # quantile_bucketing stays in the semantic tier as the
+        # family's driver-checked representative
+        "agg_stats", "agg_median", "iqr_outlier_filter", "anomaly_mad",
         "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
         "embed_neardup",
         "editdist_neardup",
