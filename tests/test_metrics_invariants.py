@@ -1,0 +1,147 @@
+"""Semantic invariants of the round-6 metrics/eval/sampling entries.
+
+The oracle-parity suite proves Spark == DuckDB on the same arithmetic;
+these tests pin the MATHEMATICAL guarantees each operator advertises —
+the properties a user relies on that a matching-but-wrong twin pair
+could both violate (the estimator lower bound, the budget identity,
+the monotone curve). Real data (sf0.001 / sf0.01), pure-pandas models.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+SF1 = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+
+
+def test_cms_overcount_guarantee_holds_for_every_key():
+    # the count-min bound est >= true must hold for ALL keys, not just
+    # the %7 probe set the registry entry emits — checked with the
+    # same integer hash arithmetic over the full key domain
+    est = duckdb.sql(
+        f"""
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS cnt
+          FROM '{SF2}/events.parquet' GROUP BY user_id
+        ),
+        k AS (
+          SELECT user_id, cnt, d,
+                 ((a * user_id + b) % 2147483647) % 2048 AS bucket
+          FROM c CROSS JOIN (VALUES (0, 1299721, 577), (1, 1299817, 1021),
+                                    (2, 1300033, 2027), (3, 1300109, 3049))
+                            h(d, a, b)
+        ),
+        s AS (SELECT d, bucket, SUM(cnt) AS bc FROM k GROUP BY d, bucket)
+        SELECT k.user_id, MAX(k.cnt) AS true_cnt, MIN(s.bc) AS cms_est
+        FROM k JOIN s USING (d, bucket) GROUP BY k.user_id
+        """
+    ).fetchdf()
+    assert (est["cms_est"] >= est["true_cnt"]).all()
+
+
+@pytest.mark.parametrize("sf", [SF1, SF2])
+def test_survival_km_curve_invariants(spark, sf):
+    km = REGISTRY["survival_km"].fn(spark, sf).toPandas()
+    assert ((km["survival"] > 0) | (km["survival"] == 0)).all()
+    assert (km["survival"] <= 1.0).all()
+    assert (km["d_events"] >= 1).all()
+    assert (km["n_risk"] >= km["d_events"]).all()
+    for _, g in km.sort_values("dur_h").groupby("cohort"):
+        # survival is non-increasing and at-risk strictly decreasing
+        # along each cohort's event times
+        assert (g["survival"].diff().dropna() <= 1e-12).all(), g
+        assert (g["n_risk"].diff().dropna() < 0).all(), g
+
+
+@pytest.mark.parametrize("sf", [SF1, SF2, "/root/testdata/sf0.1"])
+def test_apportion_quota_budget_identity(spark, sf):
+    q = REGISTRY["apportion_quota"].fn(spark, sf).toPandas()
+    assert int(q["quota"].sum()) == 100000
+    # largest-remainder quotas never stray more than one unit from the
+    # exact proportional share (the Hamilton-method guarantee)
+    tot = q["weight"].sum()
+    exact = q["weight"] * 100000 / tot
+    assert ((q["quota"] - exact).abs() < 1.0).all()
+
+
+def test_gini_matches_sorted_rank_model(spark):
+    g = (
+        REGISTRY["gini_by_group"].fn(spark, SF2).toPandas()
+        .set_index("c_mktsegment")
+    )
+    raw = pd.read_parquet(f"{SF2}/customer.parquet")
+    raw = raw[raw["c_acctbal"] >= 0]
+    for seg, grp in raw.groupby("c_mktsegment"):
+        xs = sorted(grp["c_acctbal"])
+        n = len(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        model = 2.0 * s / (n * sum(xs)) - (n + 1.0) / n
+        assert abs(g.loc[seg, "gini"] - model) < 1e-6, seg
+        assert 0.0 <= g.loc[seg, "gini"] < 1.0
+
+
+def test_decile_lift_gains_invariants(spark):
+    lt = REGISTRY["decile_lift"].fn(spark, SF2).toPandas().sort_values(
+        "decile"
+    )
+    raw = pd.read_parquet(f"{SF2}/customer.parquet")
+    assert int(lt["n"].sum()) == len(raw)
+    assert lt["n"].max() - lt["n"].min() <= 1  # equal-frequency tiles
+    assert (lt["capture"].diff().dropna() >= 0).all()  # gains monotone
+    overall = (raw["c_mktsegment"] == "BUILDING").mean()
+    assert abs(lt["cum_rate"].iloc[-1] - overall) < 1e-6
+    assert abs(lt["lift"].iloc[-1] - 1.0) < 1e-6
+    assert abs(lt["capture"].iloc[-1] - 1.0) < 1e-6
+
+
+def test_bootstrap_ci_brackets_the_sample_mean(spark):
+    ci = REGISTRY["bootstrap_ci"].fn(spark, SF2).toPandas().iloc[0]
+    assert ci["lo95"] <= ci["hi95"]
+    # with 64 replicates of the same sample, the point mean sits inside
+    # the percentile interval (deterministic for the fixed coins)
+    assert ci["lo95"] <= ci["mean"] <= ci["hi95"]
+    raw = pd.read_parquet(f"{SF2}/orders.parquet")
+    assert int(ci["n"]) == len(raw)
+    assert abs(ci["mean"] - round(raw["o_totalprice"].mean(), 4)) < 0.01
+
+
+def test_negative_sampling_emits_only_true_negatives(spark):
+    neg = REGISTRY["negative_sampling"].fn(spark, SF1).toPandas()
+    orders = pd.read_parquet(f"{SF1}/orders.parquet")
+    items = pd.read_parquet(f"{SF1}/lineitem.parquet")
+    pos = set(
+        orders.merge(
+            items, left_on="o_orderkey", right_on="l_orderkey"
+        )[["o_custkey", "l_partkey"]].itertuples(index=False, name=None)
+    )
+    emitted = set(
+        neg[["c_custkey", "neg_partkey"]].itertuples(index=False, name=None)
+    )
+    assert not (emitted & pos)
+    assert neg.groupby("c_custkey").size().max() <= 4
+    nparts = len(pd.read_parquet(f"{SF1}/part.parquet"))
+    assert neg["neg_partkey"].between(0, nparts - 1).all()
+    # determinism: a second run emits the identical pair set
+    again = REGISTRY["negative_sampling"].fn(spark, SF1).toPandas()
+    assert emitted == set(
+        again[["c_custkey", "neg_partkey"]].itertuples(index=False, name=None)
+    )
+
+
+def test_time_decay_bounds_and_split_embargo(spark):
+    d = REGISTRY["time_decayed_score"].fn(spark, SF2).toPandas()
+    assert (d["decayed_count"] > 0).all()
+    assert (d["decayed_count"] <= d["n"]).all()  # weights <= 1
+    sp = REGISTRY["dataset_split_time"].fn(spark, SF2).toPandas()
+    cut = pd.Timestamp("2024-01-22")
+    resume = pd.Timestamp("2024-01-24")
+    assert (sp.loc[sp["split"] == "train", "ts"] < cut).all()
+    assert (sp.loc[sp["split"] == "test", "ts"] >= resume).all()
+    raw = pd.read_parquet(f"{SF2}/events.parquet")
+    gap = ((raw["ts"] >= cut) & (raw["ts"] < resume)).sum()
+    assert len(sp) == len(raw) - gap and gap > 0
