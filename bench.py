@@ -197,6 +197,9 @@ HEADLINE = [
     # the two-level hierarchy share rollup
     "negative_sampling",
     "share_of_parent",
+    # the (source, bigram) distinct shuffle — the diversity metric's
+    # honest cost class
+    "distinct_ngram_ratio",
 ]
 
 

@@ -642,3 +642,18 @@ def test_sampling_split_hierarchy_decay_shapes(spark):
         assert n <= max_ex, (name, n, plan)
     plan = _formatted_plan(spark, "dataset_split_time")
     assert "PushedFilters: []" not in plan, plan
+
+
+def test_diversity_and_calibration_shapes(spark):
+    # distinct_ngram_ratio: map-only bigram zip, the two exchanges are
+    # the (source, bigram) distinct partials and the source rollup —
+    # a positional self-join appearing means the zero-join zip
+    # regressed; calibration_ece: broadcast one-row stats, one
+    # 10-group aggregate, SinglePartition confined to the 10-row frame
+    plan = _formatted_plan(spark, "distinct_ngram_ratio")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+    plan = _formatted_plan(spark, "calibration_ece")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert plan.count("Arguments: SinglePartition") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
