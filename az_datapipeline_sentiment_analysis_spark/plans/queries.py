@@ -2591,7 +2591,7 @@ _RECHECK = frozenset(
         # session_paths_topk / sessionize_events), the quantile-engine
         # broadcast swap behind the agg family, and the KLL k-bump
         # that changed a quartile from approximate to exact.
-        "win_ntile", "interval_overlap_join", "session_paths_topk",
+        "win_ntile", "interval_overlap_join",
         "quantile_bucketing",
     }
 )
@@ -2617,6 +2617,10 @@ _RECHECK_PERF_ONLY = frozenset(
         # constant — both re-proved by the three-scale mirror sweep,
         # so their re-rows yield to first-checks in the full window
         "sessionize_events", "sketch_kll_quantiles",
+        # oracle gap-rule + event-cap change, mirror-reproved 3x and
+        # property-tested (test_session_paths_cap_bounds_botlike_
+        # sessions); yields its re-row to the last first-check
+        "session_paths_topk",
         "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
         "embed_neardup",
         "editdist_neardup",

@@ -751,3 +751,56 @@ def funnel_time_to_convert(spark, sf):
         .cast("long")
         .alias("conv_ms"),
     )
+
+
+@_q(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+           ROUND(CAST(cents AS DOUBLE) / n / 100, 4) AS avg_price
+    FROM (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               AS cents
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag, l_linestatus
+    ) WHERE n > 0
+    """,
+    "The Spark-4 SQL PIPE syntax surface (FROM ... |> WHERE"
+    " |> AGGREGATE ... GROUP BY |> WHERE |> SELECT): the linear"
+    " query-building dialect Spark 4 adopted from the published"
+    " pipe-SQL proposal, where each |> stage consumes the previous"
+    " one's rows — the readability layer teams migrating from"
+    " dataframe-style pipelines onto SQL actually use. The stages"
+    " compile to the SAME Catalyst plan as the nested-subquery"
+    " classic form (the oracle): one scan with the quantity filter"
+    " pushed down, one map-side-combined (flag, status) aggregate,"
+    " a post-aggregation filter, a computed projection — so this"
+    " entry proves dialect equivalence end to end, values included"
+    " (integer-cents sums, explicit DOUBLE casts — a bare 1.0 literal"
+    " is DECIMAL in Spark SQL and would widen every ratio to a"
+    " decimal the oracle renders as float). The"
+    " pipe query runs against a temp view registered from the"
+    " catalog-normalized scan.",
+)
+def sql_pipe_syntax(spark, sf):
+    _t(spark, sf, "lineitem").createOrReplaceTempView(
+        "sg_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM sg_pipe_lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE COUNT(*) AS n,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               AS cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 0
+        |> SELECT l_returnflag, l_linestatus,
+             CAST(n AS BIGINT) AS n,
+             ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+             ROUND(CAST(cents AS DOUBLE) / n / 100, 4) AS avg_price
+        """
+    )
