@@ -1496,6 +1496,15 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "k_anonymity_audit", "multimodal_audio_pcm",
         "dynamic_partition_overwrite", "map_lambda_funcs",
         "collation_funcs",
+        # round-6 third/fourth batches (population metrics, sampling,
+        # diversity, streaming left join staging, the pipe dialect's
+        # temp view — rerunning catches any view-name collision)
+        "sketch_cms", "gini_by_group", "survival_km",
+        "apportion_quota", "readability_flesch", "decile_lift",
+        "benford_dq", "bootstrap_ci", "stream_stream_left_join",
+        "negative_sampling", "dataset_split_time", "share_of_parent",
+        "time_decayed_score", "distinct_ngram_ratio",
+        "calibration_ece", "sql_pipe_syntax",
     ]
     for name in names:
         fn = REGISTRY[name].fn
