@@ -1200,23 +1200,24 @@ def dataset_split_time(spark, sf):
     " self-join co-keyed on doc_id (never a corpus-wide pair join);"
     " the distinct aggregate shuffles on (source, bigram) with"
     " map-side partials. The Spark side builds bigrams with a"
-    " zero-join array zip (transform over the token array), an"
-    " expression the SQL twin reproduces with the positional join."
-    " Measured at 100x replication of sf0.1 (local[32]): 26.7s —"
-    " the (source, bigram) distinct shuffle over ~100M bigrams is"
-    " the whole cost, map-side partials bound what moves.",
+    " zero-join array zip: the token array is materialized ONCE per"
+    " row and the slice/transform indexes it — inlining the regex"
+    " into the lambda re-ran it 3x per row (measured 26.7s; the"
+    " single-tokenization form is 9.8s at 100x replication of sf0.1,"
+    " local[32], the (source, bigram) distinct shuffle over ~100M"
+    " bigrams being the remaining cost). The SQL twin reproduces the"
+    " zip with a positional self-join.",
 )
 def distinct_ngram_ratio(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = F.expr(_TOKS)
+    # materialize the token array ONCE per row; the zip then indexes
+    # it instead of re-running the regex per lambda reference
+    toked = d.select("source", F.expr(_TOKS).alias("toks"))
     bigrams = F.expr(
-        "filter(transform(regexp_extract_all(lower(text), '[a-z]+', 0),"
-        " (w, i) -> IF(i < size(regexp_extract_all(lower(text),"
-        " '[a-z]+', 0)) - 1, concat(w, ' ',"
-        " regexp_extract_all(lower(text), '[a-z]+', 0)[i + 1]), NULL)),"
-        " x -> x IS NOT NULL)"
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " (w, i) -> concat(w, ' ', toks[i + 1]))"
     )
-    big = d.select(
+    big = toked.select(
         "source", F.explode(bigrams).alias("bigram")
     )
     return big.groupBy("source").agg(
