@@ -750,7 +750,7 @@ def _pois_case_sql(m: str) -> str:
     " Poisson inverse CDF as integer comparisons at 16-bit"
     " resolution; each md5(key ':' chunk) supplies EIGHT independent"
     " 4-hex-char draws, so 64 replicates cost 8 hashes per row — the"
-    " hash-count cut measured 75.2s -> 28.6s at 100x. Every replicate"
+    " hash-count cut measured 75.2s -> 22.5s at 100x. Every replicate"
     " sum is integer cents, so all 64 replicate means are"
     " bit-identical doubles in both engines (int64/int64 division is"
     " correctly rounded) and the interpolated order-statistic CI"
@@ -760,9 +760,14 @@ def _pois_case_sql(m: str) -> str:
     " on the 64-row replicate frame. Weights cap at 7 (P < 2e-5"
     " truncated); int64 headroom: 7 * total_cents < 2^63 — ~1.3e12"
     " orders at the synthetic price scale. Measured at 100x"
-    " replication of sf0.1 (local[32]): 28.6s (6M orders x 8 md5s +"
+    " replication of sf0.1 (local[32]): 22.5s (6M orders x 8 md5s +"
     " 384M draw decodes; compute-bound, embarrassingly parallel —"
-    " wall time scales with executors, not with any shuffle).",
+    " wall time scales with executors, not with any shuffle). Two"
+    " small-input hazards fixed by measurement: the fan-out must not"
+    " inherit a one-file scan's single partition (conditional"
+    " redistribute below), and the 8-branch CASE must compare a BOUND"
+    " column, not re-derive the md5 decode per branch — together"
+    " sf0.1 warm 5.9s -> 1.2s.",
 )
 def bootstrap_ci(spark, sf):
     o = _t(spark, sf, "orders").select(
@@ -771,7 +776,14 @@ def bootstrap_ci(spark, sf):
         .alias("cents"),
         F.col("o_orderkey"),
     )
-    chunks = o.select(
+    # the 64x fan-out inherits the SCAN's partitioning: a small input
+    # (one parquet file -> one partition) would run every md5 decode
+    # on one core. Redistribute only when the scan is narrower than
+    # the cluster — at 100 TB the scan already has thousands of
+    # partitions and this branch never shuffles.
+    par = spark.sparkContext.defaultParallelism
+    fan = o.repartition(par) if o.rdd.getNumPartitions() < par else o
+    chunks = fan.select(
         "cents",
         "o_orderkey",
         F.explode(F.sequence(F.lit(0), F.lit(_B_CHUNKS - 1))).alias(
@@ -793,12 +805,17 @@ def bootstrap_ci(spark, sf):
         "h",
         F.explode(F.sequence(F.lit(0), F.lit(_B_PER - 1))).alias("off"),
     )
-    m_expr = F.expr(
-        "CAST(conv(substring(h, off * 4 + 1, 4), 16, 10) AS BIGINT)"
+    # bind the draw to a named column so the 8-branch CASE compares a
+    # value instead of re-deriving conv(substring(md5)) per branch
+    e = e.withColumn(
+        "m",
+        F.expr(
+            "CAST(conv(substring(h, off * 4 + 1, 4), 16, 10) AS BIGINT)"
+        ),
     )
     w = F.lit(len(_POIS_CUM))
     for k in range(len(_POIS_CUM) - 1, -1, -1):
-        w = F.when(m_expr < _POIS_CUM[k], k).otherwise(w)
+        w = F.when(F.col("m") < _POIS_CUM[k], k).otherwise(w)
     reps = (
         e.withColumn("w", w)
         .groupBy("chunk", "off")

@@ -611,15 +611,19 @@ def test_decile_lift_two_phase_rank_and_benford_map_only(spark):
 
 def test_bootstrap_ci_one_weighted_pass(spark):
     # the Poisson bootstrap must stay ONE weighted map pass: the two
-    # explodes and all 64 weight decodes fuse into the scan projection,
+    # explodes and all 64 weight decodes fuse into one projection,
     # map-side combine into the single 64-group shuffle (plus the
     # one-row base agg); the only BNLJ is the broadcast one-row base,
-    # the only single-partition exchange feeds the 64-row CI window
+    # the only single-partition exchange feeds the 64-row CI window.
+    # At SMOKE scale the conditional small-input redistribute fires
+    # (one-file scan -> roundrobin before the fan-out), adding one
+    # intentional Exchange that a many-file production scan never pays
     plan = _formatted_plan(spark, "bootstrap_ci")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     n = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n <= 3, plan
+    rr = plan.count("Arguments: RoundRobinPartitioning")
+    assert n - rr <= 3 and rr <= 1, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
 
 
