@@ -2632,6 +2632,20 @@ _RECHECK_PERF_ONLY = frozenset(
 )
 
 
+# Entries added AFTER round 6's 50-slot window filled (3 semantic
+# rechecks + 47 first-checks): they sort behind the current
+# first-checks so adding them displaces nothing this round, and they
+# are automatically at the front of round 7's window (still ahead of
+# every already-green entry). Each was mirror-verified at all three
+# scales on landing.
+_DEFER_FIRST_CHECK = frozenset(
+    {
+        "rfm_segmentation",
+        "seasonal_naive_eval",
+    }
+)
+
+
 def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
@@ -2647,6 +2661,8 @@ def _gate_priority(name: str) -> float:
     """
     if name in _RECHECK:
         return 0  # semantics changed this round — re-verify first
+    if name in _DEFER_FIRST_CHECK:
+        return 1.4  # landed after the round's window filled
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
     if name in _DRIVER_GREEN_R5:

@@ -200,6 +200,8 @@ HEADLINE = [
     # the (source, bigram) distinct shuffle — the diversity metric's
     # honest cost class
     "distinct_ngram_ratio",
+    # single-fact-shuffle RFM over the checkpointed customer frame
+    "rfm_segmentation",
 ]
 
 

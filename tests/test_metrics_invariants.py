@@ -145,3 +145,25 @@ def test_time_decay_bounds_and_split_embargo(spark):
     raw = pd.read_parquet(f"{SF2}/events.parquet")
     gap = ((raw["ts"] >= cut) & (raw["ts"] < resume)).sum()
     assert len(sp) == len(raw) - gap and gap > 0
+
+
+def test_rfm_scores_and_segment_consistency(spark):
+    rfm = REGISTRY["rfm_segmentation"].fn(spark, SF2).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert rfm[c].between(1, 5).all()
+        # quintile scores are near-balanced: each class holds >= 10%
+        assert (rfm[c].value_counts() >= len(rfm) * 0.10).all(), c
+    champs = rfm[rfm["segment"] == "champion"]
+    assert (
+        (champs["r_score"] >= 4)
+        & (champs["f_score"] >= 4)
+        & (champs["m_score"] >= 4)
+    ).all()
+    assert len(rfm) == rfm["o_custkey"].nunique()
+
+
+def test_seasonal_naive_eval_bounds(spark):
+    ev = REGISTRY["seasonal_naive_eval"].fn(spark, SF2).toPandas()
+    assert (ev["mae"] >= 0).all() and (ev["mape"] >= 0).all()
+    # 30-day window, 7-day lag -> at most 23 scored days per type
+    assert ev["n_days"].between(1, 23).all()

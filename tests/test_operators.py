@@ -1505,6 +1505,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "negative_sampling", "dataset_split_time", "share_of_parent",
         "time_decayed_score", "distinct_ngram_ratio",
         "calibration_ece", "sql_pipe_syntax",
+        "rfm_segmentation", "seasonal_naive_eval",
     ]
     for name in names:
         fn = REGISTRY[name].fn

@@ -661,3 +661,20 @@ def test_diversity_and_calibration_shapes(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_rfm_single_fact_shuffle_and_seasonal_cell_join(spark):
+    # rfm: orders shuffles ONCE (the per-customer aggregate); the three
+    # quintile passes ride the checkpointed customer frame and the
+    # scoring pass is a broadcast of one 12-value row — a literal
+    # ntile window or extra fact shuffle means the textbook form
+    # (three global sorts) came back
+    plan = _formatted_plan(spark, "rfm_segmentation")
+    assert "ntile" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("hashpartitioning(o_custkey") <= 1, plan
+    # seasonal: one fact aggregate, then the cell-frame self-join
+    plan = _formatted_plan(spark, "seasonal_naive_eval")
+    assert "CartesianProduct" not in plan, plan
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 4, plan
