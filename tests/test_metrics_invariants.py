@@ -167,3 +167,18 @@ def test_seasonal_naive_eval_bounds(spark):
     assert (ev["mae"] >= 0).all() and (ev["mape"] >= 0).all()
     # 30-day window, 7-day lag -> at most 23 scored days per type
     assert ev["n_days"].between(1, 23).all()
+
+
+def test_basket_rules_and_neyman_invariants(spark):
+    r = REGISTRY["market_basket_rules"].fn(spark, SF1).toPandas()
+    assert (r["confidence"] > 0).all() and (r["confidence"] <= 1).all()
+    assert (r["support"] > 0).all() and (r["lift"] > 0).all()
+    # both directions of a pair share the same lift and support
+    key = r.apply(
+        lambda x: tuple(sorted((x["antecedent"], x["consequent"]))), axis=1
+    )
+    for _, g in r.groupby(key):
+        assert g["lift"].nunique() == 1 and g["support"].nunique() == 1
+    n = REGISTRY["neyman_allocation"].fn(spark, SF2).toPandas()
+    assert int(n["n_alloc"].sum()) == 10000
+    assert (n["n_alloc"] > 0).all() and len(n) == 5

@@ -1506,6 +1506,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "time_decayed_score", "distinct_ngram_ratio",
         "calibration_ece", "sql_pipe_syntax",
         "rfm_segmentation", "seasonal_naive_eval",
+        "market_basket_rules", "neyman_allocation",
     ]
     for name in names:
         fn = REGISTRY[name].fn

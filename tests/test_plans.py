@@ -678,3 +678,19 @@ def test_rfm_single_fact_shuffle_and_seasonal_cell_join(spark):
     assert "CartesianProduct" not in plan, plan
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= 4, plan
+
+
+def test_basket_rules_and_neyman_shapes(spark):
+    # basket rules: pair expansion must come from basket-bounded array
+    # combinatorics (a Generate over the basket agg), never an
+    # items x items join; the only joins attach counts to the
+    # support-filtered pair frame
+    plan = _formatted_plan(spark, "market_basket_rules")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 1, plan
+    # neyman: one stratum aggregate; windows on the 5-row frame only
+    plan = _formatted_plan(spark, "neyman_allocation")
+    assert "CartesianProduct" not in plan, plan
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n - plan.count("Arguments: SinglePartition") <= 1, plan
