@@ -2644,6 +2644,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "seasonal_naive_eval",
         "market_basket_rules",
         "neyman_allocation",
+        "perm_test_diff_means",
     }
 )
 

@@ -182,3 +182,13 @@ def test_basket_rules_and_neyman_invariants(spark):
     n = REGISTRY["neyman_allocation"].fn(spark, SF2).toPandas()
     assert int(n["n_alloc"].sum()) == 10000
     assert (n["n_alloc"] > 0).all() and len(n) == 5
+
+
+def test_perm_test_pvalue_bounds_and_signal(spark):
+    r = REGISTRY["perm_test_diff_means"].fn(spark, SF2).toPandas().iloc[0]
+    assert 1.0 / 65 <= r["p_value"] <= 1.0
+    assert r["n_building"] + r["n_other"] > 0
+    # the synthetic segments are exchangeable, so the test must NOT
+    # reject: a tiny p-value here would mean the relabeling coins are
+    # biased relative to the observed split
+    assert r["p_value"] > 0.05
