@@ -2645,6 +2645,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "market_basket_rules",
         "neyman_allocation",
         "perm_test_diff_means",
+        "mmr_diversify",
     }
 )
 

@@ -1113,3 +1113,151 @@ def perm_test_diff_means(spark, sf):
         F.round(signed / 100, 4).alias("diff_means"),
         F.round((1.0 + F.col("ge")) / 65.0, 6).alias("p_value"),
     )
+
+
+def _dd_cos6(a: str, b: str) -> str:
+    """DuckDB double-accumulated cosine between two float lists,
+    quantized to integer 1e-6 units (the embed-family convention:
+    list_cosine_similarity is float32 and disagrees with Spark's
+    double accumulation, so both twins spell out the double math)."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))"
+    return f"CAST(ROUND(1000000.0 * {dot} / ({na} * {nb}), 0) AS BIGINT)"
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for i in range(1, 6):
+        prev_r = f"r{i - 1}" if i > 1 else "c0"
+        rounds.append(
+            f"""
+    s{i} AS (
+      SELECT vec_id, v, rel6, ms6, 7 * rel6 - 3 * ms6 AS score6
+      FROM {prev_r} ORDER BY 7 * rel6 - 3 * ms6 DESC, vec_id LIMIT 1
+    )"""
+        )
+        if i < 5:
+            rounds.append(
+                f"""
+    r{i} AS (
+      SELECT r.vec_id, r.v, r.rel6,
+             GREATEST(r.ms6, {_dd_cos6("r.v", "s.v")}) AS ms6
+      FROM {prev_r} r, s{i} s WHERE r.vec_id <> s.vec_id
+    )"""
+            )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {i} AS rank, vec_id,
+           ROUND(rel6 / 1000000.0, 6) AS relevance,
+           ROUND(score6 / 10000000.0, 6) AS mmr_score
+    FROM s{i}"""
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c0 AS (
+      SELECT vec_id, embedding AS v,
+             {_dd_cos6("embedding", "qv")} AS rel6,
+             CAST(0 AS BIGINT) AS ms6
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY rel6 DESC, vec_id LIMIT 20
+    ),{",".join(rounds)}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, relevance, mmr_score
+    FROM ({selects})
+    """
+
+
+@_q(
+    "mmr_diversify",
+    _mmr_oracle(),
+    "Maximal-marginal-relevance re-ranking: from the top-20 nearest"
+    " neighbors of a query embedding, greedily select 5 results"
+    " balancing relevance against redundancy (lambda = 0.7) — the"
+    " diversification step RAG retrieval runs so five near-duplicate"
+    " passages don't fill the context window that embed_cosine_topk"
+    " alone would return. The greedy argmax is evaluated entirely in"
+    " INTEGER micro-cosine units: every cosine (double-accumulated,"
+    " the embed-family convention) is quantized to 1e-6 once, and the"
+    " lambda mix becomes score = 7*rel - 3*maxsim in int64, so each"
+    " round's winner is a pure integer comparison with a vec_id"
+    " tiebreak — bit-identical in both engines, which is what lets a"
+    " 5-round greedy be hash-checked at all (the oracle unrolls the"
+    " rounds as chained CTEs, the graph_pagerank move). Plan: ONE"
+    " corpus-wide scan computes query relevance (broadcast query row,"
+    " zero shuffle, TakeOrdered top-20); the 5 greedy rounds run on"
+    " the 20-row candidate frame with one-row broadcasts — no"
+    " corpus-sized work after the scan. Incremental max-sim carry"
+    " keeps each round O(|candidates|), not O(k * |candidates|)."
+    " Measured at 100x replication of sf0.1 (local[32]): 12.1s —"
+    " the one 6.4M x 64-dim relevance scan is the whole cost; the"
+    " greedy rounds ride a checkpointed 20-row frame.",
+)
+def mmr_diversify(spark, sf):
+    from ..functions.arrays import cosine_expr
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    rel6 = F.round(
+        1000000.0 * cosine_expr("embedding", "qv"), 0
+    ).cast("long")
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            rel6.alias("rel6"),
+        )
+        .orderBy(F.desc("rel6"), "vec_id")
+        .limit(20)
+        .withColumn("ms6", F.lit(0).cast("long"))
+        # 20 narrow rows feeding 5 greedy rounds x 2 consumers each —
+        # without the eager checkpoint every round re-runs the corpus
+        # relevance scan (measured 24.7s -> 12.1s at 100x); narrow
+        # frame + many consumers is the rfm_segmentation case, the
+        # opposite call from market_basket_rules' wide basket frame
+        .localCheckpoint(eager=True)
+    )
+    sim6 = F.round(1000000.0 * cosine_expr("v", "sv"), 0).cast("long")
+    score6 = 7 * F.col("rel6") - 3 * F.col("ms6")
+    picks = []
+    r = cand
+    for i in range(1, 6):
+        s = (
+            r.withColumn("score6", score6)
+            .orderBy(F.desc("score6"), "vec_id")
+            .limit(1)
+        )
+        picks.append(
+            s.select(
+                F.lit(i).cast("long").alias("rank"),
+                "vec_id",
+                F.round(F.col("rel6") / 1000000.0, 6).alias("relevance"),
+                F.round(F.col("score6") / 10000000.0, 6).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        if i < 5:
+            sel = s.select(
+                F.col("vec_id").alias("s_id"), F.col("v").alias("sv")
+            )
+            r = (
+                r.crossJoin(F.broadcast(sel))
+                .filter(F.col("vec_id") != F.col("s_id"))
+                .select(
+                    "vec_id",
+                    "v",
+                    "rel6",
+                    F.greatest(F.col("ms6"), sim6).alias("ms6"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

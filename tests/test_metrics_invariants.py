@@ -192,3 +192,18 @@ def test_perm_test_pvalue_bounds_and_signal(spark):
     # reject: a tiny p-value here would mean the relabeling coins are
     # biased relative to the observed split
     assert r["p_value"] > 0.05
+
+
+def test_mmr_diversify_greedy_invariants(spark):
+    m = REGISTRY["mmr_diversify"].fn(spark, SF2).toPandas()
+    assert list(m["rank"]) == [1, 2, 3, 4, 5]
+    assert m["vec_id"].nunique() == 5
+    # the first pick is the pure-relevance argmax, and later picks can
+    # never beat it on the mmr objective (maxsim only subtracts)
+    assert m.loc[m["rank"] == 1, "mmr_score"].iloc[0] == m["mmr_score"].max()
+    assert (m["relevance"].abs() <= 1.0 + 1e-9).all()
+    # diversification actually engaged: not simply the top-5 by
+    # relevance in order (rank 2+ relevance dips below a skipped one)
+    assert not m["relevance"].is_monotonic_decreasing or (
+        m["mmr_score"] < 0.7 * m["relevance"] - 1e-12
+    ).any()

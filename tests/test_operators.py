@@ -1507,7 +1507,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "calibration_ece", "sql_pipe_syntax",
         "rfm_segmentation", "seasonal_naive_eval",
         "market_basket_rules", "neyman_allocation",
-        "perm_test_diff_means",
+        "perm_test_diff_means", "mmr_diversify",
     ]
     for name in names:
         fn = REGISTRY[name].fn
