@@ -437,6 +437,10 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # the collected entry list is bounded by |event_type| (5) per
         # user, not row volume
         "map_lambda_funcs",
+        # per-basket collect_set: state is bounded by BASKET size
+        # (items per order, single digits), not corpus volume — the
+        # same bound the pair expansion itself relies on
+        "market_basket_rules",
     }
     offenders, oha_unlisted, cartesian = {}, {}, {}
     for name, entry in REGISTRY.items():
