@@ -118,6 +118,9 @@ SCALE_HEADLINE = [
     # the Poisson-bootstrap weighted pass: 64 replicate decodes per
     # row, the compute-bound class whose cost replication surfaces
     "bootstrap_ci",
+    # the basket-bounded pair expansion + near-unique-key support
+    # count — association mining's honest shuffle, measured at scale
+    "market_basket_rules",
 ]
 
 HEADLINE = [
