@@ -2646,6 +2646,8 @@ _DEFER_FIRST_CHECK = frozenset(
         "neyman_allocation",
         "perm_test_diff_means",
         "mmr_diversify",
+        "ab_srm_check",
+        "ess_weight_diagnostic",
     }
 )
 

@@ -207,3 +207,17 @@ def test_mmr_diversify_greedy_invariants(spark):
     assert not m["relevance"].is_monotonic_decreasing or (
         m["mmr_score"] < 0.7 * m["relevance"] - 1e-12
     ).any()
+
+
+def test_srm_and_ess_invariants(spark):
+    srm = REGISTRY["ab_srm_check"].fn(spark, SF2).toPandas()
+    assert set(srm["split"]) == {"train", "val", "test"}
+    assert int(srm["observed"].sum()) == 500
+    # the deterministic congruence split is exactly 80/10/10 on the
+    # doc_id % 100 residue classes, so SRM must NOT flag it
+    assert not srm["srm_flag"].any()
+    assert srm["chi2_total"].nunique() == 1
+    ess = REGISTRY["ess_weight_diagnostic"].fn(spark, SF2).toPandas()
+    assert (ess["ess"] > 0).all()
+    assert (ess["ess"] <= ess["n"] + 1e-9).all()  # ESS <= n always
+    assert (ess["ess_ratio"] <= 1.0 + 1e-12).all()
