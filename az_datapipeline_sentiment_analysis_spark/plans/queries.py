@@ -2648,6 +2648,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "mmr_diversify",
         "ab_srm_check",
         "ess_weight_diagnostic",
+        "rate_shrunk_bayes",
     }
 )
 

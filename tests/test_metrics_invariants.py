@@ -221,3 +221,16 @@ def test_srm_and_ess_invariants(spark):
     assert (ess["ess"] > 0).all()
     assert (ess["ess"] <= ess["n"] + 1e-9).all()  # ESS <= n always
     assert (ess["ess_ratio"] <= 1.0 + 1e-12).all()
+
+
+def test_rate_shrinkage_pulls_toward_global(spark):
+    r = REGISTRY["rate_shrunk_bayes"].fn(spark, SF2).toPandas()
+    # shrunk rates sit strictly between raw and global (or equal when
+    # raw == global), and shrinkage is stronger for smaller n
+    g = r["global_rate"].iloc[0]
+    lo = r[["raw_rate"]].assign(g=g).min(axis=1)
+    hi = r[["raw_rate"]].assign(g=g).max(axis=1)
+    assert ((r["shrunk_rate"] >= lo - 1e-9) & (r["shrunk_rate"] <= hi + 1e-9)).all()
+    assert (r["k"] <= r["n"]).all()
+    # the shrunk estimator never leaves [0, 1]
+    assert r["shrunk_rate"].between(0, 1).all()

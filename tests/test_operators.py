@@ -1509,6 +1509,7 @@ def test_round6_entries_rerun_and_cross_sf_in_one_session(spark):
         "market_basket_rules", "neyman_allocation",
         "perm_test_diff_means", "mmr_diversify",
         "ab_srm_check", "ess_weight_diagnostic",
+        "rate_shrunk_bayes",
     ]
     for name in names:
         fn = REGISTRY[name].fn
