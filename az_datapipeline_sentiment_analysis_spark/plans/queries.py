@@ -2572,83 +2572,80 @@ _DRIVER_GREEN_R5 = frozenset(
 )
 
 
-# Materially changed in ROUND 6, so re-verify first (VERDICT r5 #3 +
-# ADVICE r5 #4: every entry whose implementation changed must get a
-# fresh driver row the same round): win_ntile (two-phase global
-# position rewrite), interval_overlap_join + session_paths_topk
-# (truncated-second oracle arithmetic; session event cap), and every
-# entry backed by operators/quantiles.exact_group_quantiles or the
-# quantile_bucketing two-phase selection (broadcast side swapped,
-# eager materialization + cache release this round). The mirror-strict
-# parity suite already re-proved all of them; this puts them in the
-# driver's own 50-slot window too.
-_RECHECK = frozenset(
+# Round-6 driver sample (CORRECTNESS_r06.json): all 50 sampled entries
+# full hash-green — the second consecutive zero-defect gate. The 3
+# round-6 semantic rechecks (win_ntile, quantile_bucketing,
+# interval_overlap_join) re-verified green here.
+_DRIVER_GREEN_R6 = frozenset(
     {
-        # SEMANTIC rechecks — the round-6 change touched the oracle or
-        # the result-producing arithmetic, so a fresh driver row is
-        # non-negotiable: win_ntile's two-phase rewrite, the truncated-
-        # second oracle arithmetic (interval_overlap_join /
-        # session_paths_topk / sessionize_events), the quantile-engine
-        # broadcast swap behind the agg family, and the KLL k-bump
-        # that changed a quartile from approximate to exact.
-        "win_ntile", "interval_overlap_join",
-        "quantile_bucketing",
+        "win_ntile", "quantile_bucketing", "interval_overlap_join",
+        "multimodal_audio_pcm", "bpe_merge_pairs",
+        "domain_mix_temperature", "upsample_epochs", "shard_manifest",
+        "k_anonymity_audit", "negative_sampling", "dataset_split_time",
+        "distinct_ngram_ratio", "ks_drift", "psi_drift",
+        "containment_neardup", "novelty_bigram_loo", "vocab_jsd_drift",
+        "embed_drift", "winsorize_clip", "robust_scaler",
+        "perplexity_buckets", "global_shuffle_order",
+        "bitmap_distinct_exact", "share_of_parent", "time_decayed_score",
+        "sql_pipe_syntax", "asof_join_nearest", "graph_triangles",
+        "anomaly_cusum", "doc_chunking", "join_key_skew_report",
+        "dataset_split_leakproof", "knn_classify", "map_lambda_funcs",
+        "collation_funcs", "sketch_cms", "gini_by_group", "survival_km",
+        "apportion_quota", "readability_flesch", "decile_lift",
+        "benford_dq", "bootstrap_ci", "calibration_ece",
+        "dynamic_partition_overwrite", "q11_important_stock",
+        "q2_min_cost_supplier", "stream_stream_left_join",
+        "stream_psi_drift", "stream_static_enrich",
     }
 )
 
-# PERF-ONLY rechecks — round-6 rewrites that are bit-identical by
-# construction (norm hoists, exact-copy collapse, loop-invariant
-# persist, tie-group rank algebra, broadcast-side swaps on unchanged
-# math), each re-proved by the strict mirror after the change. They
-# still deserve a fresh driver row, but AFTER the never-checked
-# entries: round 6 added 40 queries with no driver row at all, and
-# 20 rechecks + 40 first-checks don't fit one 50-slot window — a
-# first driver signal on a new operator outranks a second signal on a
-# mirror-reproved rewrite (VERDICT r5 #3's staleness logic, applied
-# to the overflow).
+
+# Materially changed in ROUND 7, so re-verify first (the standing
+# rule from VERDICT r5 #3: every entry whose implementation changed
+# must get a fresh driver row the same round). ewma_smooth's window
+# rewrite and market_basket_rules' frequent-item pre-prune are
+# output-identical by construction, but both replace the physical
+# plan wholesale — driver re-rows are non-negotiable.
+_RECHECK = frozenset(
+    {
+        "ewma_smooth",
+        "market_basket_rules",
+    }
+)
+
+# VERDICT r6 "Missing #1": the 17 entries the round-6 external gate
+# never reached — 10 late-round-6 additions with NO driver row ever
+# (ab_srm_check, rfm_segmentation, seasonal_naive_eval,
+# neyman_allocation, perm_test_diff_means, mmr_diversify,
+# ess_weight_diagnostic, rate_shrunk_bayes, auc_by_cohort;
+# market_basket_rules is in _RECHECK above) plus the 7 entries whose
+# round-6 implementations changed after their last driver row
+# (the exact_group_quantiles broadcast-fix family +
+# session_paths_topk). All 17 were mirror-verified green at sf0.01 by
+# the round-6 judge session; this tier puts them at the front of the
+# round-7 window so the external artifact says so too.
+_GATE_DEBT_R6 = frozenset(
+    {
+        # never driver-sampled (first check)
+        "ab_srm_check", "rfm_segmentation", "seasonal_naive_eval",
+        "neyman_allocation", "perm_test_diff_means", "mmr_diversify",
+        "ess_weight_diagnostic", "rate_shrunk_bayes", "auc_by_cohort",
+        # changed in round 6 after their last driver row (re-check)
+        "agg_stats", "agg_median", "iqr_outlier_filter", "anomaly_mad",
+        "weighted_median", "fulfillment_latency", "session_paths_topk",
+    }
+)
+
+# Remaining round-6 perf-only rewrites whose last driver row predates
+# the change (bit-identical by construction, mirror-reproved): they
+# recheck after the first-checks but ahead of stale greens.
 _RECHECK_PERF_ONLY = frozenset(
     {
-        # the quantile-engine broadcast swap is bit-identical math;
-        # quantile_bucketing stays in the semantic tier as the
-        # family's driver-checked representative
-        "agg_stats", "agg_median", "iqr_outlier_filter", "anomaly_mad",
-        # sessionize_events changed ONLY its oracle text (Spark side
-        # untouched) and sketch_kll_quantiles only its capacity
-        # constant — both re-proved by the three-scale mirror sweep,
-        # so their re-rows yield to first-checks in the full window
         "sessionize_events", "sketch_kll_quantiles",
-        # oracle gap-rule + event-cap change, mirror-reproved 3x and
-        # property-tested (test_session_paths_cap_bounds_botlike_
-        # sessions); yields its re-row to the last first-check
-        "session_paths_topk",
         "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
         "embed_neardup",
         "editdist_neardup",
         "graph_pagerank",
-        "auc_by_cohort",
-        "weighted_median",
-        "fulfillment_latency",
-    }
-)
-
-
-# Entries added AFTER round 6's 50-slot window filled (3 semantic
-# rechecks + 47 first-checks): they sort behind the current
-# first-checks so adding them displaces nothing this round, and they
-# are automatically at the front of round 7's window (still ahead of
-# every already-green entry). Each was mirror-verified at all three
-# scales on landing.
-_DEFER_FIRST_CHECK = frozenset(
-    {
-        "rfm_segmentation",
-        "seasonal_naive_eval",
-        "market_basket_rules",
-        "neyman_allocation",
-        "perm_test_diff_means",
-        "mmr_diversify",
-        "ab_srm_check",
-        "ess_weight_diagnostic",
-        "rate_shrunk_bayes",
     }
 )
 
@@ -2657,21 +2654,24 @@ def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
 
-    Front of the 50-slot window: queries changed this round, then any
-    entry without a driver row yet. The remaining slots re-verify the
-    greens LONGEST-UNCHECKED FIRST (VERDICT r5 #3): round-1/2 rows
-    predate the repr-level mirror hardening, so they were last
-    driver-verified under a comparator weaker than the current gate —
+    Front of the 50-slot window: queries changed this round, then the
+    round-6 gate debt (VERDICT r6 Missing #1: 10 never-sampled + 7
+    post-rewrite entries), then any entry without a driver row yet
+    (this round's additions), then perf-only rechecks. The remaining
+    slots re-verify the greens LONGEST-UNCHECKED FIRST (VERDICT r5
+    #3): round-1/2 rows predate the repr-level mirror hardening, so
     they recycle ahead of newer greens. Membership is checked
     newest-round-first because many entries re-verified in a later
     round (e.g. q1/scan_parquet/filter_flag are in both R1 and R5).
     """
     if name in _RECHECK:
-        return 0  # semantics changed this round — re-verify first
-    if name in _DEFER_FIRST_CHECK:
-        return 1.4  # landed after the round's window filled
+        return 0  # semantics/plan changed this round — re-verify first
+    if name in _GATE_DEBT_R6:
+        return 0.5  # round-6 window overflow — external row owed
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
+    if name in _DRIVER_GREEN_R6:
+        return 8
     if name in _DRIVER_GREEN_R5:
         return 7
     if name in _DRIVER_GREEN_R4:
