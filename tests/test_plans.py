@@ -189,12 +189,15 @@ def test_quantile_bucketing_approx_no_exact_percentile(spark):
 
 def test_ewma_single_window_operator(spark):
     # all 12 lag terms must share ONE Window frame (one sort per
-    # event_type partition); a second Window node means the lags were
-    # split into separate frame evaluations
+    # (event_type, day) partition); a second lag-bearing Window node
+    # means the lags were split into separate frame evaluations. The
+    # round-7 day-carry rewrite adds exactly three more windows (two
+    # tiny-frame prefix sweeps and the tails row_number) — a fifth
+    # means a regression.
     plan = _formatted_plan(spark, "ewma_smooth")
     # formatted output prints each node twice (tree + detail section);
     # count the "(n) Window" detail headers
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 4, plan
 
 
 def test_minmax_scaler_join_no_fact_shuffle(spark):
@@ -363,6 +366,26 @@ def test_win_ntile_no_single_partition_window(spark):
     assert "cume_dist(" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_ewma_smooth_day_carry_fact_window(spark):
+    # round 7 (verdict r6 "wrong #1"): the 12-lag window must NOT
+    # partition by event_type alone (|types|=5 → each task sorts n/5
+    # rows; compute probe 14.5-19.5s vs 7.2-8.3s at 100x). The
+    # fact-side window partitions by (event_type, day); cross-day lag
+    # history rides the broadcast-routed carry branch whose rank cut
+    # plans as a WindowGroupLimit; the per-type prefix sweeps run on
+    # the tiny counts frame via coalesce(1), never an Exchange
+    # SinglePartition.
+    plan = _formatted_plan(spark, "ewma_smooth")
+    assert "Exchange SinglePartition" not in plan, plan
+    # the fact window's partition clause must include the day column
+    assert re.search(r"hashpartitioning\(event_type#\d+, __pd", plan), plan
+    # the carry tails branch must push its rank cut below the exchange
+    assert "WindowGroupLimit" in plan, plan
+    # and no window may partition by event_type alone
+    for m in re.finditer(r"hashpartitioning\(event_type#\d+(, \d+)?\)", plan):
+        raise AssertionError(f"per-type-only partitioning: {m.group(0)}\n{plan}")
 
 
 def test_graph_triangles_adjacency_intersect_no_cartesian(spark):
