@@ -2128,36 +2128,49 @@ def seasonal_naive_eval(spark, sf):
     " lift ~1 is noise; the ranking is by lift). Every statistic is a"
     " ratio of exact int64 counts, so both engines render identical"
     " values with no float-sum hazard, and the ORDER BY is fully"
-    " tie-broken. Plan: one distinct (basket, item) shuffle; the pair"
-    " self-join is co-keyed on the basket key so expansion is bounded"
-    " by basket size (never |items|^2); the support floor collapses"
-    " the pair frame to a few thousand rows BEFORE the item-count"
-    " joins; top-50 is a TakeOrdered. Measured at 100x replication of"
-    " sf0.1 (local[32]): 91.9s over 15M baskets / ~90M candidate"
-    " pairs (the naive distinct+self-join form was 158.6s; an eager"
-    " checkpoint of the basket frame REGRESSED to 182.6s — wide-row"
-    " materialization costs more than recomputing a cheap aggregate).",
+    " tie-broken. Plan: ONE basket-array shuffle feeding only the"
+    " pair expansion (bounded by basket size, never |items|^2); item"
+    " counts and the basket total read a narrow distinct"
+    " (orderkey, partkey) frame instead of rebuilding the array"
+    " frame; the support floor collapses the pair frame to a few"
+    " thousand rows BEFORE the item-count joins; top-50 is a"
+    " TakeOrdered. Measured at 100x replication of sf0.1 (local[32]):"
+    " 63.7s over 15M baskets / ~90M candidate pairs — vs 91.9s for"
+    " the round-6 all-branches-from-arrays form, 158.6s for the"
+    " naive distinct+self-join, and 182.6s with an eager checkpoint"
+    " of the basket frame (wide-row materialization costs more than"
+    " recomputing a cheap aggregate).",
 )
 def market_basket_rules(spark, sf):
     li = _t(spark, sf, "lineitem")
-    # A basket-key shuffle builds deduped per-basket item arrays
-    # (state bounded by basket size); the naive distinct + co-keyed
-    # self-join + pair aggregate spent three 60M-row shuffles on the
-    # same information. The basket frame feeds three branches and is
-    # deliberately NOT checkpointed: re-running this cheap aggregate
-    # per branch measured 91.9s at 100x vs 182.6s with an eager
-    # localCheckpoint (materializing 15M wide array rows costs more
-    # than two recomputes) — the inverse of rfm_segmentation's call,
-    # where the checkpointed frame is narrow and feeds FOUR passes.
+    # The pair branch is the only consumer that needs per-basket item
+    # ARRAYS (one basket-key shuffle, state bounded by basket size);
+    # item counts and the basket total read a NARROW distinct
+    # (orderkey, partkey) frame instead — rebuilding the array frame
+    # for those two branches measured 34.8s vs 8.9s at 100x. The
+    # basket frame is deliberately NOT checkpointed: an eager
+    # localCheckpoint measured 182.6s vs 91.9s (materializing 15M
+    # wide array rows costs more than recomputing a cheap aggregate)
+    # — the inverse of rfm_segmentation's call, where the
+    # checkpointed frame is narrow and feeds FOUR passes.
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
-    nb = baskets.agg(F.count("*").alias("baskets"))
-    item = (
-        baskets.select(F.explode("items").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("ni"))
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    nb = d.select("l_orderkey").distinct().agg(
+        F.count("*").alias("baskets")
     )
+    item = d.groupBy("l_partkey").agg(F.count("*").alias("ni"))
+    # Pair candidates stay a struct<long,long>: a packed-BIGINT
+    # encoding (u * 2^32 + v) measured ~10% faster warm (21.3s vs
+    # 23.8s at 100x) but silently overflows int64 once partkeys
+    # exceed 2^32 — which a real 100 TB TPC-H (SF ~1e5, partkeys to
+    # 2e10) does — so the narrower row is not worth the scale
+    # hazard. A frequent-item pre-prune (Apriori: a pair can't reach
+    # the floor unless both items do) was likewise evaluated and
+    # REJECTED by measurement: at sf0.1 and at 100x replication,
+    # zero items fall below the ni>=2 floor, so the prune filters
+    # nothing and only adds a branch.
     pairs_expr = F.expr(
         "flatten(transform(items, (x, i) ->"
         " transform(slice(items, i + 2, size(items)),"
