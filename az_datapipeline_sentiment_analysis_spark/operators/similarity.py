@@ -76,6 +76,35 @@ def brute_force_topk(
     )
 
 
+def majority_vote(labels: DataFrame, nn: DataFrame) -> DataFrame:
+    """k-NN majority vote over a neighbor frame.
+
+    ``nn``: (q_id, vec_id) — any candidate generator's top-k output
+    (:func:`brute_force_topk`, :func:`lsh_topk`, :func:`ivf_topk`);
+    ``labels``: (vec_id, label). Returns (q_id, pred_label, votes)
+    with deterministic ties (most votes, then smallest label). The
+    neighbor frame is queries x k rows — tiny — so it broadcasts onto
+    the label lookup and the vote aggregate never shuffles the corpus.
+    """
+    votes = (
+        labels.join(F.broadcast(nn), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
 # --- random-hyperplane LSH ANN --------------------------------------
 
 N_PLANES = 8  # 2^8 = 256 buckets
@@ -152,6 +181,106 @@ def lsh_topk(
         # no dedup needed: each corpus row lives in exactly one bucket
         # and the probed buckets are pairwise distinct; norms hoisted
         # per side (bit-identical rounded cosine, see brute_force_topk)
+        .withColumn("cosine", F.round(_hoisted_cosine(), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias("vec_id"), "cosine", "rank")
+    )
+
+
+# --- fixed-quantizer IVF (oracle-checkable) --------------------------
+
+IVF_N_LISTS = 16
+IVF_N_PROBE = 4
+
+
+def fixed_centroids(n_lists: int = IVF_N_LISTS, dim: int = 64) -> np.ndarray:
+    """Deterministic unit-norm centroid matrix (no training pass).
+
+    The fixed-seed analogue of :func:`_planes`: with the quantizer a
+    pure constant, IVF assignment/probing becomes deterministic
+    arithmetic expressible in any SQL engine — the property that lets
+    ``embed_ann_ivf_exact`` be hash-checked end to end, where the
+    trained (iterative k-means) quantizer of :func:`ivf_topk` cannot.
+    """
+    rng = np.random.RandomState(13)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _centroid_dots_expr(vec_col: str, cents: np.ndarray) -> F.Column:
+    """array<double> of dot(vec, centroid_j) as a JVM expression —
+    same left-fold summation order as the DuckDB oracle's list_sum."""
+    dots = []
+    for c in cents:
+        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in c) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> cast(x as double) * y),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    return F.expr("array(" + ", ".join(dots) + ")")
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = IVF_N_LISTS,
+    n_probe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over the FIXED deterministic quantizer: argmax-dot list
+    assignment for the corpus, top-``n_probe`` lists per query, exact
+    cosine re-rank inside the probed lists.
+
+    Ties break to the smallest list index on both sides (first-match
+    array_position / descending sort with index tiebreak), so the
+    candidate set is engine-stable. Scale shape matches
+    :func:`ivf_topk`: one corpus scan to assign lists (pure Catalyst
+    here — no Arrow batch needed since the quantizer is a constant
+    expression), candidate join on list id, re-rank bounded by
+    n_probe/n_lists of the corpus. Output schema matches
+    :func:`brute_force_topk`.
+    """
+    cents = fixed_centroids(n_lists)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("__c_norm"),
+    ).withColumn("__dots", _centroid_dots_expr("c_vec", cents))
+    # argmax with first-occurrence (smallest index) tie-break
+    c = c.withColumn(
+        "list_id",
+        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
+        .cast("long"),
+    ).drop("__dots")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("__q_norm"),
+    ).withColumn("__dots", _centroid_dots_expr("q_vec", cents))
+    # top-n_probe list ids: sort (−dot, index) structs, take indices
+    q = q.withColumn(
+        "list_id",
+        F.explode(
+            F.expr(
+                "slice(transform(array_sort(zip_with(__dots,"
+                f" sequence(0, {n_lists - 1}),"
+                " (d, i) -> struct(-d AS nd, i AS i))),"
+                f" s -> cast(s.i as bigint)), 1, {n_probe})"
+            )
+        ),
+    ).drop("__dots")
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .drop("list_id")
         .withColumn("cosine", F.round(_hoisted_cosine(), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

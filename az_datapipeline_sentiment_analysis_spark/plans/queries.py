@@ -2610,6 +2610,11 @@ _RECHECK = frozenset(
     {
         "ewma_smooth",
         "market_basket_rules",
+        # vote stage factored into operators/similarity.majority_vote
+        # (shared with the new knn_classify_ann) — bit-identical by
+        # construction, mirror-reproved, but the standing rule is a
+        # fresh driver row for any changed implementation
+        "knn_classify",
     }
 )
 

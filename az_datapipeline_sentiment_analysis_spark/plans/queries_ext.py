@@ -27,6 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as _t
+from .queries import _COSINE_SQL as _COSINE_ORACLE_SQL
 from .queries import _q
 
 # Knuth multiplicative hash: deterministic and engine-independent. As
@@ -789,6 +790,88 @@ def embed_ann_ivf(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def _ivf_exact_oracle_sql(k: int) -> str:
+    """The fixed-quantizer IVF pipeline in DuckDB SQL: constant
+    centroid dots, argmax list assignment (first-match tie-break),
+    top-n_probe query lists ((-dot, index) struct sort), exact rounded
+    cosine re-rank — candidate generation AND ranking equality, the
+    embed_ann_lsh precedent applied to IVF."""
+    from ..operators import similarity as sim
+
+    cents = sim.fixed_centroids()
+    n_probe = sim.IVF_N_PROBE
+    dots = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        dots.append(
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+    dots_arr = "[" + ", ".join(dots) + "]"
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {dots_arr} AS dots
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT)
+               AS list_id
+      FROM d
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest(list_transform(list_sort(list_transform(
+               generate_series(0, {len(cents) - 1}),
+               i -> {{'nd': -dots[i + 1], 'i': i}})),
+               s -> CAST(s.i AS BIGINT))[1:{n_probe}]) AS list_id
+      FROM d WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id, q.q_vec, c.embedding AS c_vec
+      FROM a c JOIN q ON c.list_id = q.list_id
+      WHERE c.vec_id <> q.q_id
+    ),
+    scored AS (
+      SELECT q_id, vec_id, {_COSINE_ORACLE_SQL} AS cosine FROM cand
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@_q(
+    "embed_ann_ivf_exact",
+    _ivf_exact_oracle_sql(5),
+    "IVF ANN over a FIXED deterministic quantizer — the hash-checked"
+    " twin of embed_ann_ivf (round-7 verdict item #6): with the"
+    " centroid matrix a fixed-seed constant instead of a trained"
+    " k-means fit, list assignment (argmax dot, first-match"
+    " tie-break) and query probing (top-4 lists by dot) are pure"
+    " arithmetic both engines evaluate identically, so the FULL"
+    " pipeline — candidate generation and rounded-cosine ranking —"
+    " is oracle-checked, not just recall-enveloped. The iterative"
+    " trained form (embed_ann_ivf) remains the quality path at"
+    " scale (a trained quantizer balances list sizes on real,"
+    " clustered corpora; on this synthetic uniform table the fixed"
+    " quantizer's recall is equivalent — asserted in tests). Plan"
+    " shape matches ivf_topk: one pure-Catalyst corpus scan to"
+    " assign lists (no Arrow batch — the quantizer is a constant"
+    " expression), broadcast query probes, candidate join on"
+    " list_id, re-rank bounded by n_probe/n_lists of the corpus.",
+)
+def embed_ann_ivf_exact(spark, sf):
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    return sim.ivf_fixed_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
 # =====================================================================

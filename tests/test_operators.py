@@ -123,6 +123,62 @@ def test_lsh_candidates_subset_of_brute_force_universe(spark):
     assert all(1 <= r.rank <= 5 for r in out)
 
 
+def test_knn_ann_vote_recovers_planted_labels(spark):
+    # knn_classify_ann swaps brute_force_topk for lsh_topk but reuses
+    # majority_vote unchanged. On UNIFORM random embeddings prediction
+    # agreement with the exact knn is meaningless (cosines are
+    # near-ties; any candidate subset votes differently — measured
+    # ~0.2-0.26 agreement on the synthetic table, i.e. chance), so the
+    # envelope is planted CLUSTER structure instead: queries are noisy
+    # copies of labeled corpus vectors, and the LSH-candidate vote
+    # must recover the planted label — the end-to-end composition
+    # check (candidate generation AND vote), not just neighbor recall.
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_classes, per_class = 5, 40
+    protos = rng.standard_normal((n_classes, 64))
+    rows = []
+    for cls in range(n_classes):
+        for j in range(per_class):
+            v = protos[cls] + 0.15 * rng.standard_normal(64)
+            rows.append(
+                Row(
+                    vec_id=cls * per_class + j,
+                    embedding=[float(x) for x in v],
+                    label=cls,
+                )
+            )
+    corpus = spark.createDataFrame(rows)
+    n_q = 20
+    queries = spark.createDataFrame(
+        [
+            Row(
+                vec_id=10_000 + i,
+                embedding=[
+                    float(x)
+                    for x in protos[i % n_classes]
+                    + 0.15 * rng.standard_normal(64)
+                ],
+            )
+            for i in range(n_q)
+        ]
+    )
+    nn = sim.lsh_topk(corpus, queries, k=5).select("q_id", "vec_id")
+    pred = {
+        r.q_id: r.pred_label
+        for r in sim.majority_vote(
+            corpus.select("vec_id", "label"), nn
+        ).collect()
+    }
+    hits = sum(
+        1 for i in range(n_q) if pred.get(10_000 + i) == i % n_classes
+    )
+    # deterministic planes+data; measured 20/20 — floor leaves slack
+    # only for float-order jitter
+    assert hits / n_q >= 0.8, f"planted-label vote recovery {hits}/{n_q}"
+
+
 # --- as-of join ------------------------------------------------------
 
 def test_asof_join_nearest_prior(spark):
@@ -316,6 +372,31 @@ def test_ivf_recall_vs_brute_force_on_testdata(spark):
     }
     assert len(approx & exact) / len(exact) >= 0.5, (
         f"IVF recall {len(approx & exact)}/{len(exact)}"
+    )
+
+
+def test_ivf_fixed_recall_matches_trained_on_testdata(spark):
+    # the fixed-quantizer (oracle-checkable) IVF must not cost recall
+    # vs the trained quantizer on the synthetic uniform table — the
+    # equivalence claim in embed_ann_ivf_exact's docstring
+    emb = table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    trained = {
+        (r.q_id, r.vec_id)
+        for r in sim.ivf_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    }
+    fixed = {
+        (r.q_id, r.vec_id)
+        for r in sim.ivf_fixed_topk(emb, q, k=5).collect()
+    }
+    r_fixed = len(fixed & exact) / len(exact)
+    r_trained = len(trained & exact) / len(exact)
+    assert r_fixed >= r_trained - 0.2, (
+        f"fixed-quantizer recall {r_fixed:.2f} vs trained {r_trained:.2f}"
     )
 
 
