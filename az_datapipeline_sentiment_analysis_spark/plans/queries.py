@@ -2615,6 +2615,10 @@ _RECHECK = frozenset(
         # construction, mirror-reproved, but the standing rule is a
         # fresh driver row for any changed implementation
         "knn_classify",
+        # round-7 caching change in operators/dedup.py (localCheckpoint
+        # -> generation-tracked persist, the r6 base-scale watch item):
+        # same plans, same math, mirror-reproved — fresh rows anyway
+        "minhash_neardup", "simhash_neardup", "dedup_clusters",
     }
 )
 

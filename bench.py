@@ -48,6 +48,21 @@ SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
 # plan deltas. Mitigation below: a System.gc() between queries so
 # accumulated garbage from earlier queries is not collected inside a
 # later query's timed window.
+# Round-7 resolution of the two r6 watch items (VERDICT r6 #4), each
+# re-measured in ISOLATION (3 runs, nothing co-resident):
+# * rolling_wau 10x best-of-3 1.55s — the r6 2.18s was noise; DISMISSED.
+# * simhash_neardup base best-of-3 4.65s — REAL, and bisected by A/B
+#   to the r6 persist->eager-localCheckpoint hygiene change in
+#   operators/dedup.py (persist() form: 2.46s). Fixed by
+#   generation-tracked persist (_persist_generation): persist speed,
+#   pinning bounded to one invocation's blocks per operator —
+#   base back to 2.47s.
+# Per-query noise band on this box (repeated observation r4-r7): the
+# FIRST run of any heavy query in a session can read 2-5x its warm
+# steady state (page cache + JIT + AQE stats); single-shot numbers for
+# broadcast/join-heavy queries carry up to ~3x spread. Only best-of-n
+# in one session, alternated A/B ordering, or frozen-subtotal deltas
+# are comparable across rounds.
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -121,6 +136,10 @@ SCALE_HEADLINE = [
     # the basket-bounded pair expansion + near-unique-key support
     # count — association mining's honest shuffle, measured at scale
     "market_basket_rules",
+    # round-7: the day-carry EWMA — its whole point is the shuffle
+    # shape (one fact exchange, 150-way parallel sorts), which only
+    # replication surfaces
+    "ewma_smooth",
 ]
 
 HEADLINE = [
@@ -207,6 +226,12 @@ HEADLINE = [
     "rfm_segmentation",
     # the basket-bounded pair expansion + near-unique-key support count
     "market_basket_rules",
+    # round-7 additions: the LSH-candidate knn composition, the
+    # fixed-quantizer IVF (pure-Catalyst centroid dots), and the
+    # day-carry EWMA (single fact shuffle + WindowGroupLimit tails)
+    "knn_classify_ann",
+    "embed_ann_ivf_exact",
+    "ewma_smooth",
 ]
 
 
@@ -393,6 +418,27 @@ def main() -> None:
             payload["scale_error"] = f"{type(e).__name__}: {e}"[:300]
 
     print(json.dumps(payload), flush=True)
+
+    # The driver's BENCH artifact captures only the TAIL of stdout —
+    # round 6's record lost the base-suite total and core-25 to
+    # truncation. Persist the complete payload to a local file too
+    # (VERDICT r6 #7) so cross-round comparisons never depend on
+    # tail-capture luck. Round number from the newest VERDICT/BENCH
+    # artifact present, +1; falls back to unnumbered.
+    try:
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir("/root/repo")
+            for m in [_re.match(r"BENCH_r(\d+)\.json$", f)]
+            if m
+        ]
+        suffix = f"_r{max(rounds) + 1:02d}" if rounds else ""
+        with open(f"/root/repo/BENCH_local{suffix}.json", "w") as fh:
+            json.dump(payload, fh)
+    except Exception as e:
+        print(f"# local payload write failed: {e}", flush=True)
 
 
 if __name__ == "__main__":
