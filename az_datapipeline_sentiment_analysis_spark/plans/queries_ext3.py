@@ -2084,7 +2084,12 @@ def asof_nearest_q(spark, sf):
     " co-keyed, and counts array_intersect sizes JVM-side: the"
     " wedge set is never materialized or shuffled, only edges and"
     " m total list entries move. Same counts, measured base"
-    " 8.8s -> 5.2s and 10x 208s -> 19.0s (11x).",
+    " 8.8s -> 5.2s and 10x 208s -> 19.0s (11x). 100x (round 7,"
+    " stride-shifted ids so the graph itself scales): 420.3s — the"
+    " 22x step from 10x matches the ~m^1.5 degree-orientation bound"
+    " (sqrt(10)*10 ~ 31 upper bound; wedge fan-out stays bounded,"
+    " no hub blowup), where the unoriented wedge form's 1.48B-wedge"
+    " quadratic would not have finished.",
 )
 def graph_triangles(spark, sf):
     li = _t(spark, sf, "lineitem")

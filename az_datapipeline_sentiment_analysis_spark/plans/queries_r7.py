@@ -1,0 +1,775 @@
+"""Round-7 widening: tokenizer diagnostics, PII audit, corpus length
+profiling, robust trend statistics, cohort LTV, and the null-safe /
+LATERAL SQL join surface.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). The batch extends three families the engine already
+anchors: training-data curation (tokenizer fertility per language —
+the cross-lingual budget diagnostic; PII density per source — the
+audit aggregate pii_redact's per-doc counts roll into; log2 length
+profile — the shard-size planning histogram), time-series evaluation
+(Theil–Sen median-slope and Mann–Kendall S/tau — the robust trend
+tests run on daily metric series before trusting a seasonal model),
+and revenue analytics (weekly-cohort cumulative LTV per user).
+
+Conventions (SURVEY §2.3): integer aggregates CAST to BIGINT in oracle
+SQL; any ROUNDed float that can be zero gets ``+ 0.0``; money rides as
+integer cents; divisions happen ONCE on exact int64 operands so both
+engines produce the same correctly-rounded double. Everything JVM-side
+— no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+from .queries_ext3 import _BPE_PAT
+
+# =====================================================================
+# Tokenizer fertility by language (cross-lingual budget diagnostic)
+# =====================================================================
+
+_BPE_SQL = _BPE_PAT.replace("'", "''")
+
+
+@_q(
+    "tokenizer_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             length(regexp_extract_all(text, '\\S+')) AS ws,
+             length(regexp_extract_all(text, '{_BPE_SQL}')) AS bpe
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CASE WHEN SUM(ws) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) + 0.0
+           END AS fertility,
+           CASE WHEN SUM(bpe) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe), 6)
+                     + 0.0
+           END AS chars_per_tok
+    FROM t GROUP BY lang
+    """,
+    "Tokenizer fertility per language: BPE-ish tokens per whitespace"
+    " word (token_bpe_count's corpus-level rollup, sliced the way"
+    " multilingual training budgets are actually negotiated — a"
+    " language with fertility 2.3 pays 2.3x the context length per"
+    " word, the standard argument for retraining the tokenizer"
+    " before committing a data mix). All counts are exact int64 sums"
+    " (regexp_count is codegen'd JVM work); the two ratios are single"
+    " correctly-rounded divisions of exact operands, so parity is"
+    " exact. One map-combined aggregate over a map-only scan — a"
+    " |langs|-row reduce at any corpus size.",
+)
+def tokenizer_fertility(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("bpe"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_chars").alias("__chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.when(F.col("ws_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("fertility"),
+        F.when(F.col("bpe_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("__chars").cast("double") / F.col("bpe_tokens"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("chars_per_tok"),
+    )
+
+
+# =====================================================================
+# PII density audit per source feed
+# =====================================================================
+
+@_q(
+    "pii_density_report",
+    """
+    WITH aug AS (
+      SELECT source,
+             text || ' contact user' || doc_id ||
+               '@example.com tel 555-' ||
+               lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source, length(raw) AS chars,
+             length(regexp_extract_all(raw,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS emails,
+             length(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))
+               AS phones
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(emails) AS BIGINT) AS n_emails,
+           CAST(SUM(phones) AS BIGINT) AS n_phones,
+           ROUND(10000.0 * SUM(emails + phones) / SUM(chars), 6) + 0.0
+             AS pii_per_10k_chars,
+           ROUND(CAST(SUM(CASE WHEN emails + phones > 0 THEN 1 ELSE 0
+             END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS pct_docs_with_pii
+    FROM per_doc GROUP BY source
+    """,
+    "PII density audit per source feed: the roll-up a privacy review"
+    " reads BEFORE deciding whether a feed needs pii_redact at all —"
+    " emails+phones per 10k characters and the fraction of documents"
+    " carrying any PII span. (Same deterministic synthetic PII"
+    " augmentation as pii_redact, so the two entries audit and scrub"
+    " the same spans.) Counts are exact int64; both ratios are single"
+    " correctly-rounded divisions (10000.0 * int is exact well past"
+    " any test scale). Map-only regex scan + one |sources|-row"
+    " map-combined aggregate — same regex subset as pii_redact,"
+    " identical under Java regex and RE2.",
+)
+def pii_density_report(spark, sf):
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    per_doc = d.select(
+        "source",
+        F.length(raw).alias("chars"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), 0)).alias(
+            "emails"
+        ),
+        F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0)).alias(
+            "phones"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("emails").cast("long").alias("n_emails"),
+        F.sum("phones").cast("long").alias("n_phones"),
+        (
+            F.round(
+                F.lit(10000.0)
+                * F.sum(F.col("emails") + F.col("phones"))
+                / F.sum("chars"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pii_per_10k_chars"),
+        (
+            F.round(
+                F.sum(
+                    F.when(F.col("emails") + F.col("phones") > 0, 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pct_docs_with_pii"),
+    )
+
+
+# =====================================================================
+# Log2 document-length profile (shard-size planning histogram)
+# =====================================================================
+
+@_q(
+    "length_profile_log2",
+    """
+    WITH b AS (
+      SELECT lang,
+             CASE WHEN n_chars <= 0 THEN -1
+                  ELSE length(bin(n_chars)) - 1 END AS bucket,
+             n_chars
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY lang, bucket
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS log2_bucket,
+           n_docs, min_chars, max_chars, sum_chars,
+           ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (
+             PARTITION BY lang) AS DOUBLE), 6) + 0.0 AS share
+    FROM cells
+    """,
+    "Power-of-two document-length histogram per language — the"
+    " shard-size planning profile (how much of the corpus is tiny"
+    " fragments vs book-length outliers decides packing strategy,"
+    " chunking windows, and maxPartitionBytes). The bucket is"
+    " floor(log2(n_chars)) computed INTEGER-EXACTLY as"
+    " length(bin(n)) - 1 — binary-string length, never float log2"
+    " whose boundary ulps could shift a power-of-two-sized doc into"
+    " the neighboring bucket on one engine. One map-combined"
+    " aggregate to a (langs x ~20 buckets) cell frame; the share"
+    " window runs on that bounded frame.",
+)
+def length_profile_log2(spark, sf):
+    d = _t(spark, sf, "documents")
+    bucket = F.when(F.col("n_chars") <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("n_chars"))) - 1
+    )
+    cells = (
+        d.select("lang", bucket.alias("bucket"), "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        F.col("bucket").cast("long").alias("log2_bucket"),
+        "n_docs",
+        "min_chars",
+        "max_chars",
+        "sum_chars",
+        (
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("share"),
+    )
+
+
+# =====================================================================
+# Robust trend statistics on daily metric series
+# =====================================================================
+
+_DAILY_CELLS_SQL = """
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+"""
+
+_PAIRS_SQL = """
+      SELECT a.event_type,
+             b.cnt - a.cnt AS dy,
+             b.day_idx - a.day_idx AS dx
+      FROM cells a JOIN cells b
+        ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+"""
+
+
+def _daily_cells(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _slope_pairs(cells):
+    a = cells.select(
+        F.col("event_type").alias("et"),
+        F.col("day_idx").alias("da"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("et"),
+        F.col("day_idx").alias("db"),
+        F.col("cnt").alias("cb"),
+    )
+    return (
+        a.join(b, "et")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            F.col("et").alias("event_type"),
+            (F.col("cb") - F.col("ca")).alias("dy"),
+            (F.col("db") - F.col("da")).alias("dx"),
+        )
+    )
+
+
+@_q(
+    "theil_sen_trend",
+    f"""
+    WITH cells AS ({_DAILY_CELLS_SQL}),
+    pairs AS ({_PAIRS_SQL}),
+    slopes AS (
+      SELECT event_type,
+             CAST(dy AS DOUBLE) / dx AS slope
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(SUM(slope) / COUNT(*), 8) + 0.0 AS sen_slope
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+    """,
+    "Theil–Sen robust trend estimate per event type over the daily"
+    " volume series: the median of all pairwise slopes — up to ~29%"
+    " corrupted days cannot move it, where OLS follows a single"
+    " outlier (the monitoring-series fit you run before trusting"
+    " seasonal_naive_eval's baseline). The O(days^2) pair expansion"
+    " runs on the POST-AGGREGATE daily cell frame (types x days rows"
+    " — the raw stream is reduced by one map-combined aggregate"
+    " first), so the quadratic is in days, never rows. The median is"
+    " selected by explicit row_number positions and averaged as"
+    " SUM/COUNT of the 1-2 middle values — the same arithmetic on"
+    " both engines, with no quantile-interpolation ulp hazard. Each"
+    " slope is ONE correctly-rounded int64/int64 division.",
+)
+def theil_sen_trend(spark, sf):
+    cells = _daily_cells(spark, sf)
+    slopes = _slope_pairs(cells).select(
+        "event_type",
+        (F.col("dy").cast("double") / F.col("dx")).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (F.round(F.sum("slope") / F.count("*"), 8) + F.lit(0.0)).alias(
+            "sen_slope"
+        ),
+    )
+
+
+@_q(
+    "mann_kendall_trend",
+    f"""
+    WITH cells AS ({_DAILY_CELLS_SQL}),
+    pairs AS ({_PAIRS_SQL})
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM cells c
+                 WHERE c.event_type = pairs.event_type) AS BIGINT)
+             AS n_days,
+           CAST(SUM(CASE WHEN dy > 0 THEN 1
+                         WHEN dy < 0 THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat,
+           ROUND(CAST(SUM(CASE WHEN dy > 0 THEN 1
+                               WHEN dy < 0 THEN -1 ELSE 0 END)
+                      AS DOUBLE)
+                 / (COUNT(*)), 6) + 0.0 AS tau
+    FROM pairs GROUP BY event_type
+    """,
+    "Mann–Kendall trend test per event type over the daily volume"
+    " series: S = sum of sign(later - earlier) over all day pairs,"
+    " and Kendall tau-a = S / (n(n-1)/2) — the distribution-free"
+    " 'is this metric drifting monotonically' test (no normality or"
+    " linearity assumed; Theil–Sen estimates the slope MK decides"
+    " is real). Pure integer arithmetic on the post-aggregate daily"
+    " cell frame until the single final division, so parity is"
+    " exact. The pair count per type IS n(n-1)/2, so tau's"
+    " denominator is the group's own COUNT(*).",
+)
+def mann_kendall_trend(spark, sf):
+    cells = _daily_cells(spark, sf)
+    ndays = cells.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    pairs = _slope_pairs(cells)
+    sign = (
+        F.when(F.col("dy") > 0, 1)
+        .when(F.col("dy") < 0, -1)
+        .otherwise(0)
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(sign).cast("long").alias("s_stat"),
+        F.count("*").alias("__n_pairs"),
+    )
+    return (
+        agg.join(F.broadcast(ndays), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.round(
+                    F.col("s_stat").cast("double") / F.col("__n_pairs"), 6
+                )
+                + F.lit(0.0)
+            ).alias("tau"),
+        )
+    )
+
+
+# =====================================================================
+# Weekly-cohort cumulative LTV per user
+# =====================================================================
+
+@_q(
+    "cohort_ltv_curve",
+    """
+    WITH p AS (
+      SELECT user_id,
+             date_trunc('week', ts) AS wk,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    first_wk AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY user_id
+    ),
+    sized AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first_wk GROUP BY cohort_wk
+    ),
+    cells AS (
+      SELECT f.cohort_wk,
+             date_diff('day', f.cohort_wk, p.wk) // 7 AS week_offset,
+             SUM(p.cents) AS cents
+      FROM p JOIN first_wk f ON p.user_id = f.user_id
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_wk, week_offset,
+             SUM(cents) OVER (PARTITION BY cohort_wk
+                              ORDER BY week_offset) AS cum_cents
+      FROM cells
+    )
+    SELECT c.cohort_wk, CAST(c.week_offset AS BIGINT) AS week_offset,
+           s.cohort_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           ROUND(CAST(c.cum_cents AS DOUBLE)
+                 / (100.0 * s.cohort_users), 6) + 0.0
+             AS ltv_per_user
+    FROM cum c JOIN sized s ON c.cohort_wk = s.cohort_wk
+    """,
+    "Weekly-cohort cumulative lifetime value per user: users grouped"
+    " by first-purchase week, revenue accumulated across week"
+    " offsets, divided by cohort size — the LTV curve a growth team"
+    " reads next to retention_cohorts' activity grid. Money rides as"
+    " integer cents end to end (the agg_decimal_exact rule), so the"
+    " cumulative window is an exact int64 running sum and the final"
+    " per-user division is ONE correctly-rounded double. Plan: the"
+    " purchases->first-purchase join is co-keyed on user_id (one"
+    " user shuffle serves both the MIN and the join); the cumulative"
+    " window and cohort-size join run on the (weeks x offsets) cell"
+    " frame, bounded by the calendar, not row volume.",
+)
+def cohort_ltv_curve(spark, sf):
+    ev = _t(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    first_wk = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = first_wk.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    cells = (
+        p.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_wk"))
+                / F.lit(7)
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "cohort_wk",
+        "week_offset",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sized), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "cohort_users",
+        F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+        (
+            F.round(
+                F.col("cum_cents").cast("double")
+                / (F.lit(100.0) * F.col("cohort_users")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ltv_per_user"),
+    )
+
+
+# =====================================================================
+# Product quantization (vector compression for ANN at scale)
+# =====================================================================
+
+_PQ_SUBSPACES = 8
+_PQ_DIM = 8       # 64-dim embeddings -> 8 subvectors of 8 dims
+_PQ_K = 16        # 16 centroids per subspace -> 4-bit codes
+
+
+def _pq_codebooks():
+    """Fixed deterministic PQ codebooks, (subspaces, k, dim) — the
+    fixed-quantizer convention (similarity.fixed_centroids) applied
+    per subspace so assignment is engine-identical arithmetic."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    return rng.standard_normal((_PQ_SUBSPACES, _PQ_K, _PQ_DIM))
+
+
+def _pq_oracle_sql() -> str:
+    books = _pq_codebooks()
+    code_cols, err_terms = [], []
+    for s in range(_PQ_SUBSPACES):
+        dists = []
+        for j in range(_PQ_K):
+            # (x-c)*(x-c), never pow(x,2): IEEE multiply is identical
+            # everywhere, libm pow is not
+            terms = " + ".join(
+                f"((CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
+                f" - ({books[s][j][d]!r}))"
+                f" * (CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
+                f" - ({books[s][j][d]!r})))"
+                for d in range(_PQ_DIM)
+            )
+            dists.append(f"({terms})")
+        arr = "[" + ", ".join(dists) + "]"
+        code_cols.append(
+            f"CAST(list_position(ds[{s + 1}], list_min(ds[{s + 1}])) - 1"
+            f" AS BIGINT) AS code{s}"
+        )
+        err_terms.append(f"list_min(ds[{s + 1}])")
+        if s == 0:
+            ds_build = [arr]
+        else:
+            ds_build.append(arr)
+    ds = "[" + ", ".join(ds_build) + "]"
+    err = " + ".join(err_terms)
+    cols = ",\n           ".join(code_cols)
+    return f"""
+    WITH d AS (
+      SELECT vec_id, {ds} AS ds FROM embeddings
+    )
+    SELECT vec_id,
+           {cols},
+           ROUND({err}, 6) + 0.0 AS recon_sqerr
+    FROM d
+    """
+
+
+def _pq_spark_dists(s: int, books) -> str:
+    dists = []
+    for j in range(_PQ_K):
+        terms = " + ".join(
+            f"((cast(embedding[{s * _PQ_DIM + d}] as double)"
+            f" - ({books[s][j][d]!r}D))"
+            f" * (cast(embedding[{s * _PQ_DIM + d}] as double)"
+            f" - ({books[s][j][d]!r}D)))"
+            for d in range(_PQ_DIM)
+        )
+        dists.append(f"({terms})")
+    return "array(" + ", ".join(dists) + ")"
+
+
+@_q(
+    "embed_pq_quantize",
+    _pq_oracle_sql(),
+    "Product quantization: each 64-dim embedding split into 8"
+    " subvectors, each assigned to the nearest of 16 fixed"
+    " deterministic codebook centroids — 8 four-bit codes, a 64x"
+    " compression of float32 vectors, the memory move that makes"
+    " billion-vector ANN fit executor RAM (IVF-PQ's second stage;"
+    " embed_quantize_int8 compresses VALUES, this compresses"
+    " GEOMETRY). Assignment is argmin squared-L2 with first-match"
+    " (smallest code) tie-break, all constants fixed-seed, so codes"
+    " AND the per-vector reconstruction error are engine-identical"
+    " arithmetic — fully hash-checked like embed_ann_ivf_exact."
+    " Spark evaluates each subspace's 16 distances once into a bound"
+    " array column (the CSE lesson: Catalyst does not reliably dedupe"
+    " an expression referenced by both array_position and array_min)."
+    " Map-only scan, zero shuffle at any corpus size.",
+)
+def embed_pq_quantize(spark, sf):
+    books = _pq_codebooks()
+    e = _t(spark, sf, "embeddings")
+    # bind each subspace's distance array once
+    with_d = e.select(
+        "vec_id",
+        *[
+            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    err = None
+    cols = []
+    for s in range(_PQ_SUBSPACES):
+        cols.append(
+            (
+                F.array_position(
+                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias(f"code{s}")
+        )
+        m = F.array_min(F.col(f"__d{s}"))
+        err = m if err is None else err + m
+    return with_d.select(
+        "vec_id",
+        *cols,
+        (F.round(err, 6) + F.lit(0.0)).alias("recon_sqerr"),
+    )
+
+
+# =====================================================================
+# Null-safe equality join (the <=> / IS NOT DISTINCT FROM surface)
+# =====================================================================
+
+@_q(
+    "join_null_safe",
+    """
+    WITH v AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE user_id % 100 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS views
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE user_id % 100 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(v.k AS BIGINT) AS k, v.views, p.purchases
+    FROM v JOIN p ON v.k IS NOT DISTINCT FROM p.k
+    """,
+    "Null-safe equality join (Spark's <=> operator / SQL IS NOT"
+    " DISTINCT FROM): a plain equi-join silently DROPS rows whose"
+    " join key is NULL — the classic bug when an 'unknown' bucket"
+    " must still reconcile across two aggregates. Here a synthetic"
+    " unknown-user bucket (every 10th user id nullified) is"
+    " preserved through the join: Spark plans eqNullSafe as a"
+    " regular hash join on a null-coalesced key, so NULL<=>NULL"
+    " matches exactly once. The null-key group is a skew hazard on"
+    " raw facts, so the scale-correct shape aggregates BOTH sides"
+    " first (the join runs on two <=101-row key frames) — the"
+    " pattern this entry pins.",
+)
+def join_null_safe(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 100
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(k.alias("kv"))
+        .groupBy("kv")
+        .agg(F.count("*").cast("long").alias("views"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(k.alias("kp"))
+        .groupBy("kp")
+        .agg(F.count("*").cast("long").alias("purchases"))
+    )
+    return v.join(p, v["kv"].eqNullSafe(p["kp"])).select(
+        F.col("kv").cast("long").alias("k"), "views", "purchases"
+    )
+
+
+# =====================================================================
+# LATERAL correlated subquery (per-group top-k via the SQL surface)
+# =====================================================================
+
+@_q(
+    "lateral_topk_join",
+    """
+    SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_custkey, c_acctbal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           LIMIT 2
+         ) t
+    """,
+    "Per-group top-k through the SQL LATERAL surface: each nation"
+    " row drives a correlated ORDER BY ... LIMIT 2 subquery over"
+    " customer — the 'top 2 accounts per nation' shape analysts"
+    " write naturally as LATERAL and engines must decorrelate."
+    " Spark 4 plans this as a DomainJoin-decorrelated window"
+    " rank-filter (the same physical shape as sort_limit's"
+    " WindowGroupLimit path) rather than |nation| correlated scans"
+    " — the entry pins that the declarative LATERAL form gets the"
+    " decorrelated plan, fully tie-broken (acctbal DESC, custkey)"
+    " so the k-cut is engine-stable.",
+)
+def lateral_topk_join(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_custkey, c_acctbal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               LIMIT 2
+             ) t
+        """
+    )

