@@ -773,3 +773,423 @@ def lateral_topk_join(spark, sf):
              ) t
         """
     )
+
+
+# =====================================================================
+# SemDeDup: cluster-bucketed embedding near-dup pruning
+# =====================================================================
+
+def _semdedup_oracle_sql(tau: float) -> str:
+    """Fixed-quantizer cluster assignment (the embed_ann_ivf_exact
+    arithmetic) + within-cluster cosine pairs + deterministic prune
+    aggregate, all in DuckDB SQL."""
+    from ..operators import similarity as sim
+
+    cents = sim.fixed_centroids()
+    dots = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        dots.append(
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+    dots_arr = "[" + ", ".join(dots) + "]"
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {dots_arr} AS dots FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT)
+               AS list_id
+      FROM d
+    ),
+    pairs AS (
+      SELECT x.vec_id AS u, y.vec_id AS v,
+             ROUND(
+               list_sum(list_transform(generate_series(1,
+                 len(x.embedding)),
+                 i -> CAST(x.embedding[i] AS DOUBLE)
+                      * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding,
+                    t -> CAST(t AS DOUBLE) * t)))
+                  * sqrt(list_sum(list_transform(y.embedding,
+                    t -> CAST(t AS DOUBLE) * t)))), 6) AS cosine
+      FROM a x JOIN a y
+        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+    )
+    SELECT v AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_witnesses,
+           CAST(MIN(u) AS BIGINT) AS first_witness,
+           MAX(cosine) AS best_cos
+    FROM pairs WHERE cosine >= {tau}
+    GROUP BY v
+    """
+
+
+@_q(
+    "semdedup_prune",
+    _semdedup_oracle_sql(0.35),
+    "SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic"
+    " deduplication for web-scale training corpora — cluster the"
+    " embedding space, compare pairs ONLY within a cluster, and"
+    " prune every vector that has a lower-id near-duplicate"
+    " (cosine >= tau) in its cluster. This is the published recipe"
+    " for the all-pairs-cosine problem at the 100-TB tier: candidate"
+    " comparisons drop from n^2 to sum-of-cluster-sizes^2, and the"
+    " keep-the-smallest-id rule makes the prune set deterministic"
+    " without a connected-components pass. Cluster assignment is the"
+    " embed_ann_ivf_exact fixed-quantizer arithmetic (pure Catalyst,"
+    " no training pass), so the FULL pipeline — clustering, pair"
+    " candidacy, rounded cosine, prune aggregate — is value-hash-"
+    "checked; tau=0.35 matches embed_neardup so the two entries'"
+    " scopes compare directly (label-bucketed vs learned-geometry"
+    " buckets). Emits one row per pruned vector with its witness"
+    " count, smallest witness id, and best cosine.",
+)
+def semdedup_prune(spark, sf):
+    from ..functions.arrays import dot_expr, norm_expr
+    from ..operators import similarity as sim
+
+    cents = sim.fixed_centroids()
+    e = _t(spark, sf, "embeddings")
+    assigned = (
+        e.select(
+            "vec_id",
+            "embedding",
+            norm_expr("embedding").alias("__n"),
+        )
+        .withColumn(
+            "__dots", sim._centroid_dots_expr("embedding", cents)
+        )
+        .withColumn(
+            "list_id",
+            (
+                F.array_position(F.col("__dots"), F.array_max("__dots"))
+                - 1
+            ).cast("long"),
+        )
+        .drop("__dots")
+    )
+    x = assigned.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("u_vec"),
+        F.col("__n").alias("__un"),
+    )
+    y = assigned.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("v_vec"),
+        F.col("__n").alias("__vn"),
+    )
+    denom = F.col("__un") * F.col("__vn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_expr("u_vec", "v_vec") / denom
+    )
+    pairs = (
+        x.join(y, "list_id")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return pairs.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_witnesses"),
+        F.min("u").cast("long").alias("first_witness"),
+        F.max("cosine").alias("best_cos"),
+    ).select(
+        F.col("v").alias("vec_id"),
+        "n_witnesses",
+        "first_witness",
+        "best_cos",
+    )
+
+
+# =====================================================================
+# ANN quality evaluation: recall@k of LSH vs the exact baseline
+# =====================================================================
+
+def _recall_oracle_sql(k: int) -> str:
+    """Brute-force top-k and LSH top-k side by side, joined into a
+    per-query recall@k — the ANN quality readout, fully in SQL."""
+    from ..operators import similarity as sim
+
+    planes = sim._planes(64, sim.N_PLANES)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cosine = """
+             ROUND(
+               list_sum(list_transform(generate_series(1,
+                 len(c.embedding)),
+                 i -> CAST(q.q_vec[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)))), 6)
+    """
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+          FROM b WHERE vec_id < 20),
+    exact_scored AS (
+      SELECT q.q_id, c.vec_id, {cosine} AS cosine
+      FROM b c, q
+      WHERE c.vec_id <> q.q_id
+    ),
+    exact_ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM exact_scored
+    ),
+    exact_k AS (SELECT q_id, vec_id FROM exact_ranked WHERE rnk <= {k}),
+    lsh_scored AS (
+      SELECT q.q_id, c.vec_id, {cosine} AS cosine
+      FROM b c, q
+      WHERE c.vec_id <> q.q_id
+        AND bit_count(xor(c.bucket, q.q_bucket)) <= 1
+    ),
+    lsh_ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM lsh_scored
+    ),
+    lsh_k AS (SELECT q_id, vec_id FROM lsh_ranked WHERE rnk <= {k}),
+    hits AS (
+      SELECT e.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM exact_k e LEFT JOIN lsh_k l
+        ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+      GROUP BY e.q_id
+    )
+    SELECT q_id, n_exact, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) + 0.0
+             AS recall_at_k
+    FROM hits
+    """
+
+
+@_q(
+    "recall_at_k_eval",
+    _recall_oracle_sql(5),
+    "ANN quality evaluation AS AN OPERATOR: per-query recall@5 of the"
+    " LSH candidate path against the exact brute-force baseline —"
+    " the measurement loop every ANN deployment runs continuously"
+    " (pytest asserts a recall floor once; this entry makes the"
+    " readout itself a distributed, oracle-checked computation that"
+    " can run on production samples). Both pipelines are the"
+    " engine's own operators (operators/similarity.brute_force_topk"
+    " / lsh_topk); the hit join is on the (queries x k) frames, so"
+    " the evaluation adds one exact scan — the thing it exists to"
+    " tell you when to stop paying for. Fully hash-checked: both"
+    " candidate generations and both rankings are deterministic"
+    " arithmetic (the embed_ann_lsh precedent, twice).",
+)
+def recall_at_k_eval(spark, sf):
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact_k = sim.brute_force_topk(e, q, k=5).select("q_id", "vec_id")
+    lsh_k = (
+        sim.lsh_topk(e, q, k=5)
+        .select(F.col("q_id").alias("lq"), F.col("vec_id").alias("lv"))
+    )
+    hits = (
+        exact_k.join(
+            lsh_k,
+            (exact_k["q_id"] == lsh_k["lq"])
+            & (exact_k["vec_id"] == lsh_k["lv"]),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(
+                F.when(F.col("lv").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "q_id",
+        "n_exact",
+        "n_hit",
+        (
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6)
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )
+
+
+# =====================================================================
+# Trimmed (truncated) mean per group — the robust-mean readout
+# =====================================================================
+
+@_q(
+    "trimmed_mean_robust",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.10) AS p10,
+             quantile_cont(value, 0.90) AS p90
+      FROM events GROUP BY event_type
+    ),
+    kept AS (
+      SELECT e.event_type,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+      WHERE e.value >= c.p10 AND e.value <= c.p90
+    )
+    SELECT k.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(k.cents) AS DOUBLE) / (100.0 * COUNT(*)), 6)
+             + 0.0 AS trimmed_mean,
+           ROUND(c.p10, 6) + 0.0 AS p10,
+           ROUND(c.p90, 6) + 0.0 AS p90
+    FROM kept k JOIN cuts c ON k.event_type = c.event_type
+    GROUP BY k.event_type, c.p10, c.p90
+    """,
+    "10% two-sided trimmed mean per event type — the robust central"
+    " tendency a metrics pipeline reports when winsorize_clip's"
+    " clamping is too invasive and the plain mean follows one bad"
+    " sensor reading. The [p10, p90] cut points are EXACT"
+    " interpolated quantiles from operators/quantiles' two-phase"
+    " bucketed selection (state bounded by groups x 1024 buckets,"
+    " never a column-buffering percentile aggregate), broadcast onto"
+    " a codegen'd filter; kept values are summed as integer cents"
+    " (the agg_decimal_exact rule) so the sum is order-independent"
+    " and the mean is ONE correctly-rounded division. Fact shuffles"
+    " once for the final per-type aggregate; the cut comparison is"
+    " bit-identical interpolated doubles on both engines.",
+)
+def trimmed_mean_robust(spark, sf):
+    from ..operators.quantiles import exact_group_quantiles
+
+    ev = _t(spark, sf, "events")
+    cuts = exact_group_quantiles(
+        ev, "value", {"p10": 0.10, "p90": 0.90}, ["event_type"]
+    )
+    kept = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .where(
+            (F.col("value") >= F.col("p10"))
+            & (F.col("value") <= F.col("p90"))
+        )
+        .select(
+            "event_type",
+            "p10",
+            "p90",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return kept.groupBy("event_type", "p10", "p90").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        (
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.lit(100.0) * F.count("*")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("trimmed_mean"),
+    ).select(
+        "event_type",
+        "n_kept",
+        "trimmed_mean",
+        (F.round(F.col("p10"), 6) + F.lit(0.0)).alias("p10"),
+        (F.round(F.col("p90"), 6) + F.lit(0.0)).alias("p90"),
+    )
+
+
+# =====================================================================
+# Daily-series autocorrelation (lags 1..7)
+# =====================================================================
+
+@_q(
+    "autocorr_daily",
+    f"""
+    WITH cells AS ({_DAILY_CELLS_SQL}),
+    lagged AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM cells a
+      JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON true
+      JOIN cells b
+        ON b.event_type = a.event_type
+       AND b.day_idx = a.day_idx + l.lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(
+             (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                          AS DOUBLE))
+                * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                            AS DOUBLE))), 6) + 0.0 AS acf
+    FROM lagged GROUP BY event_type, lag
+    """,
+    "Autocorrelation function (lags 1-7) of each event type's daily"
+    " volume series — the seasonality fingerprint read before"
+    " choosing seasonal_naive_eval's period (a weekly cycle shows as"
+    " an acf(7) spike). All moment sums are exact int64 on the"
+    " POST-AGGREGATE daily cell frame (the theil_sen/mann_kendall"
+    " pattern: the raw stream reduces once, the lag self-join and"
+    " Pearson algebra touch types x days x 7 rows); the only floats"
+    " are two IEEE-correctly-rounded sqrts and one division, so"
+    " parity is exact. The lag join is an equi-join on"
+    " (type, day + lag) — no windows, no sorts.",
+)
+def autocorr_daily(spark, sf):
+    cells = _daily_cells(spark, sf)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = cells.select(
+        F.col("event_type").alias("et"),
+        F.col("day_idx").alias("da"),
+        F.col("cnt").alias("x"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("et"),
+        F.col("day_idx").alias("db"),
+        F.col("cnt").alias("y"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (a["et"] == b["et"]) & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+        .select(a["et"].alias("event_type"), "lag", "x", "y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return lagged.groupBy("event_type", "lag").agg(
+        n.cast("long").alias("n"),
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                / (
+                    F.sqrt((n * sxx - sx * sx).cast("double"))
+                    * F.sqrt((n * syy - sy * sy).cast("double"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf"),
+    ).select(
+        "event_type", F.col("lag").cast("long").alias("lag"), "n", "acf"
+    )

@@ -240,6 +240,12 @@ HEADLINE = [
     "cohort_ltv_curve",
     "lateral_topk_join",
     "stream_quality_gate",
+    # round-7 third batch: the cluster-bucketed semantic dedup (the
+    # within-cluster pair cost is the scale story) and the
+    # two-pipeline recall evaluation
+    "semdedup_prune",
+    "recall_at_k_eval",
+    "trimmed_mean_robust",
 ]
 
 

@@ -234,3 +234,78 @@ def test_rate_shrinkage_pulls_toward_global(spark):
     assert (r["k"] <= r["n"]).all()
     # the shrunk estimator never leaves [0, 1]
     assert r["shrunk_rate"].between(0, 1).all()
+
+
+def test_trend_tests_recover_planted_monotone_series(spark):
+    # Mann–Kendall on a strictly increasing series must saturate:
+    # S = n(n-1)/2, tau = 1; Theil–Sen on an exactly linear series
+    # must recover the true slope exactly (every pairwise slope is
+    # the same rational, and the median of identical values is that
+    # value). Built on a synthetic daily frame routed through the
+    # same pair/median machinery via monkeypatched cells.
+    from az_datapipeline_sentiment_analysis_spark.plans import (
+        queries_r7 as r7,
+    )
+
+    rows = [("up", d, 100 + 7 * d) for d in range(12)]
+    cells = spark.createDataFrame(rows, "event_type string, day_idx int, cnt long")
+    pairs = r7._slope_pairs(cells).toPandas()
+    n = 12
+    assert len(pairs) == n * (n - 1) // 2
+    import numpy as np
+
+    s = int(np.sign(pairs["dy"]).sum())
+    assert s == n * (n - 1) // 2  # strictly increasing -> saturated S
+    slopes = pairs["dy"].astype(float) / pairs["dx"]
+    assert (slopes == 7.0).all()  # exactly linear -> every slope exact
+
+
+@pytest.mark.parametrize("sf", [SF1, SF2])
+def test_trend_tests_bounds_on_real_data(spark, sf):
+    mk = REGISTRY["mann_kendall_trend"].fn(spark, sf).toPandas()
+    max_s = mk["n_days"] * (mk["n_days"] - 1) / 2
+    assert (mk["s_stat"].abs() <= max_s).all()
+    assert mk["tau"].between(-1, 1).all()
+    ts = REGISTRY["theil_sen_trend"].fn(spark, sf).toPandas()
+    both = ts.merge(mk, on="event_type")
+    # the pair frame the two tests share: n_pairs == n(n-1)/2 exactly
+    assert (
+        both["n_pairs"] == both["n_days"] * (both["n_days"] - 1) // 2
+    ).all()
+    assert ts["sen_slope"].notna().all()
+
+
+def test_pq_codes_and_reconstruction_invariants(spark):
+    pq = REGISTRY["embed_pq_quantize"].fn(spark, SF1).toPandas()
+    for s in range(8):
+        assert pq[f"code{s}"].between(0, 15).all()
+    assert (pq["recon_sqerr"] >= 0).all()
+    # argmin property: reconstruction error with the ASSIGNED codes
+    # must not exceed the error of the all-zeros code assignment
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries_r7 import (
+        _pq_codebooks,
+    )
+
+    books = _pq_codebooks()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF1}/embeddings.parquet'"
+    ).fetchdf()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    zero_err = sum(
+        ((m[:, 8 * s : 8 * s + 8] - books[s][0]) ** 2).sum(axis=1)
+        for s in range(8)
+    )
+    got = pq.set_index("vec_id").loc[emb["vec_id"]]["recon_sqerr"].values
+    assert (got <= zero_err + 1e-6).all()
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    ltv = REGISTRY["cohort_ltv_curve"].fn(spark, SF2).toPandas()
+    for _, g in ltv.groupby("cohort_wk"):
+        g = g.sort_values("week_offset")
+        assert g["cum_revenue_cents"].is_monotonic_increasing
+        assert g["ltv_per_user"].is_monotonic_increasing
+    # offset 0 always exists: the cohort's defining purchase is in it
+    assert (ltv.groupby("cohort_wk")["week_offset"].min() == 0).all()
