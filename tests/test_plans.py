@@ -388,6 +388,35 @@ def test_ewma_smooth_day_carry_fact_window(spark):
         raise AssertionError(f"per-type-only partitioning: {m.group(0)}\n{plan}")
 
 
+def test_lateral_topk_decorrelates_to_window(spark):
+    # the LATERAL correlated ORDER BY/LIMIT subquery must plan as a
+    # decorrelated window rank-filter (WindowGroupLimit pushes the
+    # cut below the shuffle), never per-outer-row correlated scans or
+    # a cartesian product
+    df = REGISTRY["lateral_topk_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pairs_only_within_clusters(spark):
+    # the pair join must key on the cluster id (list_id) — a plan
+    # without that equi-key means the n^2 all-pairs form came back
+    plan = _formatted_plan(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"hashpartitioning\(list_id", plan) or re.search(
+        r"\[list_id", plan
+    ), plan
+
+
+def test_trimmed_mean_no_buffering_percentile(spark):
+    # cuts must come from the two-phase selection, never the
+    # column-buffering Percentile/ObjectHashAggregate
+    plan = _formatted_plan(spark, "trimmed_mean_robust")
+    assert "percentile" not in plan.lower(), plan
+    assert "ObjectHashAggregate" not in plan, plan
+
+
 def test_graph_triangles_adjacency_intersect_no_cartesian(spark):
     # the adjacency-intersect form must keep the wedge set virtual: no
     # CartesianProduct, and the triangle count comes from a JVM-side
