@@ -2659,6 +2659,19 @@ _RECHECK_PERF_ONLY = frozenset(
     }
 )
 
+# Entries added AFTER round 7's 50-slot window filled (6 rechecks +
+# 16 gate-debt + 16 first-checks + 8 perf-only rechecks): they sort
+# behind everything owed this round, displacing nothing, and lead
+# round 8's window automatically. Each was mirror-verified at all
+# three scales on landing (the round-6 _DEFER_FIRST_CHECK precedent).
+_DEFER_FIRST_CHECK = frozenset(
+    {
+        "recursive_cte_paths",
+        "group_by_all_syntax",
+        "stl_decompose_additive",
+    }
+)
+
 
 def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
@@ -2680,6 +2693,8 @@ def _gate_priority(name: str) -> float:
         return 0.5  # round-6 window overflow — external row owed
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
+    if name in _DEFER_FIRST_CHECK:
+        return 1.6  # landed after the round's window filled
     if name in _DRIVER_GREEN_R6:
         return 8
     if name in _DRIVER_GREEN_R5:

@@ -1193,3 +1193,220 @@ def autocorr_daily(spark, sf):
     ).select(
         "event_type", F.col("lag").cast("long").alias("lag"), "n", "acf"
     )
+
+
+# =====================================================================
+# Recursive CTE (Spark 4 WITH RECURSIVE surface)
+# =====================================================================
+
+_NATION_TREE_SQL = """
+      SELECT n_nationkey AS node,
+             CASE WHEN n_nationkey = 0 THEN NULL
+                  ELSE CAST(floor((n_nationkey - 1) / 2) AS BIGINT)
+             END AS parent
+      FROM nation
+"""
+
+
+@_q(
+    "recursive_cte_paths",
+    f"""
+    WITH RECURSIVE edges AS ({_NATION_TREE_SQL}),
+    walk(node, root, depth) AS (
+      SELECT node, node AS root, 0 AS depth
+      FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.node, w.root, w.depth + 1
+      FROM edges e JOIN walk w ON e.parent = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(root AS BIGINT) AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+    "Spark 4's WITH RECURSIVE surface: hierarchy walk (depth + root"
+    " per node) over a deterministic binary-tree parent derivation"
+    " on nation — the org-chart / BOM / category-tree traversal"
+    " every warehouse eventually needs, now expressible natively"
+    " instead of via a driver-side iteration loop (contrast"
+    " graph_pagerank / dedup_clusters, which predate the feature and"
+    " unroll iterations manually — the oracle side has used DuckDB's"
+    " recursive CTEs since round 1, so this closes the surface gap"
+    " in the Spark direction). Each recursion step is one co-keyed"
+    " join of the frontier against the edge frame; state is the"
+    " frontier, bounded by tree width; termination is the empty"
+    " frontier, depth bounded by log2(nodes) here.",
+)
+def recursive_cte_paths(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({_NATION_TREE_SQL}),
+        walk(node, root, depth) AS (
+          SELECT node, node AS root, 0 AS depth
+          FROM edges WHERE parent IS NULL
+          UNION ALL
+          SELECT e.node, w.root, w.depth + 1
+          FROM edges e JOIN walk w ON e.parent = w.node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(root AS BIGINT) AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM walk
+        """
+    )
+
+
+# =====================================================================
+# GROUP BY ALL / ORDER BY ALL (modern SQL sugar surface)
+# =====================================================================
+
+@_q(
+    "group_by_all_syntax",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+    "The GROUP BY ALL / ORDER BY ALL sugar (Spark 3.4+/4): every"
+    " non-aggregate select item groups implicitly — the ergonomic"
+    " form analysts write; the entry pins that it resolves to"
+    " exactly the explicit GROUP BY plan (the oracle runs the"
+    " explicit form), same partial+final hash aggregate, integer-"
+    "cents money. Resolution is purely syntactic, so this is a"
+    " surface-parity pin, not a new physical shape.",
+)
+def group_by_all_syntax(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# =====================================================================
+# Additive seasonal decomposition (trend + weekday seasonal + residual)
+# =====================================================================
+
+@_q(
+    "stl_decompose_additive",
+    f"""
+    WITH cells AS ({_DAILY_CELLS_SQL}),
+    tr AS (
+      SELECT event_type, day_idx, cnt,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(ROUND(1000000.0 * SUM(cnt) OVER w / 7, 0)
+                       AS BIGINT)
+             END AS trend_u
+      FROM cells
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, day_idx % 7 AS dow,
+             cnt * 1000000 - trend_u AS resid_u
+      FROM tr WHERE trend_u IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(ROUND(AVG(resid_u), 0) AS BIGINT) AS seasonal_u
+      FROM detr GROUP BY event_type, dow
+    )
+    SELECT t.event_type, CAST(t.day_idx AS BIGINT) AS day_idx,
+           t.cnt,
+           ROUND(t.trend_u / 1000000.0, 4) + 0.0 AS trend,
+           ROUND(s.seasonal_u / 1000000.0, 4) + 0.0 AS seasonal,
+           ROUND((t.cnt * 1000000 - t.trend_u - s.seasonal_u)
+                 / 1000000.0, 4) + 0.0 AS residual
+    FROM tr t JOIN seas s
+      ON t.event_type = s.event_type AND t.day_idx % 7 = s.dow
+    WHERE t.trend_u IS NOT NULL
+    """,
+    "Classical additive seasonal decomposition of each type's daily"
+    " volume series: trend = centered 7-day moving average, weekday"
+    " seasonal = mean detrended value per day-of-week, residual ="
+    " observed - trend - seasonal — the decomposition read before"
+    " picking seasonal_naive_eval's baseline or alerting on"
+    " anomaly_cusum's changepoints. Runs entirely on the"
+    " POST-AGGREGATE daily cell frame (types x days; one raw-stream"
+    " reduce). EXACTNESS: the moving average is an int64 sum divided"
+    " once and immediately quantized to integer micro-units, so the"
+    " detrended values, the seasonal means (int64 sums of micro-"
+    "units), and the residuals are ALL order-independent integer"
+    " arithmetic — no float-summation ulp can move a value between"
+    " engines. Edge days without a full 7-day window are excluded"
+    " (COUNT(*) OVER w = 7), the standard centered-MA convention.",
+)
+def stl_decompose_additive(spark, sf):
+    cells = _daily_cells(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    tr = cells.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.round(
+                F.lit(1000000.0) * F.sum("cnt").over(w) / 7, 0
+            ).cast("long"),
+        ).alias("trend_u"),
+    ).where(F.col("trend_u").isNotNull())
+    detr = tr.select(
+        "event_type",
+        (F.col("day_idx") % 7).alias("dow"),
+        (F.col("cnt") * 1000000 - F.col("trend_u")).alias("resid_u"),
+    )
+    seas = detr.groupBy(
+        F.col("event_type").alias("__set"), "dow"
+    ).agg(
+        F.round(F.avg("resid_u"), 0).cast("long").alias("seasonal_u")
+    )
+    return (
+        tr.join(
+            F.broadcast(seas),
+            (F.col("event_type") == F.col("__set"))
+            & ((F.col("day_idx") % 7) == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            F.col("day_idx").cast("long").alias("day_idx"),
+            "cnt",
+            (F.round(F.col("trend_u") / 1000000.0, 4) + F.lit(0.0)).alias(
+                "trend"
+            ),
+            (
+                F.round(F.col("seasonal_u") / 1000000.0, 4) + F.lit(0.0)
+            ).alias("seasonal"),
+            (
+                F.round(
+                    (
+                        F.col("cnt") * 1000000
+                        - F.col("trend_u")
+                        - F.col("seasonal_u")
+                    )
+                    / 1000000.0,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("residual"),
+        )
+    )
