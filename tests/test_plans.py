@@ -64,6 +64,47 @@ PLAN_BUDGETS = {
 _BNLJ_OK = {"q2_min_cost_supplier", "q11_important_stock", "q22_global_sales"}
 
 
+def _node_indent(line: str) -> int:
+    """Column where the node NAME starts in a simple-plan tree line
+    ('   :  +- Sort ...' -> index of 'S')."""
+    m = re.search(r"[+:]- ", line)
+    return m.end() if m else len(line) - len(line.lstrip(" :"))
+
+
+def _has_single_partition_sort(simple_plan: str) -> bool:
+    """True if a Sort/Window node is fed by an Exchange
+    SinglePartition — the single-task global sort. The parent of a
+    tree line is the nearest line above whose node name starts 3
+    columns left (one '+- ' level); AQE/codegen wrappers in between
+    are skipped. Works on executedPlan().toString() — the formatted
+    mode prints the exchange's distribution on a separate Arguments
+    line, which made the old contiguous-string checks vacuous."""
+    lines = simple_plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        ind = _node_indent(line)
+        for parent in reversed(lines[:i]):
+            p_ind = _node_indent(parent)
+            if p_ind >= ind:
+                continue
+            stripped = parent.strip().lstrip(":+- ")
+            if stripped.startswith(("AQEShuffleRead", "ShuffleQueryStage",
+                                    "InputAdapter", "WholeStageCodegen")):
+                ind = p_ind
+                continue
+            if stripped.startswith(("Sort ", "Sort[", "Window ",
+                                    "WindowGroupLimit")):
+                return True
+            break
+    return False
+
+
+def _simple_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def _formatted_plan(spark, name: str) -> str:
     df = REGISTRY[name].fn(spark, SF_SMOKE)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -364,7 +405,9 @@ def test_win_ntile_no_single_partition_window(spark):
     assert "ntile(" not in plan, plan
     assert "percent_rank(" not in plan, plan
     assert "cume_dist(" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    assert not _has_single_partition_sort(
+        _simple_plan(spark, "win_ntile")
+    )
     assert "hashpartitioning(__b" in plan, plan
 
 
@@ -378,7 +421,9 @@ def test_ewma_smooth_day_carry_fact_window(spark):
     # the tiny counts frame via coalesce(1), never an Exchange
     # SinglePartition.
     plan = _formatted_plan(spark, "ewma_smooth")
-    assert "Exchange SinglePartition" not in plan, plan
+    assert not _has_single_partition_sort(
+        _simple_plan(spark, "ewma_smooth")
+    )
     # the fact window's partition clause must include the day column
     assert re.search(r"hashpartitioning\(event_type#\d+, __pd", plan), plan
     # the carry tails branch must push its rank cut below the exchange
@@ -494,6 +539,19 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # same bound the pair expansion itself relies on
         "market_basket_rules",
     }
+    # Entries whose ONLY single-partition sort/window runs on a
+    # bounded post-aggregate frame (plan-audited round 7; the fact
+    # side of each stays hash-partitioned):
+    BOUNDED_FRAME_GLOBAL_SORT = {
+        "pack_sequences",          # prefix sum over BUCKET totals
+        "period_over_period",      # lag over the months frame
+        "interval_concurrency",    # sweep over calendar-bounded cells
+        "cumulative_distinct_users",  # running sum over the date frame
+        "chi2_independence",       # margins over the 25-cell grid
+        "interval_overlap_join",   # share filter over the hours frame
+        "apportion_quota",         # remainders over the #sources frame
+        "stream_psi_drift",        # PSI over the 10-decile frame
+    }
     offenders, oha_unlisted, cartesian = {}, {}, {}
     for name, entry in REGISTRY.items():
         try:
@@ -512,6 +570,19 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # joins plan as BroadcastNestedLoopJoin instead
         if "CartesianProduct" in plan:
             cartesian[name] = "CartesianProduct"
+        # round-7 blanket invariant: no entry may SORT a single
+        # partition — the one-task-does-everything shape behind every
+        # past scale-killer (win_ntile r5, ewma_smooth r6). A bare
+        # Exchange SinglePartition is fine when it merges scalar
+        # aggregate partials (one row per map task — min/max/count
+        # global stats do this legitimately all over the registry);
+        # the hazard is a Sort/Window fed by one — UNLESS the sorted
+        # frame is a POST-AGGREGATE frame whose cardinality is
+        # bounded by something other than row volume. Audited
+        # whitelist (each bound checked by reading the plan):
+        if _has_single_partition_sort(plan) and name not in \
+                BOUNDED_FRAME_GLOBAL_SORT:
+            cartesian[name] = "Sort over Exchange SinglePartition"
     assert not offenders, offenders
     assert not oha_unlisted, oha_unlisted
     assert not cartesian, cartesian
@@ -527,7 +598,7 @@ def test_drift_family_plans_stay_distributed(spark):
                  "novelty_bigram_loo"):
         plan = _formatted_plan(spark, name)
         assert "CartesianProduct" not in plan, (name, plan)
-        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert not _has_single_partition_sort(_simple_plan(spark, name)), name
         assert plan.count("BroadcastNestedLoopJoin") <= 2, (name, plan)
     # the containment inverted index is pure equi-join — not even a
     # broadcast nested loop
@@ -550,7 +621,7 @@ def test_drift_family_plans_stay_distributed(spark):
         plan = _formatted_plan(spark, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
-        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert not _has_single_partition_sort(_simple_plan(spark, name)), name
 
 
 def test_global_shuffle_order_no_single_partition(spark):
@@ -560,7 +631,9 @@ def test_global_shuffle_order_no_single_partition(spark):
     # coalesce(1) — a row_number over an unpartitioned ORDER BY (one
     # task sorts the corpus) must never come back
     plan = _formatted_plan(spark, "global_shuffle_order")
-    assert "Exchange SinglePartition" not in plan, plan
+    assert not _has_single_partition_sort(
+        _simple_plan(spark, "global_shuffle_order")
+    )
     assert "hashpartitioning(__b" in plan, plan
 
 
@@ -580,7 +653,9 @@ def test_auc_by_cohort_windows_partition_by_cohort(spark):
     # rank (one task sorts every event) or a SinglePartition exchange
     # means the per-slice parallelism contract broke
     plan = _formatted_plan(spark, "auc_by_cohort")
-    assert "Exchange SinglePartition" not in plan, plan
+    assert not _has_single_partition_sort(
+        _simple_plan(spark, "auc_by_cohort")
+    )
     assert "hashpartitioning(cohort" in plan, plan
 
 
