@@ -2670,6 +2670,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "group_by_all_syntax",
         "stl_decompose_additive",
         "cogroup_pandas_asof",
+        "dedup_verdict",
     }
 )
 
