@@ -2693,10 +2693,13 @@ def _gate_priority(name: str) -> float:
         return 0  # semantics/plan changed this round — re-verify first
     if name in _GATE_DEBT_R6:
         return 0.5  # round-6 window overflow — external row owed
+    if name in _DEFER_FIRST_CHECK:
+        # landed after the owed tiers filled the window; still a FIRST
+        # check, which outranks a re-row on a mirror-reproved rewrite
+        # (the round-6 precedent)
+        return 1.45
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
-    if name in _DEFER_FIRST_CHECK:
-        return 1.6  # landed after the round's window filled
     if name in _DRIVER_GREEN_R6:
         return 8
     if name in _DRIVER_GREEN_R5:
