@@ -2671,6 +2671,8 @@ _DEFER_FIRST_CHECK = frozenset(
         "stl_decompose_additive",
         "cogroup_pandas_asof",
         "dedup_verdict",
+        "kfold_assign_stratified",
+        "label_noise_screen",
     }
 )
 
