@@ -525,6 +525,9 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         "sketch_theta_distinct", "sketch_theta_setops",  # sketches
         "join_bloom_runtime",                       # runtime bloom
         "minhash_neardup", "simhash_neardup",       # copy-group collect
+        # composes minhash_pairs, so it inherits the same copy-group
+        # collect (state bounded by copy multiplicity, not row volume)
+        "dedup_verdict",
         "session_paths_topk",                       # capped at 64/session
         # out-neighbor lists under the degree orientation: every
         # neighbor outranks the node, so list length is capped by
