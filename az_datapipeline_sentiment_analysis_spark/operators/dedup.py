@@ -47,17 +47,49 @@ from ..functions.text import fingerprint_expr
 # invocation's worth of blocks per operator. (Concurrent invocations
 # of the same operator in one session may recompute — never produce
 # wrong results; the registry and production jobs run sequentially.)
-_CACHE_GENERATIONS: dict[str, list[DataFrame]] = {}
+_CACHE_GENERATIONS: dict[tuple[str, int], list[DataFrame]] = {}
+_CACHE_GENERATIONS_MAX = 8  # distinct (operator, input) keys pinned at once
+
+
+def _plan_key(df: DataFrame) -> int:
+    """Semantic hash of a frame's analyzed plan — stable across
+    re-invocations over the same input, distinct across inputs."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return 0  # connect/session quirk: fall back to operator-only key
 
 
 def _persist_generation(key: str, *frames: DataFrame) -> list[DataFrame]:
-    for old in _CACHE_GENERATIONS.get(key, []):
+    """Persist ``frames`` and release the previous generation pinned
+    under the same (operator, input-plan) key.
+
+    Keyed by (operator, semanticHash of the first frame's analyzed
+    plan), not operator name alone: a plan composing two invocations
+    of the same generator over DIFFERENT inputs keeps both
+    generations pinned until materialized, so the materialize-once
+    guarantee holds for each (the operator-name-only form unpersisted
+    the earlier invocation's blocks before they were ever read —
+    correct results, silent recompute). Same-input re-entry still
+    releases the stale generation. Total pinning stays bounded by an
+    FIFO cap on distinct keys, so a long-lived session scanning many
+    tables cannot accumulate unbounded cache blocks.
+    """
+    gen_key = (key, _plan_key(frames[0]))
+    for old in _CACHE_GENERATIONS.pop(gen_key, []):
         try:
             old.unpersist()
         except Exception:
             pass  # session may be gone; never fail the new query
+    while len(_CACHE_GENERATIONS) >= _CACHE_GENERATIONS_MAX:
+        oldest = next(iter(_CACHE_GENERATIONS))  # insertion order = FIFO
+        for old in _CACHE_GENERATIONS.pop(oldest):
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     out = [f.persist() for f in frames]
-    _CACHE_GENERATIONS[key] = out
+    _CACHE_GENERATIONS[gen_key] = out
     return out
 
 

@@ -120,7 +120,7 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     2^i * (dot(vec, plane_i) > 0)."""
     terms = []
     for i, p in enumerate(planes):
-        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in p) + ")"
+        arr = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in p) + ")"
         dot = (
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y),"
             " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -216,7 +216,7 @@ def _centroid_dots_expr(vec_col: str, cents: np.ndarray) -> F.Column:
     same left-fold summation order as the DuckDB oracle's list_sum."""
     dots = []
     for c in cents:
-        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in c) + ")"
+        arr = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in c) + ")"
         dots.append(
             f"aggregate(zip_with({vec_col}, {arr},"
             " (x, y) -> cast(x as double) * y),"

@@ -577,9 +577,9 @@ def _pq_oracle_sql() -> str:
             # everywhere, libm pow is not
             terms = " + ".join(
                 f"((CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
-                f" - ({books[s][j][d]!r}))"
+                f" - ({float(books[s][j][d])!r}))"
                 f" * (CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
-                f" - ({books[s][j][d]!r})))"
+                f" - ({float(books[s][j][d])!r})))"
                 for d in range(_PQ_DIM)
             )
             dists.append(f"({terms})")
@@ -612,9 +612,9 @@ def _pq_spark_dists(s: int, books) -> str:
     for j in range(_PQ_K):
         terms = " + ".join(
             f"((cast(embedding[{s * _PQ_DIM + d}] as double)"
-            f" - ({books[s][j][d]!r}D))"
+            f" - ({float(books[s][j][d])!r}D))"
             f" * (cast(embedding[{s * _PQ_DIM + d}] as double)"
-            f" - ({books[s][j][d]!r}D)))"
+            f" - ({float(books[s][j][d])!r}D)))"
             for d in range(_PQ_DIM)
         )
         dists.append(f"({terms})")
@@ -1149,7 +1149,13 @@ def trimmed_mean_robust(spark, sf):
     " pattern: the raw stream reduces once, the lag self-join and"
     " Pearson algebra touch types x days x 7 rows); the only floats"
     " are two IEEE-correctly-rounded sqrts and one division, so"
-    " parity is exact. The lag join is an equi-join on"
+    " parity is exact WITHIN the int64 envelope: the binding term is"
+    " n*SUM(x*y), exact while n_days * max_daily_volume^2 < 2^63 —"
+    " ~10 years of daily cells at up to ~5e7 events/day/type. Beyond"
+    " that Spark's int64 wraps silently while DuckDB promotes to"
+    " HUGEINT, so a deployment with heavier cells must cast the"
+    " moment sums to DOUBLE/DECIMAL symmetrically on both engines"
+    " before combining. The lag join is an equi-join on"
     " (type, day + lag) — no windows, no sorts. Measured at 100x replication of sf0.1 (local[32]): 1.8s — cell-frame-bound.",
 )
 def autocorr_daily(spark, sf):
@@ -1577,7 +1583,8 @@ def dedup_verdict(spark, sf):
     )
     SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
-           CAST(bit_xor(doc_id * 2654435761 % 9007199254740881)
+           CAST(bit_xor((doc_id % 67108859) * 2654435761
+                        % 9007199254740881)
                 AS BIGINT) AS member_checksum
     FROM folds GROUP BY lang, fold
     """,
@@ -1611,8 +1618,14 @@ def kfold_assign_stratified(spark, sf):
     return folds.groupBy("lang", "fold").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
+        # doc_id reduced mod a 2^26 prime BEFORE the Knuth multiply:
+        # the raw product wraps int64 for doc_id >= ~3.5e9 (Spark wraps
+        # silently, DuckDB promotes/errors — the same 2^32-scale hazard
+        # that rejected packed-BIGINT pair keys); the reduced form's
+        # product peaks at ~1.8e17, exact in both engines at any id
         F.expr(
-            "bit_xor(doc_id * 2654435761 % 9007199254740881)"
+            "bit_xor((doc_id % 67108859) * 2654435761"
+            " % 9007199254740881)"
         ).cast("long").alias("member_checksum"),
     )
 
