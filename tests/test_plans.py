@@ -524,10 +524,11 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         "sketch_hll", "sketch_kll_merge", "sketch_kll_quantiles",
         "sketch_theta_distinct", "sketch_theta_setops",  # sketches
         "join_bloom_runtime",                       # runtime bloom
-        "minhash_neardup", "simhash_neardup",       # copy-group collect
-        # composes minhash_pairs, so it inherits the same copy-group
-        # collect (state bounded by copy multiplicity, not row volume)
-        "dedup_verdict",
+        # minhash_neardup / simhash_neardup / dedup_verdict left this
+        # list in round 8: the copy-group collect_list was replaced by
+        # a persisted map-only (fp, id) members projection, so their
+        # rep aggregates hold constant state (min + first) per group —
+        # see tests/test_dedup_state.py for the skewed-fixture proof
         "session_paths_topk",                       # capped at 64/session
         # out-neighbor lists under the degree orientation: every
         # neighbor outranks the node, so list length is capped by
