@@ -2601,90 +2601,83 @@ _DRIVER_GREEN_R6 = frozenset(
 )
 
 
-# Materially changed in ROUND 7, so re-verify first (the standing
+# Round-7 driver sample (CORRECTNESS_r07.json): all 50 sampled entries
+# full hash-green — the third consecutive zero-defect gate. Covered:
+# the 6 round-7 rechecks, the r6 gate debt, every round-7 addition,
+# and 5 of the 8 perf-only rechecks.
+_DRIVER_GREEN_R7 = frozenset(
+    {
+        "minhash_neardup", "simhash_neardup", "dedup_clusters",
+        "market_basket_rules", "ewma_smooth", "knn_classify",
+        "agg_stats", "ab_srm_check", "rfm_segmentation",
+        "seasonal_naive_eval", "neyman_allocation", "agg_median",
+        "iqr_outlier_filter", "anomaly_mad", "weighted_median",
+        "session_paths_topk", "fulfillment_latency", "auc_by_cohort",
+        "perm_test_diff_means", "mmr_diversify",
+        "ess_weight_diagnostic", "rate_shrunk_bayes",
+        "embed_ann_ivf_exact", "knn_classify_ann",
+        "tokenizer_fertility", "pii_density_report",
+        "length_profile_log2", "theil_sen_trend", "mann_kendall_trend",
+        "cohort_ltv_curve", "embed_pq_quantize", "join_null_safe",
+        "lateral_topk_join", "semdedup_prune", "recall_at_k_eval",
+        "trimmed_mean_robust", "autocorr_daily", "stream_quality_gate",
+        "recursive_cte_paths", "group_by_all_syntax",
+        "stl_decompose_additive", "cogroup_pandas_asof",
+        "dedup_verdict", "kfold_assign_stratified",
+        "label_noise_screen", "embed_cosine_topk", "embed_ann_lsh",
+        "embed_neardup", "sessionize_events", "graph_pagerank",
+    }
+)
+
+
+# Materially changed in ROUND 8, so re-verify first (the standing
 # rule from VERDICT r5 #3: every entry whose implementation changed
-# must get a fresh driver row the same round). ewma_smooth's window
-# rewrite and market_basket_rules' frequent-item pre-prune are
-# output-identical by construction, but both replace the physical
-# plan wholesale — driver re-rows are non-negotiable.
+# must get a fresh driver row the same round). editdist_neardup
+# LEADS: its r7 rewrite (exact-copy collapse + two lower bounds) was
+# mirror-reproved at three scales but its external driver row
+# predates the rewrite — VERDICT r7 Next-round #2 schedules it first.
 _RECHECK = frozenset(
     {
-        "ewma_smooth",
-        "market_basket_rules",
-        # vote stage factored into operators/similarity.majority_vote
-        # (shared with the new knn_classify_ann) — bit-identical by
-        # construction, mirror-reproved, but the standing rule is a
-        # fresh driver row for any changed implementation
-        "knn_classify",
-        # round-7 caching change in operators/dedup.py (localCheckpoint
-        # -> generation-tracked persist, the r6 base-scale watch item):
-        # same plans, same math, mirror-reproved — fresh rows anyway
+        "editdist_neardup",
+        # checksum formula changed (overflow-safe mod-prime reduction
+        # before the Knuth multiply) — a SEMANTIC change to the
+        # member_checksum column on both engines
+        "kfold_assign_stratified",
+        # operators/dedup.py round-8 restructure: the copy-group
+        # collect_list replaced by the persisted map-only members
+        # projection (VERDICT r7 #4) — output-identical,
+        # mirror-reproved at three scales, but the physical plan
+        # changed wholesale
         "minhash_neardup", "simhash_neardup", "dedup_clusters",
+        "dedup_verdict",
     }
 )
 
-# VERDICT r6 "Missing #1": the 17 entries the round-6 external gate
-# never reached — 10 late-round-6 additions with NO driver row ever
-# (ab_srm_check, rfm_segmentation, seasonal_naive_eval,
-# neyman_allocation, perm_test_diff_means, mmr_diversify,
-# ess_weight_diagnostic, rate_shrunk_bayes, auc_by_cohort;
-# market_basket_rules is in _RECHECK above) plus the 7 entries whose
-# round-6 implementations changed after their last driver row
-# (the exact_group_quantiles broadcast-fix family +
-# session_paths_topk). All 17 were mirror-verified green at sf0.01 by
-# the round-6 judge session; this tier puts them at the front of the
-# round-7 window so the external artifact says so too.
-_GATE_DEBT_R6 = frozenset(
-    {
-        # never driver-sampled (first check)
-        "ab_srm_check", "rfm_segmentation", "seasonal_naive_eval",
-        "neyman_allocation", "perm_test_diff_means", "mmr_diversify",
-        "ess_weight_diagnostic", "rate_shrunk_bayes", "auc_by_cohort",
-        # changed in round 6 after their last driver row (re-check)
-        "agg_stats", "agg_median", "iqr_outlier_filter", "anomaly_mad",
-        "weighted_median", "fulfillment_latency", "session_paths_topk",
-    }
-)
-
-# Remaining round-6 perf-only rewrites whose last driver row predates
-# the change (bit-identical by construction, mirror-reproved): they
-# recheck after the first-checks but ahead of stale greens.
+# Perf-only recheck debt: the two r6-rewrite entries the round-7
+# window never reached (bit-identical rewrites, mirror-reproved).
+# They recheck after this round's first-checks but ahead of stale
+# greens.
 _RECHECK_PERF_ONLY = frozenset(
     {
-        "sessionize_events", "sketch_kll_quantiles",
-        "embed_cosine_topk", "embed_ann_lsh", "embed_ann_ivf",
-        "embed_neardup",
-        "editdist_neardup",
-        "graph_pagerank",
+        "sketch_kll_quantiles",
+        "embed_ann_ivf",
     }
 )
 
-# Entries added AFTER round 7's 50-slot window filled (6 rechecks +
-# 16 gate-debt + 16 first-checks + 8 perf-only rechecks): they sort
-# behind everything owed this round, displacing nothing, and lead
-# round 8's window automatically. Each was mirror-verified at all
-# three scales on landing (the round-6 _DEFER_FIRST_CHECK precedent).
-_DEFER_FIRST_CHECK = frozenset(
-    {
-        "recursive_cte_paths",
-        "group_by_all_syntax",
-        "stl_decompose_additive",
-        "cogroup_pandas_asof",
-        "dedup_verdict",
-        "kfold_assign_stratified",
-        "label_noise_screen",
-    }
-)
+# Round-8 additions that land after the window budget is spent sort
+# here (mirror-verified at all three scales on landing, the standing
+# convention); empty until needed.
+_DEFER_FIRST_CHECK: frozenset[str] = frozenset()
 
 
 def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
 
-    Front of the 50-slot window: queries changed this round, then the
-    round-6 gate debt (VERDICT r6 Missing #1: 10 never-sampled + 7
-    post-rewrite entries), then any entry without a driver row yet
-    (this round's additions), then perf-only rechecks. The remaining
+    Front of the 50-slot window: queries changed this round (led by
+    editdist_neardup's owed post-rewrite re-row, VERDICT r7 #2), then
+    any entry without a driver row yet (this round's additions), then
+    perf-only rechecks. The remaining
     slots re-verify the greens LONGEST-UNCHECKED FIRST (VERDICT r5
     #3): round-1/2 rows predate the repr-level mirror hardening, so
     they recycle ahead of newer greens. Membership is checked
@@ -2693,8 +2686,6 @@ def _gate_priority(name: str) -> float:
     """
     if name in _RECHECK:
         return 0  # semantics/plan changed this round — re-verify first
-    if name in _GATE_DEBT_R6:
-        return 0.5  # round-6 window overflow — external row owed
     if name in _DEFER_FIRST_CHECK:
         # landed after the owed tiers filled the window; still a FIRST
         # check, which outranks a re-row on a mirror-reproved rewrite
@@ -2702,6 +2693,8 @@ def _gate_priority(name: str) -> float:
         return 1.45
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
+    if name in _DRIVER_GREEN_R7:
+        return 9
     if name in _DRIVER_GREEN_R6:
         return 8
     if name in _DRIVER_GREEN_R5:
