@@ -63,6 +63,59 @@ SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
 # broadcast/join-heavy queries carry up to ~3x spread. Only best-of-n
 # in one session, alternated A/B ordering, or frozen-subtotal deltas
 # are comparable across rounds.
+# Round-8 isolation re-measure of the two r7 outliers (VERDICT r7 #1;
+# fresh session per query, best-of-3, nothing co-resident):
+# * dedup_fingerprint 10x best-of-3 0.67s — r6 was 0.66s, the r7
+#   co-resident 1.59s (2.4x) was session noise; DISMISSED.
+# * quantile_bucketing sf0.1 best-of-3 2.33s (first run 6.65s!) — the
+#   r7 co-resident 3.69s collapses back toward r6's 1.64s, and the
+#   in-band controls moved identically in isolation (sessionize_events
+#   1.33s vs r6 1.08s, bootstrap_ci 1.54s vs r6 0.94s): a uniform
+#   ~1.3-1.6x environment shift across unrelated plans, not a plan
+#   regression (git: neither plan changed in r7).
+# The band below automates this triage: every bench run compares its
+# per-query numbers against the previous round's committed local
+# payload and reports entries above NOISE_BAND_X as band_outliers in
+# the payload, so environment drift (uniform shift, few/no outliers)
+# separates from plan regressions (single-entry spikes) without a
+# by-hand diff.
+NOISE_BAND_X = 2.5  # co-resident best-of-2 spread vs a prior round:
+#   uniform co-residency drift measured 1.4-1.7x (r5, r7), first-run/
+#   join-heavy spread up to ~3x single-shot but <=2x for best-of-2;
+#   past REAL regressions exceeded 2x of the isolated reference
+#   (simhash r6 watch item). 2.5x splits those populations.
+
+
+def _previous_local_payload(round_no: int | None) -> dict:
+    """Newest committed BENCH_local_r*.json from a PRIOR round — the
+    per-query reference the band check compares against."""
+    import re
+
+    best_n, best = -1, {}
+    for f in os.listdir("/root/repo"):
+        m = re.match(r"BENCH_local_r(\d+)\.json$", f)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if (round_no is None or n < round_no) and n > best_n:
+            try:
+                with open(f"/root/repo/{f}") as fh:
+                    best_n, best = n, json.load(fh)
+            except Exception:
+                continue
+    return best
+
+
+def _band_outliers(
+    timings: dict[str, float], reference: dict[str, float]
+) -> dict[str, list[float]]:
+    """{name: [now, ref]} for entries above NOISE_BAND_X * reference
+    (ignoring sub-100ms references, where scheduler jitter dominates)."""
+    return {
+        n: [t, reference[n]]
+        for n, t in timings.items()
+        if reference.get(n, 0) >= 0.1 and t > NOISE_BAND_X * reference[n]
+    }
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -431,28 +484,106 @@ def main() -> None:
         except Exception as e:  # never let the scale pass kill the bench
             payload["scale_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    print(json.dumps(payload), flush=True)
-
-    # The driver's BENCH artifact captures only the TAIL of stdout —
-    # round 6's record lost the base-suite total and core-25 to
-    # truncation. Persist the complete payload to a local file too
-    # (VERDICT r6 #7) so cross-round comparisons never depend on
-    # tail-capture luck. Round number from the newest VERDICT/BENCH
-    # artifact present, +1; falls back to unnumbered.
+    # Round number: explicit SPARK_GRAFT_ROUND env var wins (the only
+    # unambiguous signal — a re-run AFTER this round's external
+    # BENCH_rNN.json lands would otherwise infer N+1 and mislabel the
+    # local payload); fallback is newest BENCH_rNN + 1, which is
+    # correct during a normal in-round run where the newest external
+    # artifact is the previous round's.
+    round_no: int | None = None
     try:
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir("/root/repo")
-            for m in [_re.match(r"BENCH_r(\d+)\.json$", f)]
-            if m
-        ]
-        suffix = f"_r{max(rounds) + 1:02d}" if rounds else ""
-        with open(f"/root/repo/BENCH_local{suffix}.json", "w") as fh:
+        if os.environ.get("SPARK_GRAFT_ROUND"):
+            round_no = int(os.environ["SPARK_GRAFT_ROUND"])
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir("/root/repo")
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", f)]
+                if m
+            ]
+            round_no = max(rounds) + 1 if rounds else None
+    except Exception:
+        round_no = None
+
+    # Noise-band triage vs the previous round's committed payload
+    # (VERDICT r7 #1): entries above NOISE_BAND_X * reference are
+    # reported so a reader separates uniform environment drift from
+    # single-entry plan regressions without a by-hand diff.
+    ref = _previous_local_payload(round_no)
+    if ref.get("sf") != payload["sf"]:
+        ref = {}  # timings only comparable at the same scale factor
+    payload["noise_band_x"] = NOISE_BAND_X
+    if ref.get("queries"):
+        payload["band_outliers"] = _band_outliers(
+            timings, ref["queries"]
+        )
+    if ref.get("scale_queries") and "scale_queries" in payload:
+        payload["scale_band_outliers"] = _band_outliers(
+            payload["scale_queries"], ref["scale_queries"]
+        )
+    for key in ("band_outliers", "scale_band_outliers"):
+        for n, (now, was) in payload.get(key, {}).items():
+            print(
+                f"# BAND {key}: {n} {now:.3f}s vs ref {was:.3f}s"
+                f" ({now / was:.2f}x)",
+                flush=True,
+            )
+
+    # The driver's BENCH artifact captures only the LAST ~2000 chars
+    # of stdout and json-parses the final line; the full payload
+    # (~2.9k chars compact — the per-query name mass alone exceeds
+    # the cap) cannot fit. Persist the complete payload to a
+    # committed local file (VERDICT r6 #7), print it as its own line
+    # for log readers, then end stdout with a compact line UNDER the
+    # cap (VERDICT r7 #8) carrying the totals, the frozen
+    # cross-round-comparable per-query keys (core25 + scale_core14),
+    # the band verdicts, and a pointer to the full payload — so the
+    # driver's parsed field round-trips every number a cross-round
+    # comparison needs.
+    suffix = f"_r{round_no:02d}" if round_no is not None else ""
+    local_path = f"BENCH_local{suffix}.json"
+    try:
+        with open(f"/root/repo/{local_path}", "w") as fh:
             json.dump(payload, fh)
     except Exception as e:
         print(f"# local payload write failed: {e}", flush=True)
+
+    print(json.dumps(payload), flush=True)
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "core25_seconds": payload["core25_seconds"],
+        "queries": {n: timings[n] for n in core25 if n in timings},
+        "full_payload": local_path,
+        "noise_band_x": NOISE_BAND_X,
+        "n_queries": len(timings),
+        "n_band_outliers": len(payload.get("band_outliers", {}))
+        + len(payload.get("scale_band_outliers", {})),
+    }
+    if "scale_value" in payload:
+        compact.update(
+            {
+                "scale_factor_x": payload["scale_factor_x"],
+                "scale_value": payload["scale_value"],
+                "scale_core14_seconds": payload["scale_core14_seconds"],
+                "scale_queries": {
+                    n: payload["scale_queries"][n]
+                    for n in SCALE_CORE14
+                    if n in payload["scale_queries"]
+                },
+            }
+        )
+    if errors:
+        compact["n_query_errors"] = len(errors)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the driver's ~2000-char tail
+        compact.pop("scale_queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
