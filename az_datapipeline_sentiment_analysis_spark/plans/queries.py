@@ -807,11 +807,12 @@ def ngram_jaccard_neardup(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(source: str = "documents") -> str:
     """The MinHash+LSH pipeline as a reusable DuckDB CTE chain ending in
     ``pairs(doc_a, doc_b, jaccard)`` (unthresholded). Shared by the
-    pair-level oracle and the cluster-level (connected components)
-    oracle."""
+    pair-level oracle, the cluster-level (connected components) oracle,
+    and — via ``source`` pointing at an upstream CTE with (doc_id,
+    text) — the composed curation_pipeline oracle."""
     a, b = dd._hash_params()
     mins = ",\n             ".join(
         f"MIN(({int(a[k])} * h + {int(b[k])}) % 2147483647) AS s{k}"
@@ -831,7 +832,7 @@ def _minhash_pairs_ctes() -> str:
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
              generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS i
-      FROM documents
+      FROM {source}
     ),
     sh AS (
       SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
@@ -2435,6 +2436,7 @@ from . import queries_ext3 as _ext3  # noqa: E402,F401
 from . import queries_llm as _llm  # noqa: E402,F401
 from . import queries_metrics as _metrics  # noqa: E402,F401
 from . import queries_r7 as _r7  # noqa: E402,F401
+from . import queries_r8 as _r8  # noqa: E402,F401
 from . import queries_stats as _stats  # noqa: E402,F401
 from . import queries_tpch as _tpch  # noqa: E402,F401
 from . import streaming_queries as _sq  # noqa: E402,F401

@@ -193,6 +193,10 @@ SCALE_HEADLINE = [
     # shape (one fact exchange, 150-way parallel sorts), which only
     # replication surfaces
     "ewma_smooth",
+    # round-8: the composed curation pipeline — its cost story (gate
+    # shrinks what dedup shuffles; pack's two-phase prefix sum) only
+    # shows under replication
+    "curation_pipeline",
 ]
 
 HEADLINE = [
@@ -299,6 +303,13 @@ HEADLINE = [
     "semdedup_prune",
     "recall_at_k_eval",
     "trimmed_mean_robust",
+    # round-8 additions: the sized-quantizer SemDeDup twin (the
+    # flat-per-cluster-cost knob measured side by side with the
+    # pinned form above) and the composed end-to-end curation
+    # pipeline (gate -> dedup verdict -> leakproof split -> pack ->
+    # manifest in one lineage)
+    "semdedup_prune_sized",
+    "curation_pipeline",
 ]
 
 

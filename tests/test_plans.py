@@ -548,6 +548,7 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
     # side of each stays hash-partitioned):
     BOUNDED_FRAME_GLOBAL_SORT = {
         "pack_sequences",          # prefix sum over BUCKET totals
+        "curation_pipeline",       # same prefix sum, composed stage 4
         "period_over_period",      # lag over the months frame
         "interval_concurrency",    # sweep over calendar-bounded cells
         "cumulative_distinct_users",  # running sum over the date frame
@@ -590,6 +591,46 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
     assert not offenders, offenders
     assert not oha_unlisted, oha_unlisted
     assert not cartesian, cartesian
+
+
+def test_curation_pipeline_plan_budget(spark):
+    # The composed curation pipeline owns exactly the exchanges its
+    # stages own: the gate and split are shuffle-free scan
+    # projections, dedup contributes the minhash band/verify/member
+    # joins + the md5 window + the near-set distinct/anti-join, pack
+    # contributes the bucket agg + bucket-local window, the manifest
+    # ONE 64-group aggregate. Audited at 23 exchanges (sf0.001) — a
+    # rise means a stage started re-shuffling work a co-keyed
+    # neighbor already paid for.
+    plan = _formatted_plan(spark, "curation_pipeline")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 23, (n_exchange, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the only single-partition sort is pack's bucket-frame prefix sum
+    # (bounded post-aggregate frame, same audit row as pack_sequences)
+
+
+def test_semdedup_pairs_stay_cluster_keyed(spark):
+    # SemDeDup's cost model (n^2 -> sum-of-cluster-sizes^2) only holds
+    # if the pair stage is an EQUI-join on the cluster id: both the
+    # pinned-16 and the sized quantizer must plan the pair join keyed
+    # on list_id — a CartesianProduct or a join that lost the list_id
+    # key means all-pairs cosine is back. Growing n_lists must change
+    # only the constant matrix, never the plan shape.
+    shapes = {}
+    for name in ("semdedup_prune", "semdedup_prune_sized"):
+        plan = _simple_plan(spark, name)
+        m = re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+            r"[^\n]*list_id",
+            plan,
+        )
+        assert m, f"{name}: pair join not keyed on list_id\n{plan}"
+        assert "CartesianProduct" not in plan, (name, plan)
+        shapes[name] = m.group(1)
+    # same physical join strategy for both sizes (shape-invariance)
+    assert shapes["semdedup_prune"] == shapes["semdedup_prune_sized"], shapes
 
 
 def test_drift_family_plans_stay_distributed(spark):
