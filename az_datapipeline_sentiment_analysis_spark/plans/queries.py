@@ -1853,15 +1853,13 @@ def multimodal_meta(spark, sf):
     )
 
 
-@_q(
-    "multimodal_meta_stub",
-    None,
-    "Stub-fallback path: unrecognized binary payloads get deterministic"
-    " fake metadata (rows-only; the real-parse path is multimodal_meta).",
-)
-def multimodal_meta_stub(spark, sf):
-    d = mm.with_binary_payload(_t(spark, sf, "documents"))
-    return mm.extract_media_meta(d)
+# multimodal_meta_stub retired round 8 (VERDICT r7 #6): the real
+# header-decode path (multimodal_meta, oracle-checked since r6)
+# superseded the deterministic-fake registry entry. The stub DECODE
+# branch itself (operators/multimodal.py, decode_stub) remains the
+# declared placeholder for codec decode — exercised directly by
+# tests/test_operators.py — it just no longer occupies a rows-only
+# registry row.
 
 
 @_q(

@@ -326,6 +326,46 @@ def test_mllib_sentiment_agrees_with_lexicon_on_polar_docs(spark):
     )
 
 
+def test_mllib_sentiment_prediction_hash_pinned(spark):
+    # sentiment_mllib is the registry's one trained entry (no SQL
+    # oracle), so its check is this REPRODUCIBILITY pin (VERDICT r7
+    # #6): the pipeline is deterministic end to end — fixed tokenizer/
+    # TF dimensionality, deterministic weak labels, zero-init LBFGS —
+    # so retraining on the same corpus must reproduce every prediction
+    # AND every 6-dp confidence bit-for-bit. Hashes verified identical
+    # under both 8 and 32 shuffle partitions before pinning; a drift
+    # here means the training path picked up nondeterminism (or a
+    # Spark upgrade changed LBFGS), which must be a conscious re-pin.
+    import hashlib
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    def hashes():
+        rows = sorted(
+            REGISTRY["sentiment_mllib"].fn(spark, SF_SMOKE).collect(),
+            key=lambda r: r.record_id,
+        )
+        lab = hashlib.md5(
+            "\n".join(f"{r.record_id}|{r.sentiment}" for r in rows).encode()
+        ).hexdigest()
+        conf = hashlib.md5(
+            "\n".join(
+                f"{r.record_id}|{r.sentiment}|{r.confidence:.6f}"
+                for r in rows
+            ).encode()
+        ).hexdigest()
+        return len(rows), lab, conf
+
+    n, lab, conf = hashes()
+    assert n == 500
+    assert lab == "39c10e1f0e2056c7bd994d9a8bf563a8"
+    assert conf == "ff448280c7b2d62f4c1bbbff3667d987"
+    # retrain-in-session reproducibility (independent of the pin)
+    assert hashes() == (n, lab, conf)
+
+
 # --- IVF ANN ---------------------------------------------------------
 
 def test_ivf_ann_finds_planted_near_neighbors(spark):
