@@ -2092,20 +2092,54 @@ def asof_nearest_q(spark, sf):
     " quadratic would not have finished.",
 )
 def graph_triangles(spark, sf):
+    und = _part_cooccurrence_edges(spark, sf)
+    deg, tri = _oriented_triangle_count(und)
+    wsum = deg.agg(
+        F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")).alias(
+            "wedges"
+        )
+    )
+    return tri.crossJoin(F.broadcast(wsum)).select(
+        F.col("t").cast("long").alias("n_triangles"),
+        F.col("wedges").cast("long").alias("n_wedges"),
+        (
+            F.round((F.lit(3.0) * F.col("t")) / F.col("wedges"), 6)
+            + F.lit(0.0)
+        ).alias("clustering"),
+    )
+
+
+def _part_cooccurrence_edges(spark, sf, edge_filter=None):
+    """Distinct undirected (u < v) part co-occurrence edges — the graph
+    every graph_* entry runs on. Shared with graph_triangles_approx.
+
+    ``edge_filter`` (a Column over u/v) applies BEFORE the distinct:
+    for a filter that is a pure function of (u, v) — the DOULION edge
+    coin — filter and distinct commute, and filtering first shrinks
+    the pair-dedup shuffle by the keep rate (the dominant cost of the
+    edge derivation at scale: pairs enter the distinct once per
+    co-occurring ORDER, not once per edge).
+    """
     li = _t(spark, sf, "lineitem")
     d = li.select("l_orderkey", "l_partkey").distinct()
     a, b = d.alias("a"), d.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
     )
+    if edge_filter is not None:
+        pairs = pairs.filter(edge_filter)
+    return pairs.distinct()
+
+
+def _oriented_triangle_count(und):
+    """(deg, tri): degree frame + one-row exact triangle count of the
+    edge set via degree-ordered adjacency intersection (the
+    graph_triangles plan, verbatim — shared by the DOULION twin so the
+    sampled count uses the identical at-scale machinery)."""
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -2142,20 +2176,7 @@ def graph_triangles(spark, sf):
             ).alias("tc")
         )
     )
-    tri = per_edge.agg(F.sum("tc").alias("t"))
-    wsum = deg.agg(
-        F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")).alias(
-            "wedges"
-        )
-    )
-    return tri.crossJoin(F.broadcast(wsum)).select(
-        F.col("t").cast("long").alias("n_triangles"),
-        F.col("wedges").cast("long").alias("n_wedges"),
-        (
-            F.round((F.lit(3.0) * F.col("t")) / F.col("wedges"), 6)
-            + F.lit(0.0)
-        ).alias("clustering"),
-    )
+    return deg, per_edge.agg(F.sum("tc").alias("t"))
 
 
 # =====================================================================

