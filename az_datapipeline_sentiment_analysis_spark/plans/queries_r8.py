@@ -332,3 +332,319 @@ def graph_triangles_approx(spark, sf):
         (F.col("t") * _TRI_SCALE).cast("long").alias("n_triangles_est"),
         F.col("me").cast("long").alias("n_edges_sampled"),
     )
+
+
+# =====================================================================
+# DSIR importance weighting (hashed n-gram importance resampling)
+# =====================================================================
+
+_DSIR_B = 2048   # hashed unigram buckets (the paper uses 10^4 for
+#                  bigrams at web scale; the bucket AGG is B-bounded
+#                  either way)
+_DSIR_K = 100    # Gumbel-top-k sampling budget (production sizes this
+#                  by token budget; the selection machinery is k-free)
+
+
+@_q(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+                  % {_DSIR_B} AS BIGINT) AS b,
+             (lang = 'en') AS is_tgt
+      FROM tok
+    ),
+    cnt AS (
+      SELECT b, COUNT(*) AS rc,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tc
+      FROM tb GROUP BY b
+    ),
+    tot AS (
+      SELECT SUM(rc) AS r_total, SUM(tc) AS t_total FROM cnt
+    ),
+    lam AS (
+      SELECT b,
+             CAST(ROUND(ln((tc + 1) * 1.0 / (t_total + {_DSIR_B}))
+                        * 1000000.0) AS BIGINT)
+             - CAST(ROUND(ln((rc + 1) * 1.0 / (r_total + {_DSIR_B}))
+                          * 1000000.0) AS BIGINT) AS l1e6
+      FROM cnt, tot
+    ),
+    lw AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(l1e6), 0) AS BIGINT) AS w
+      FROM documents d
+      LEFT JOIN tb ON tb.doc_id = d.doc_id
+      LEFT JOIN lam ON lam.b = tb.b
+      GROUP BY d.doc_id
+    ),
+    sc AS (
+      SELECT doc_id, w AS dsir_logweight_1e6,
+             CAST(ROUND(-ln(-ln(
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                  || ':dsir'), 1, 8))::UBIGINT + 1) * 1.0
+               / 4294967297.0)) * 1000000.0) AS BIGINT) AS gumbel_1e6
+      FROM lw
+    ),
+    scored AS (
+      SELECT doc_id, dsir_logweight_1e6, gumbel_1e6,
+             dsir_logweight_1e6 + gumbel_1e6 AS score_1e6
+      FROM sc
+    ),
+    top AS (
+      SELECT doc_id FROM scored
+      ORDER BY score_1e6 DESC, doc_id LIMIT {_DSIR_K}
+    )
+    SELECT s.doc_id, dsir_logweight_1e6, gumbel_1e6, score_1e6,
+           (s.doc_id IN (SELECT doc_id FROM top)) AS selected
+    FROM scored s
+    """,
+    "DSIR — Data Selection via Importance Resampling (Xie et al."
+    " 2023, arXiv:2302.03169): score every raw document by how much"
+    " it looks like a TARGET domain under hashed bag-of-words"
+    " language models, then Gumbel-top-k sample the training subset"
+    " — the published recipe for 'give me web data that looks like"
+    " Wikipedia'. Here target = the lang='en' slice, raw = the full"
+    " corpus; features are unigrams hashed into 2048 buckets, so"
+    " BOTH distributions come from ONE bucket-keyed aggregate (raw"
+    " count + conditional target count per bucket, map-combined into"
+    " <=2048 partials per task at any corpus size). Each bucket's"
+    " Laplace-smoothed log-ratio is quantized to integer 1e-6 units"
+    " ONCE on the 2048-row frame (each ln rounded separately — the"
+    " novelty_bigram_loo convention), so every per-doc weight is an"
+    " exact int64 dot product: order-independent, hash-stable."
+    " Selection is Gumbel-top-k (g = -ln(-ln(U)) from a 1e-6-"
+    "quantized deterministic md5 uniform — reproducible sampling"
+    " without replacement, proportional to the softmax of weights),"
+    " the top-k a distributed TakeOrdered with doc_id tie-break,"
+    " flagged back via one broadcast semi-structure join. Plan: two"
+    " passes over the token explode (bucket agg + per-doc sum), the"
+    " 2048-row lambda frame broadcast, zero corpus-sized sorts."
+    " Fully hash-checked end to end. Measured at 100x replication"
+    " of sf0.1 (local[32]): 12.0s warm / 26.2s cold for 500k docs"
+    " scored + sampled — two token-explode passes, output-bound.",
+)
+def dsir_importance_weights(spark, sf):
+    d = _t(spark, sf, "documents")
+    tb = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_DSIR_B}"
+        ).alias("b"),
+    )
+    cnt = tb.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    tot = cnt.agg(
+        F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
+    )
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.round(
+                F.log(
+                    (F.col("tc") + 1).cast("double")
+                    / (F.col("t_total") + _DSIR_B)
+                )
+                * 1e6
+            ).cast("long")
+            - F.round(
+                F.log(
+                    (F.col("rc") + 1).cast("double")
+                    / (F.col("r_total") + _DSIR_B)
+                )
+                * 1e6
+            ).cast("long")
+        ).alias("l1e6"),
+    )
+    lw = (
+        d.select("doc_id")
+        .join(tb.join(F.broadcast(lam), "b"), "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("l1e6"), F.lit(0)).cast("long").alias("w"))
+    )
+    u = (
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                " ':dsir')), 1, 8), 16, 10) AS BIGINT)"
+            )
+            + 1
+        ).cast("double")
+        / F.lit(4294967297.0)
+    )
+    scored = lw.select(
+        "doc_id",
+        F.col("w").alias("dsir_logweight_1e6"),
+        F.round(-F.log(-F.log(u)) * 1e6).cast("long").alias("gumbel_1e6"),
+    ).withColumn(
+        "score_1e6", F.col("dsir_logweight_1e6") + F.col("gumbel_1e6")
+    )
+    top = (
+        scored.orderBy(F.desc("score_1e6"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(True).alias("__sel"))
+    )
+    return scored.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "dsir_logweight_1e6",
+        "gumbel_1e6",
+        "score_1e6",
+        F.coalesce(F.col("__sel"), F.lit(False)).alias("selected"),
+    )
+
+
+# =====================================================================
+# k-core decomposition (iterative peeling, fixed-round form)
+# =====================================================================
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle_sql() -> str:
+    """Peeling unrolled as chained CTEs (the graph_pagerank /
+    mmr_diversify move): each round keeps nodes with degree >= k in
+    the SURVIVING subgraph and drops edges touching a peeled node.
+    Both engines emit the round-N state, so parity holds by
+    construction even before the fixpoint; convergence at the test
+    scales is pytest-asserted."""
+    # AS MATERIALIZED: each round references the previous frame three
+    # times; without materialization DuckDB inlines CTEs and the
+    # 12-round chain re-evaluates the base scan ~3^12 times (observed
+    # as a too-many-open-files blowup)
+    ctes = ["""
+    d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(f"""
+    dg{r} AS MATERIALIZED (
+      SELECT n, COUNT(*) AS dg FROM (
+        SELECT u AS n FROM e{r} UNION ALL SELECT v AS n FROM e{r}
+      ) GROUP BY n
+    ),
+    k{r} AS MATERIALIZED (SELECT n FROM dg{r} WHERE dg >= {_KCORE_K}),
+    e{r + 1} AS MATERIALIZED (
+      SELECT u, v FROM e{r}
+      WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+    )""")
+    body = ",".join(ctes)
+    last = _KCORE_ROUNDS
+    return f"""
+    WITH {body},
+    core AS (
+      SELECT n, COUNT(*) AS dg FROM (
+        SELECT u AS n FROM e{last} UNION ALL SELECT v AS n FROM e{last}
+      ) GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS node,
+           CAST(dg AS BIGINT) AS core_degree
+    FROM core
+    """
+
+
+@_q(
+    "graph_kcore",
+    _kcore_oracle_sql(),
+    "k-core decomposition (k=3) of the part co-occurrence graph by"
+    " iterative peeling: repeatedly drop nodes whose degree in the"
+    " SURVIVING subgraph is < k, until the fixpoint — the standard"
+    " dense-subgraph / influence-zone primitive (community cores,"
+    " graph sparsification, the 'which parts co-sell with at least 3"
+    " stable partners' question). The engine peels in a driver loop"
+    " — each round ONE degree aggregate + one two-sided semi-join,"
+    " all keyed on node id, localCheckpoint breaking lineage (the"
+    " connected_components shape: no data ever reaches the driver;"
+    " the loop is metadata-only). Pinned to 12 rounds so the oracle"
+    " can unroll the same peeling as chained CTEs (the pagerank"
+    " move) — both engines emit round-12 state, so parity holds by"
+    " construction even mid-convergence, and pytest asserts the"
+    " fixpoint is reached at every test scale (peeling halves the"
+    " periphery each round; real graphs converge in single-digit"
+    " rounds; the engine ALSO early-exits at the fixpoint — peeling is"
+    " monotone, so an unchanged surviving-node count means an"
+    " unchanged set, and a fixpoint is invariant under further"
+    " rounds, so the early exit is output-identical to the literal"
+    " 12-round unroll). Emits (node, degree-in-core) for the"
+    " surviving core. Fully hash-checked. Measured at 100x"
+    " replication of sf0.1 (local[32]): 83.4s over ~120M edges / 2M"
+    " nodes (356.0s without the fixpoint exit; an earlier cut that"
+    " checkpointed the shrinking EDGE frame per round OOMed — the"
+    " loop-invariant-persist + node-set-carry shape is the one that"
+    " scales).",
+)
+def graph_kcore(spark, sf):
+    from ..operators.dedup import _persist_generation
+
+    # The EDGE frame is loop-invariant (peeling only shrinks the NODE
+    # set), so persist it once and carry the surviving-node set —
+    # bounded by |parts|, orders of magnitude smaller than |edges| —
+    # across rounds (the graph_pagerank lesson). The first cut of
+    # this loop checkpointed the shrinking EDGE frame per round and
+    # OOMed at 100x: 12 generations x ~120M materialized edge rows;
+    # node checkpoints are ~2M rows at the same scale.
+    edges, = _persist_generation(
+        "graph_kcore_edges", _part_cooccurrence_edges(spark, sf)
+    )
+    keep = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = keep.count()
+    for _ in range(_KCORE_ROUNDS):
+        surv = edges.join(
+            keep.withColumnRenamed("n", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+        deg = (
+            surv.select(F.col("u").alias("n"))
+            .unionAll(surv.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("dg"))
+        )
+        keep = (
+            deg.filter(F.col("dg") >= _KCORE_K)
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+        # peeling is MONOTONE (keep sets only shrink), so an unchanged
+        # COUNT means an unchanged SET — the fixpoint. Early exit then
+        # emits output identical to the literal round-12 state the
+        # oracle unrolls (a fixpoint is invariant under more rounds);
+        # measured at 100x this turns 12 edge passes into 2-3
+        # (356s -> ~80s) on graphs that converge immediately. Only a
+        # one-row count per round reaches the driver.
+        cur = keep.count()
+        if cur == prev:
+            break
+        prev = cur
+    core = edges.join(
+        keep.withColumnRenamed("n", "u"), "u", "left_semi"
+    ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+    return (
+        core.select(F.col("u").alias("node"))
+        .unionAll(core.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("node").cast("long"), "core_degree")
+    )

@@ -329,3 +329,55 @@ def test_doulion_estimate_envelope(spark):
         # loose 3-sigma-ish band that still catches a coin regression
         assert est.n_edges_sampled > 0
         assert est.n_triangles_est == est.n_triangles_sampled * 125
+
+
+def test_dsir_prefers_target_domain(spark):
+    # DSIR's defining property: documents FROM the target domain (the
+    # lang='en' slice the target LM is fit on) must score higher on
+    # average than non-target documents — the importance weight is
+    # log p_target(doc) - log p_raw(doc), and the target slice is by
+    # construction more probable under its own LM. Also pins the
+    # sampling contract: exactly K selected, selection = top-K by
+    # (score, doc_id).
+    import duckdb
+
+    w = REGISTRY["dsir_importance_weights"].fn(spark, SF2).toPandas()
+    lang = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF2}/documents.parquet'"
+    ).fetchdf()
+    j = w.merge(lang, on="doc_id")
+    mean_tgt = j[j.lang == "en"].dsir_logweight_1e6.mean()
+    mean_raw = j[j.lang != "en"].dsir_logweight_1e6.mean()
+    assert mean_tgt > mean_raw, (mean_tgt, mean_raw)
+    assert int(j.selected.sum()) == 100
+    # selected set == top-100 by (score desc, doc_id asc)
+    top = set(
+        j.sort_values(["score_1e6", "doc_id"], ascending=[False, True])
+        .head(100)["doc_id"]
+    )
+    assert set(j[j.selected]["doc_id"]) == top
+
+
+def test_kcore_fixpoint_and_invariants(spark):
+    # the 12-round pin is only valid if peeling actually converges at
+    # the test scales (the docstring's claim); fixpoint = every
+    # surviving node has core_degree >= k, and the core is closed
+    # (degree counted within the emitted node set). Also pins
+    # monotonicity vs the raw graph: core degrees never exceed raw
+    # degrees, and the core is a subset of the raw node set.
+    import duckdb
+
+    core = REGISTRY["graph_kcore"].fn(spark, SF2).toPandas()
+    assert (core["core_degree"] >= 3).all()
+    raw = duckdb.sql(f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{SF2}/lineitem.parquet'),
+        e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+              FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+        SELECT n, COUNT(*) dg FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n
+    """).fetchdf().set_index("n")["dg"]
+    assert set(core["node"]).issubset(set(raw.index))
+    merged = core.set_index("node")["core_degree"]
+    assert (merged <= raw.loc[merged.index]).all()

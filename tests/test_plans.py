@@ -533,7 +533,9 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # out-neighbor lists under the degree orientation: every
         # neighbor outranks the node, so list length is capped by
         # ~sqrt(2m) — bounded by graph structure, not row volume
-        "graph_triangles",
+        # (the approx twin shares the core on a 5x-sampled subgraph,
+        # so its cap is tighter still)
+        "graph_triangles", "graph_triangles_approx",
         # map_from_entries over the (user, type) POST-AGGREGATE frame:
         # the collected entry list is bounded by |event_type| (5) per
         # user, not row volume
