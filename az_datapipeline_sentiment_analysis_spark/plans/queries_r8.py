@@ -472,11 +472,22 @@ def dsir_importance_weights(spark, sf):
             ).cast("long")
         ).alias("l1e6"),
     )
+    # aggregate BEFORE the docs join: the per-doc sum map-combines the
+    # token-level frame down to |docs| partials per task, so the
+    # doc_id shuffle moves docs, not tokens (joining first shuffled
+    # the token stream at token cardinality)
+    w_tok = (
+        tb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("l1e6").alias("w0"))
+    )
     lw = (
         d.select("doc_id")
-        .join(tb.join(F.broadcast(lam), "b"), "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(F.coalesce(F.sum("l1e6"), F.lit(0)).cast("long").alias("w"))
+        .join(w_tok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("w0"), F.lit(0)).cast("long").alias("w"),
+        )
     )
     u = (
         (

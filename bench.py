@@ -197,6 +197,9 @@ SCALE_HEADLINE = [
     # shrinks what dedup shuffles; pack's two-phase prefix sum) only
     # shows under replication
     "curation_pipeline",
+    # iterative peeling: per-round edge passes against the persisted
+    # loop-invariant frame — the loop cost only replication surfaces
+    "graph_kcore",
 ]
 
 HEADLINE = [
@@ -310,6 +313,9 @@ HEADLINE = [
     # manifest in one lineage)
     "semdedup_prune_sized",
     "curation_pipeline",
+    # the DSIR two-pass token-explode scorer (bucket agg + per-doc
+    # int64 dot product + Gumbel top-k)
+    "dsir_importance_weights",
 ]
 
 
