@@ -427,8 +427,12 @@ _DSIR_K = 100    # Gumbel-top-k sampling budget (production sizes this
     " passes over the token explode (bucket agg + per-doc sum), the"
     " 2048-row lambda frame broadcast, zero corpus-sized sorts."
     " Fully hash-checked end to end. Measured at 100x replication"
-    " of sf0.1 (local[32]): 12.0s warm / 26.2s cold for 500k docs"
-    " scored + sampled — two token-explode passes, output-bound.",
+    " of sf0.1 (local[32]): 14.5s warm / 23.7s cold for 500k docs"
+    " scored + sampled — two token-explode passes, output-bound"
+    " (the pre-aggregation form; the join-first form measured the"
+    " same within noise at this scale, but shuffles tokens instead"
+    " of doc partials — the map-combine shape is the one that holds"
+    " at 100 TB).",
 )
 def dsir_importance_weights(spark, sf):
     d = _t(spark, sf, "documents")
