@@ -1,0 +1,645 @@
+"""Round-8 second batch: the PQ read path, a model-based quality
+score, and UniMax budget allocation.
+
+Registers into the shared ``REGISTRY`` (imported at the bottom of
+``queries.py``). Headliner is ``embed_pq_search`` — asymmetric
+distance computation (ADC) over the 4-bit PQ codes that
+``embed_pq_quantize`` (queries_r7) emits, completing the
+quantize/search pair that IS the billion-vector ANN read path
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search").
+
+Conventions (SURVEY §2.3): integer aggregates CAST to BIGINT in
+oracle SQL; ROUNDed floats that can be zero get ``+ 0.0``;
+md5-derived integer hashes via conv/UBIGINT so both engines agree
+bit-for-bit; float constants interpolated as ``float(x)`` before
+repr (numpy-2 repr hazard, ADVICE r7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table as _t
+from .queries import _q
+from .queries_r7 import _PQ_DIM, _PQ_K, _PQ_SUBSPACES, _pq_codebooks
+
+# =====================================================================
+# PQ asymmetric-distance search (the ANN read path over 4-bit codes)
+# =====================================================================
+
+
+def _pq_const_list(vals, sql_dialect: str) -> str:
+    """16 float constants as an engine array literal."""
+    body = ", ".join(repr(float(v)) for v in vals)
+    if sql_dialect == "duckdb":
+        return f"[{body}]::DOUBLE[]"
+    return f"array({body})"
+
+
+def _pq_nested_books(s: int, dialect: str) -> str:
+    """Subspace ``s``'s 16 centroids as a nested array literal
+    (16 x 8 doubles)."""
+    books = _pq_codebooks()
+    rows = []
+    for j in range(_PQ_K):
+        rows.append(
+            _pq_const_list(
+                (books[s][j][d] for d in range(_PQ_DIM)), dialect
+            )
+        )
+    if dialect == "duckdb":
+        return "[" + ", ".join(rows) + "]"
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _adc_dist_sql(dialect: str) -> str:
+    """The ADC distance as one expression, generated from the SAME
+    loops for both engines so the floating-point summation order is
+    identical (a left fold over subvector coordinates, subspaces
+    chained left-associated):
+
+        dist = ||q||^2 - 2 * (qc_0 + .. + qc_7) + (cc_0 + .. + cc_7)
+
+    where qc_s = sum_d q[s*8+d] * C[s][code_s][d] (the centroid row
+    selected by the stored code via constant-array indexing — the
+    lookup-table trick: the query never touches the original corpus
+    vector) and cc_s = ||C[s][code_s]||^2 is a per-code constant.
+    ``__qn2`` (the query's squared norm) is hoisted into the query
+    projection — a per-row quantity, computed once per query, not
+    once per pair (the brute_force_topk lesson). The Spark side uses
+    higher-order zip_with/aggregate lambdas rather than an unrolled
+    64-term chain: the unrolled form blew janino's 64KB
+    whole-stage-codegen method limit (observed — the stage fell back
+    to interpreted eval); the HOF form keeps the generated method
+    small so the scan stays inside WholeStageCodegen. The fold
+    matches DuckDB's ``list_sum(list_transform(...))`` bit-for-bit
+    (the dot_expr / embed_cosine_topk precedent), and the fold's
+    leading ``0.0 +`` cannot flip a sign: every later rounding has a
+    ``+ 0.0`` guard."""
+    books = _pq_codebooks()
+    qc_parts = []
+    cc_parts = []
+    for s in range(_PQ_SUBSPACES):
+        nested = _pq_nested_books(s, dialect)
+        if dialect == "duckdb":
+            qc_parts.append(
+                f"list_sum(list_transform(generate_series(1, {_PQ_DIM}),"
+                f" i -> CAST(q_vec[{s * _PQ_DIM} + i] AS DOUBLE)"
+                f" * (({nested})[code{s} + 1])[i]))"
+            )
+        else:
+            qc_parts.append(
+                f"aggregate(zip_with(slice(q_vec, {s * _PQ_DIM + 1},"
+                f" {_PQ_DIM}), element_at({nested}, int(code{s}) + 1),"
+                " (x, y) -> cast(x as double) * y),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        cc_vals = [
+            sum(float(books[s][j][d]) ** 2 for d in range(_PQ_DIM))
+            for j in range(_PQ_K)
+        ]
+        consts = _pq_const_list(cc_vals, dialect)
+        if dialect == "duckdb":
+            cc_parts.append(f"({consts})[code{s} + 1]")
+        else:
+            cc_parts.append(f"element_at({consts}, int(code{s}) + 1)")
+    qc = "(" + " + ".join(qc_parts) + ")"
+    cc = "(" + " + ".join(cc_parts) + ")"
+    return f"(__qn2 - 2.0 * {qc} + {cc})"
+
+
+def _pq_codes_cte() -> str:
+    """The embed_pq_quantize code-assignment restated as a CTE chain
+    ``pqd`` -> ``pqcodes`` (same fixed codebooks, same argmin /
+    first-match tie-break)."""
+    books = _pq_codebooks()
+    ds_build = []
+    code_cols = []
+    for s in range(_PQ_SUBSPACES):
+        dists = []
+        for j in range(_PQ_K):
+            terms = " + ".join(
+                f"((CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
+                f" - ({float(books[s][j][d])!r}))"
+                f" * (CAST(embedding[{s * _PQ_DIM + d + 1}] AS DOUBLE)"
+                f" - ({float(books[s][j][d])!r})))"
+                for d in range(_PQ_DIM)
+            )
+            dists.append(f"({terms})")
+        ds_build.append("[" + ", ".join(dists) + "]")
+        code_cols.append(
+            f"CAST(list_position(ds[{s + 1}], list_min(ds[{s + 1}])) - 1"
+            f" AS BIGINT) AS code{s}"
+        )
+    ds = "[" + ", ".join(ds_build) + "]"
+    cols = ",\n             ".join(code_cols)
+    return f"""
+    pqd AS (SELECT vec_id, {ds} AS ds FROM embeddings),
+    pqcodes AS (
+      SELECT vec_id,
+             {cols}
+      FROM pqd
+    )"""
+
+
+_PQ_SEARCH_K = 5
+
+
+def _pq_search_oracle_sql() -> str:
+    adc = _adc_dist_sql("duckdb")
+    return f"""
+    WITH {_pq_codes_cte()},
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x)) AS __qn2
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND({adc}, 6) + 0.0 AS adc_dist
+      FROM pqcodes c, q WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, adc_dist, rank
+    FROM ranked WHERE rank <= {_PQ_SEARCH_K}
+    """
+
+
+@_q(
+    "embed_pq_search",
+    _pq_search_oracle_sql(),
+    "PQ asymmetric-distance search (ADC, Jegou et al. 2011) — the"
+    " READ path over embed_pq_quantize's 4-bit codes, completing the"
+    " product-quantization pair: the corpus is scanned as 8 small"
+    " integer codes per vector (64x less memory traffic than"
+    " float32), the UNCOMPRESSED query computes its distance to each"
+    " code via constant-table lookups — dist = ||q||^2 - 2*q.c +"
+    " ||c||^2 where both c-dependent terms are constant-array"
+    " element_at selections by the stored code, so the original"
+    " corpus vectors are never touched after quantization (the"
+    " property that lets a billion-vector index live in executor"
+    " RAM). Query norms hoisted per-row; both engines' distance"
+    " expressions are generated from the SAME loops so IEEE"
+    " summation order is identical — fully hash-checked, like the"
+    " quantizer. Plan: map-only code scan x broadcast 5-row query"
+    " frame, per-query top-5 as a WindowGroupLimit — zero wide"
+    " shuffle at any corpus size. In tests, ADC's top-5 is checked"
+    " for overlap against exact brute-force L2 (quantization-error"
+    " envelope).",
+)
+def embed_pq_search(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    # HOF form of the quantizer's argmin (not r7's unrolled chain):
+    # same per-coordinate (x-c)*(x-c) terms folded in the same
+    # ascending-d order, so codes are bit-identical to the oracle CTE
+    # — but the expression tree is 16 lambdas instead of ~2000 nodes,
+    # keeping this stage inside the 64KB codegen method limit.
+    def _ds(s: int) -> str:
+        nested = _pq_nested_books(s, "spark")
+        return (
+            f"transform({nested}, c -> aggregate("
+            f"zip_with(slice(embedding, {s * _PQ_DIM + 1}, {_PQ_DIM}),"
+            " c, (x, y) -> (cast(x as double) - y)"
+            " * (cast(x as double) - y)),"
+            " cast(0.0 as double), (acc, v) -> acc + v))"
+        )
+
+    with_d = e.select(
+        "vec_id",
+        *[F.expr(_ds(s)).alias(f"__d{s}") for s in range(_PQ_SUBSPACES)],
+    )
+    codes = with_d.select(
+        "vec_id",
+        *[
+            (
+                F.array_position(
+                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias(f"code{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double) * x),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("__qn2"),
+    )
+    scored = codes.join(
+        F.broadcast(q), F.col("q_id") != F.col("vec_id")
+    ).withColumn(
+        "adc_dist",
+        F.round(F.expr(_adc_dist_sql("spark")), 6) + F.lit(0.0),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_SEARCH_K)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+# =====================================================================
+# Model-based quality score (the learned-classifier curation slot)
+# =====================================================================
+
+@_q(
+    "quality_model_score",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(list_sum(list_transform(toks,
+               tok -> CAST(('0x' || substring(md5('qw:' || tok), 1, 8))
+                           ::UBIGINT AS BIGINT) % 2000001 - 1000000))
+                  AS BIGINT) AS wsum
+      FROM t WHERE len(toks) >= 1
+    )
+    SELECT doc_id, lang, n_toks,
+           ROUND(wsum / (n_toks * 1000000.0), 6) + 0.0 AS score,
+           ROUND(wsum / (n_toks * 1000000.0), 6) + 0.0 >= 0.0 AS keep
+    FROM s
+    """,
+    "Model-based per-document quality score — the learned-classifier"
+    " curation stage (the FineWeb-Edu / CCNet move: a trained scorer"
+    " gates documents AFTER the rule-based quality_filter_gate). The"
+    " model here is a deterministic stand-in — a linear bag-of-words"
+    " scorer whose per-token weight is an md5-derived integer in"
+    " [-1e6, 1e6] — so the entry is fully hash-checkable; production"
+    " swaps the weight table for trained fastText/regression weights"
+    " (broadcast join or Arrow pandas_udf slot) and the"
+    " tokenize -> featurize -> score -> threshold plumbing is"
+    " unchanged. Scoring is ONE aggregate-lambda over the token"
+    " array fused into the scan projection: exact int64 weight sum,"
+    " a single correctly-rounded division at the end — map-only,"
+    " ZERO shuffles at any corpus size (contrast the naive"
+    " explode/groupBy shape, which shuffles every token). Weight"
+    " sum bound: 1e5 tokens x 1e6 max |weight| = 1e11 per doc —"
+    " five decades inside int64.",
+)
+def quality_model_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    wsum = (
+        f"aggregate({toks}, cast(0 as bigint), (acc, tok) -> acc"
+        " + (cast(conv(substring(md5(concat('qw:', tok)), 1, 8), 16, 10)"
+        " as bigint) % 2000001 - 1000000))"
+    )
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_toks"),
+        F.expr(wsum).alias("wsum"),
+    ).filter(F.col("n_toks") >= 1)
+    score = F.round(
+        F.col("wsum") / (F.col("n_toks") * F.lit(1000000.0)), 6
+    ) + F.lit(0.0)
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        score.alias("score"),
+        (score >= 0.0).alias("keep"),
+    )
+
+
+# =====================================================================
+# UniMax budget allocation (epoch-capped multilingual sampling)
+# =====================================================================
+
+_UNIMAX_CAP = 4  # max epochs any language may repeat
+
+
+def _unimax_sql(int_div: str) -> str:
+    """UniMax (Chung et al. 2023): languages sorted ASCENDING by
+    corpus size; each in turn gets min(cap * n_l, fair share of the
+    remaining budget), fair share = budget_left // langs_left. The
+    sequential dependency is a recursive CTE walking the rank order;
+    all arithmetic is integer (engine int-division spelled per
+    dialect) so the carry is exact."""
+    return f"""
+    WITH RECURSIVE perlang AS (
+      SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS nt
+      FROM documents
+      GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, nt,
+             CAST(row_number() OVER (ORDER BY nt, lang) AS BIGINT)
+               AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nl,
+             CAST(SUM(nt) OVER () AS BIGINT) AS tot
+      FROM perlang
+    ),
+    alloc(rk, lang, nt, nl, alloc_tokens, b_rem) AS (
+      SELECT rk, lang, nt, nl,
+             LEAST({_UNIMAX_CAP} * nt, (2 * tot) {int_div} nl),
+             2 * tot
+               - LEAST({_UNIMAX_CAP} * nt, (2 * tot) {int_div} nl)
+      FROM ranked WHERE rk = 1
+      UNION ALL
+      SELECT r.rk, r.lang, r.nt, r.nl,
+             LEAST({_UNIMAX_CAP} * r.nt,
+                   a.b_rem {int_div} (r.nl - r.rk + 1)),
+             a.b_rem
+               - LEAST({_UNIMAX_CAP} * r.nt,
+                       a.b_rem {int_div} (r.nl - r.rk + 1))
+      FROM ranked r JOIN alloc a ON r.rk = a.rk + 1
+    )
+    SELECT lang,
+           nt AS n_tokens,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           ROUND(alloc_tokens / CAST(nt AS DOUBLE), 6)
+             + CAST(0.0 AS DOUBLE) AS epochs
+    FROM alloc
+    """
+
+
+@_q(
+    "unimax_budget",
+    _unimax_sql("//"),
+    "UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151)"
+    " — the epoch-CAPPED multilingual sampling rule: walk languages"
+    " smallest-first, give each min(cap x its size, an equal share"
+    " of the remaining budget); small languages saturate at the"
+    " repeat cap (here 4 epochs) and their unused share flows to"
+    " larger ones — the closed-form fix for temperature sampling's"
+    " pathology of either starving tails or over-repeating them"
+    " (complements domain_mix_temperature, which interpolates, and"
+    " upsample_epochs, which replicates without a global budget)."
+    " Budget = 2x the corpus; sizes from an integer character-mass"
+    " proxy. The sequential smallest-first carry is a recursive CTE"
+    " on BOTH engines (Spark 4's WITH RECURSIVE — each step joins"
+    " ONE rank row, recursion depth = |languages|, state one row);"
+    " all arithmetic integer (dialect int-division), one final"
+    " correctly-rounded division for the epochs column — fully"
+    " hash-checked. The per-language aggregate map-combines; the"
+    " recursion runs on a |langs|-row frame, so cost is the one"
+    " corpus scan at any data size.",
+)
+def unimax_budget(spark, sf):
+    from ..catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_unimax_sql("div"))
+
+
+# =====================================================================
+# Greedy k-center coreset selection (data-selection family)
+# =====================================================================
+
+_KCENTER_K = 5
+
+
+def _dd_d2u(a: str, b: str) -> str:
+    """DuckDB double-accumulated squared L2 between two float lists,
+    quantized to integer 1e-6 units (the mmr_diversify convention:
+    integer units make a greedy argmax a pure int comparison both
+    engines order identically)."""
+    return (
+        "CAST(ROUND(1000000.0 * list_sum(list_transform("
+        f"generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 0)"
+        " AS BIGINT)"
+    )
+
+
+def _kcenter_oracle_sql() -> str:
+    ctes = ["""
+    s1 AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE vec_id = 0),
+    d1 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding AS v,
+             """ + _dd_d2u("e.embedding", "s.v") + """ AS dmin
+      FROM embeddings e, s1 s WHERE e.vec_id <> 0
+    )"""]
+    for i in range(2, _KCENTER_K + 1):
+        ctes.append(f"""
+    s{i} AS (SELECT vec_id, v, dmin FROM d{i - 1}
+             ORDER BY dmin DESC, vec_id LIMIT 1)""")
+        if i < _KCENTER_K:
+            ctes.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.v,
+             LEAST(d.dmin, {_dd_d2u("d.v", "s.v")}) AS dmin
+      FROM d{i - 1} d, s{i} s WHERE d.vec_id <> s.vec_id
+    )""")
+    selects = ["""    SELECT 1 AS round, vec_id,
+           CAST(0 AS BIGINT) AS radius_sq_1e6 FROM s1"""]
+    selects += [
+        f"""    SELECT {i} AS round, vec_id, dmin AS radius_sq_1e6
+    FROM s{i}"""
+        for i in range(2, _KCENTER_K + 1)
+    ]
+    body = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT CAST(round AS BIGINT) AS round, vec_id, radius_sq_1e6
+    FROM ({body})
+    """
+
+
+@_q(
+    "coreset_kcenter",
+    _kcenter_oracle_sql(),
+    "Greedy k-center coreset selection (Gonzalez 1985 farthest-point"
+    " traversal; the coreset recipe of Sener & Savarese 2018 active"
+    " learning) — pick 5 maximally-spread representatives: seed at"
+    " vec_id 0, then repeatedly take the point FARTHEST from every"
+    " center chosen so far. The third data-SELECTION move alongside"
+    " dsir_importance_weights (distribution matching) and"
+    " semdedup_prune (redundancy removal): k-center optimizes"
+    " COVERAGE — the greedy is 2-approx for the covering radius, and"
+    " the emitted radius_sq per round IS that guarantee curve (how"
+    " well k points cover the corpus). Distances are squared-L2"
+    " double-accumulated then quantized to integer 1e-6 units ONCE,"
+    " so every round's argmax is a pure int64 comparison with a"
+    " vec_id tiebreak — bit-identical across engines, which is what"
+    " lets a sequential greedy be hash-checked (the mmr_diversify"
+    " move; oracle unrolls rounds as chained CTEs). Plan: the"
+    " min-distance state rides a corpus-sized frame updated by ONE"
+    " map-only broadcast-join pass per round (running-min carry keeps"
+    " each round O(n), not O(k*n)); the argmax is a TakeOrdered"
+    " (one row to the driver); eager localCheckpoint per round stops"
+    " the greedy's lineage from re-running prior passes.",
+)
+def coreset_kcenter(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    d2u = (
+        "cast(round(1000000.0 * aggregate(zip_with(v, sv,"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0.0 as double), (acc, w) -> acc + w), 0) as bigint)"
+    )
+    seed = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("sv")
+    )
+    state = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", "v", F.expr(d2u).alias("dmin"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        e.filter(F.col("vec_id") == 0).select(
+            F.lit(1).cast("long").alias("round"),
+            "vec_id",
+            F.lit(0).cast("long").alias("radius_sq_1e6"),
+        )
+    ]
+    for i in range(2, _KCENTER_K + 1):
+        s = state.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        picks.append(
+            s.select(
+                F.lit(i).cast("long").alias("round"),
+                "vec_id",
+                F.col("dmin").alias("radius_sq_1e6"),
+            )
+        )
+        if i < _KCENTER_K:
+            sel = s.select(
+                F.col("vec_id").alias("s_id"), F.col("v").alias("sv")
+            )
+            state = (
+                state.crossJoin(F.broadcast(sel))
+                .filter(F.col("vec_id") != F.col("s_id"))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(F.col("dmin"), F.expr(d2u)).alias("dmin"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# =====================================================================
+# Label propagation communities (mode-vote LPA)
+# =====================================================================
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle_sql() -> str:
+    ctes = ["""
+    d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM nbr)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""
+    c{r} AS (
+      SELECT n.a, l.lbl, COUNT(*) AS c
+      FROM nbr n JOIN l{r - 1} l ON l.node = n.b
+      GROUP BY n.a, l.lbl
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT a AS node, lbl FROM (
+        SELECT a, lbl,
+               row_number() OVER (PARTITION BY a
+                 ORDER BY c DESC, lbl) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(lbl AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}
+    """
+
+
+@_q(
+    "graph_label_prop_communities",
+    _lpa_oracle_sql(),
+    "Label-propagation community detection (Raghavan et al. 2007) on"
+    " the part co-occurrence graph: every node starts as its own"
+    " community, then each synchronized round adopts the MOST"
+    " FREQUENT label among its neighbors (mode vote — contrast"
+    " dedup_clusters' min-propagation, which computes connected"
+    " components; mode-LPA finds dense sub-communities INSIDE a"
+    " component). Ties break to the smallest label, so every round"
+    " is a deterministic function of the last — pinned at 3"
+    " synchronized rounds, which the oracle unrolls as chained CTEs"
+    " (the graph_kcore move: both engines emit the round-3 state, so"
+    " parity holds by construction; LPA famously oscillates rather"
+    " than converge under synchronous update, so a fixed round count"
+    " is the PRINCIPLED stopping rule here, not a compromise). Plan:"
+    " per round ONE co-keyed join of the label frame against the"
+    " directed neighbor list + one (node, label) count aggregate +"
+    " one per-node WindowGroupLimit argmax — all keyed on node id;"
+    " the edge frame is loop-invariant and persisted once"
+    " (graph_kcore lesson), labels eagerly localCheckpoint per round"
+    " so no round re-runs its predecessors.",
+)
+def graph_label_prop_communities(spark, sf):
+    from ..operators.dedup import _persist_generation
+    from .queries import _few_partitions
+    from .queries_ext3 import _part_cooccurrence_edges
+
+    edges, = _persist_generation(
+        "lpa_edges", _part_cooccurrence_edges(spark, sf)
+    )
+    nbr = edges.selectExpr("u as a", "v as b").unionAll(
+        edges.selectExpr("v as a", "u as b")
+    )
+    # shuffle-partition count is paid per ROUND (each label frame is
+    # checkpointed, so AQE can't coalesce) — pin it for the loop
+    with _few_partitions(spark, 32):
+        labels = (
+            nbr.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("lbl"))
+        for _ in range(_LPA_ROUNDS):
+            cnt = (
+                nbr.join(
+                    labels.withColumnRenamed("node", "b"), "b"
+                )
+                .groupBy("a", "lbl")
+                .agg(F.count("*").alias("c"))
+            )
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("a").alias("node"), "lbl")
+                .localCheckpoint(eager=True)
+            )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lbl").cast("long").alias("community"),
+    )

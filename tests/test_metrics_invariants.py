@@ -381,3 +381,138 @@ def test_kcore_fixpoint_and_invariants(spark):
     assert set(core["node"]).issubset(set(raw.index))
     merged = core.set_index("node")["core_degree"]
     assert (merged <= raw.loc[merged.index]).all()
+
+
+def test_pq_search_adc_is_distance_to_reconstruction(spark):
+    # ADC's defining property (Jegou et al. 2011): the score for a
+    # corpus vector is the EXACT squared L2 distance between the
+    # uncompressed query and the vector's PQ reconstruction (its 8
+    # selected centroids concatenated). Recompute codes +
+    # reconstructions in numpy and pin every emitted adc_dist to it.
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries_r7 import (
+        _pq_codebooks,
+    )
+
+    out = REGISTRY["embed_pq_search"].fn(spark, SF1).toPandas()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF1}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchdf()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    books = _pq_codebooks()
+    recon = np.empty_like(m)
+    for s in range(8):
+        sub = m[:, 8 * s : 8 * s + 8]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        recon[:, 8 * s : 8 * s + 8] = books[s][d2.argmin(axis=1)]
+    for _, r in out.iterrows():
+        q = m[idx[r["q_id"]]]
+        want = ((q - recon[idx[r["vec_id"]]]) ** 2).sum()
+        assert abs(r["adc_dist"] - want) < 1e-4, (r["q_id"], r["vec_id"])
+    # shape invariants: 5 ranked rows per query, distances ascending
+    for _, g in out.groupby("q_id"):
+        assert sorted(g["rank"]) == [1, 2, 3, 4, 5]
+        assert g.sort_values("rank")["adc_dist"].is_monotonic_increasing
+
+
+def test_unimax_budget_cap_and_exhaustion(spark):
+    out = REGISTRY["unimax_budget"].fn(spark, SF2).toPandas()
+    tot = int(out["n_tokens"].sum())
+    budget = 2 * tot
+    # the epoch cap binds per language, the budget binds globally
+    assert (out["alloc_tokens"] <= 4 * out["n_tokens"]).all()
+    assert (out["alloc_tokens"] >= 0).all()
+    assert int(out["alloc_tokens"].sum()) <= budget
+    assert (out["epochs"] <= 4.000001).all()
+    # waterfilling shape: smallest-first means repeat factors never
+    # increase with language size
+    by_size = out.sort_values(["n_tokens", "lang"])
+    eps = by_size["epochs"].values
+    assert all(eps[i] >= eps[i + 1] - 1e-9 for i in range(len(eps) - 1))
+    # budget exhausts unless every language saturated its cap (the
+    # last-in-line language absorbs the integer-division remainders)
+    if not (out["alloc_tokens"] == 4 * out["n_tokens"]).all():
+        assert int(out["alloc_tokens"].sum()) == budget
+
+
+def test_quality_model_score_threshold_and_bounds(spark):
+    out = REGISTRY["quality_model_score"].fn(spark, SF2).toPandas()
+    assert (out["n_toks"] >= 1).all()
+    # mean of weights in [-1e6, 1e6] scaled by 1e-6 stays in [-1, 1]
+    assert out["score"].between(-1.0, 1.0).all()
+    assert (out["keep"] == (out["score"] >= 0.0)).all()
+
+
+def test_coreset_kcenter_matches_numpy_greedy(spark):
+    # replay Gonzalez' greedy in numpy (same quantization) and pin
+    # the engine's picks + radii exactly; also the greedy guarantee
+    # shape: covering radius is non-increasing round over round
+    import numpy as np
+
+    out = (
+        REGISTRY["coreset_kcenter"].fn(spark, SF1).toPandas()
+        .sort_values("round")
+    )
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF1}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    sel = [int(np.flatnonzero(ids == 0)[0])]
+    dmin = np.round(1e6 * ((m - m[sel[0]]) ** 2).sum(axis=1)).astype(
+        np.int64
+    )
+    dmin[sel[0]] = -1  # excluded from state
+    want = [(1, 0, 0)]
+    for r in range(2, 6):
+        # argmax dmin, tie-break smallest vec_id (ids are sorted asc)
+        j = int(np.flatnonzero(dmin == dmin.max())[0])
+        want.append((r, int(ids[j]), int(dmin[j])))
+        d2 = np.round(1e6 * ((m - m[j]) ** 2).sum(axis=1)).astype(
+            np.int64
+        )
+        dmin = np.minimum(dmin, d2)
+        dmin[j] = -1
+    got = list(
+        out[["round", "vec_id", "radius_sq_1e6"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == want
+    radii = out["radius_sq_1e6"].to_numpy()[1:]  # rounds 2..5
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+
+
+def test_lpa_matches_pandas_mode_vote(spark):
+    # replay 3 synchronized mode-vote rounds in pandas and pin the
+    # engine's round-3 labels exactly
+    out = REGISTRY["graph_label_prop_communities"].fn(spark, SF1)
+    got = {
+        (r["node"], r["community"]) for r in out.toPandas().to_dict("records")
+    }
+    e = duckdb.sql(f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{SF1}/lineitem.parquet')
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+    """).fetchdf()
+    nbr = pd.concat(
+        [
+            e.rename(columns={"u": "a", "v": "b"}),
+            e.rename(columns={"v": "a", "u": "b"})[["a", "b"]],
+        ]
+    )
+    lbl = {n: n for n in set(nbr["a"])}
+    for _ in range(3):
+        votes = nbr.assign(lbl=nbr["b"].map(lbl))
+        cnt = (
+            votes.groupby(["a", "lbl"]).size().reset_index(name="c")
+            .sort_values(["a", "c", "lbl"], ascending=[True, False, True])
+        )
+        lbl = dict(cnt.drop_duplicates("a")[["a", "lbl"]].values)
+    assert got == {(int(k), int(v)) for k, v in lbl.items()}
