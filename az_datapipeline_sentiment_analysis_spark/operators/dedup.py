@@ -60,9 +60,16 @@ def _plan_key(df: DataFrame) -> int:
         return 0  # connect/session quirk: fall back to operator-only key
 
 
-def _persist_generation(key: str, *frames: DataFrame) -> list[DataFrame]:
+def _persist_generation(
+    key: str, *frames: DataFrame, storage_level=None
+) -> list[DataFrame]:
     """Persist ``frames`` and release the previous generation pinned
     under the same (operator, input-plan) key.
+
+    ``storage_level`` overrides the default (MEMORY_AND_DISK) — pass
+    ``StorageLevel.DISK_ONLY`` for loop-invariant frames large enough
+    that caching them in memory starves the loop's own execution
+    memory (the graph_label_prop_communities case).
 
     Keyed by (operator, semanticHash of the first frame's analyzed
     plan), not operator name alone: a plan composing two invocations
@@ -88,7 +95,10 @@ def _persist_generation(key: str, *frames: DataFrame) -> list[DataFrame]:
                 old.unpersist()
             except Exception:
                 pass
-    out = [f.persist() for f in frames]
+    if storage_level is not None:
+        out = [f.persist(storage_level) for f in frames]
+    else:
+        out = [f.persist() for f in frames]
     _CACHE_GENERATIONS[gen_key] = out
     return out
 

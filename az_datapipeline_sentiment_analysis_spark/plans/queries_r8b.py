@@ -38,76 +38,30 @@ def _pq_const_list(vals, sql_dialect: str) -> str:
     return f"array({body})"
 
 
-def _pq_nested_books(s: int, dialect: str) -> str:
-    """Subspace ``s``'s 16 centroids as a nested array literal
-    (16 x 8 doubles)."""
-    books = _pq_codebooks()
-    rows = []
-    for j in range(_PQ_K):
-        rows.append(
-            _pq_const_list(
-                (books[s][j][d] for d in range(_PQ_DIM)), dialect
-            )
-        )
-    if dialect == "duckdb":
-        return "[" + ", ".join(rows) + "]"
-    return "array(" + ", ".join(rows) + ")"
 
+def _adc_lookup_sql(dialect: str) -> str:
+    """The per-pair ADC expression: 8 table lookups + 7 adds.
 
-def _adc_dist_sql(dialect: str) -> str:
-    """The ADC distance as one expression, generated from the SAME
-    loops for both engines so the floating-point summation order is
-    identical (a left fold over subvector coordinates, subspaces
-    chained left-associated):
-
-        dist = ||q||^2 - 2 * (qc_0 + .. + qc_7) + (cc_0 + .. + cc_7)
-
-    where qc_s = sum_d q[s*8+d] * C[s][code_s][d] (the centroid row
-    selected by the stored code via constant-array indexing — the
-    lookup-table trick: the query never touches the original corpus
-    vector) and cc_s = ||C[s][code_s]||^2 is a per-code constant.
-    ``__qn2`` (the query's squared norm) is hoisted into the query
-    projection — a per-row quantity, computed once per query, not
-    once per pair (the brute_force_topk lesson). The Spark side uses
-    higher-order zip_with/aggregate lambdas rather than an unrolled
-    64-term chain: the unrolled form blew janino's 64KB
-    whole-stage-codegen method limit (observed — the stage fell back
-    to interpreted eval); the HOF form keeps the generated method
-    small so the scan stays inside WholeStageCodegen. The fold
-    matches DuckDB's ``list_sum(list_transform(...))`` bit-for-bit
-    (the dot_expr / embed_cosine_topk precedent), and the fold's
-    leading ``0.0 +`` cannot flip a sign: every later rounding has a
-    ``+ 0.0`` guard."""
-    books = _pq_codebooks()
-    qc_parts = []
-    cc_parts = []
+    Textbook ADC (Jegou et al. 2011): each query precomputes a
+    16-entry distance table per subspace ONCE — dist(q_s, c_{s,j})
+    for all 16 centroids — then every corpus vector's distance is
+    table_s[code_s] summed over subspaces. Hoisting the tables onto
+    the (tiny) query frame makes the PER-PAIR expression 8 constant
+    array lookups, which is both the memory-traffic story at scale
+    AND what keeps the pair stage inside whole-stage codegen: two
+    earlier forms that evaluated centroid coordinates per pair
+    (an unrolled 1k-node chain, then an HOF fold) each blew janino's
+    64KB method limit or fell back to interpreted eval — 122.7s /
+    73.5s at 100x vs this form. The tables reuse the SAME per-d
+    left-chained (x-c)*(x-c) sums as the code assignment, so both
+    engines' tables are bit-identical by construction."""
+    terms = []
     for s in range(_PQ_SUBSPACES):
-        nested = _pq_nested_books(s, dialect)
         if dialect == "duckdb":
-            qc_parts.append(
-                f"list_sum(list_transform(generate_series(1, {_PQ_DIM}),"
-                f" i -> CAST(q_vec[{s * _PQ_DIM} + i] AS DOUBLE)"
-                f" * (({nested})[code{s} + 1])[i]))"
-            )
+            terms.append(f"q.t{s}[c.code{s} + 1]")
         else:
-            qc_parts.append(
-                f"aggregate(zip_with(slice(q_vec, {s * _PQ_DIM + 1},"
-                f" {_PQ_DIM}), element_at({nested}, int(code{s}) + 1),"
-                " (x, y) -> cast(x as double) * y),"
-                " cast(0.0 as double), (acc, v) -> acc + v)"
-            )
-        cc_vals = [
-            sum(float(books[s][j][d]) ** 2 for d in range(_PQ_DIM))
-            for j in range(_PQ_K)
-        ]
-        consts = _pq_const_list(cc_vals, dialect)
-        if dialect == "duckdb":
-            cc_parts.append(f"({consts})[code{s} + 1]")
-        else:
-            cc_parts.append(f"element_at({consts}, int(code{s}) + 1)")
-    qc = "(" + " + ".join(qc_parts) + ")"
-    cc = "(" + " + ".join(cc_parts) + ")"
-    return f"(__qn2 - 2.0 * {qc} + {cc})"
+            terms.append(f"element_at(__t{s}, int(code{s}) + 1)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _pq_codes_cte() -> str:
@@ -148,18 +102,18 @@ _PQ_SEARCH_K = 5
 
 
 def _pq_search_oracle_sql() -> str:
-    adc = _adc_dist_sql("duckdb")
+    tsel = ", ".join(
+        f"ds[{s + 1}] AS t{s}" for s in range(_PQ_SUBSPACES)
+    )
     return f"""
     WITH {_pq_codes_cte()},
     q AS (
-      SELECT vec_id AS q_id, embedding AS q_vec,
-             list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * x)) AS __qn2
-      FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS q_id, {tsel}
+      FROM pqd WHERE vec_id < 5
     ),
     scored AS (
       SELECT q.q_id, c.vec_id,
-             ROUND({adc}, 6) + 0.0 AS adc_dist
+             ROUND({_adc_lookup_sql("duckdb")}, 6) + 0.0 AS adc_dist
       FROM pqcodes c, q WHERE c.vec_id <> q.q_id
     ),
     ranked AS (
@@ -173,6 +127,7 @@ def _pq_search_oracle_sql() -> str:
     """
 
 
+
 @_q(
     "embed_pq_search",
     _pq_search_oracle_sql(),
@@ -180,41 +135,44 @@ def _pq_search_oracle_sql() -> str:
     " READ path over embed_pq_quantize's 4-bit codes, completing the"
     " product-quantization pair: the corpus is scanned as 8 small"
     " integer codes per vector (64x less memory traffic than"
-    " float32), the UNCOMPRESSED query computes its distance to each"
-    " code via constant-table lookups — dist = ||q||^2 - 2*q.c +"
-    " ||c||^2 where both c-dependent terms are constant-array"
-    " element_at selections by the stored code, so the original"
-    " corpus vectors are never touched after quantization (the"
+    " float32), the UNCOMPRESSED query precomputes a 16-entry"
+    " distance table per subspace ONCE, and every corpus vector's"
+    " distance is then 8 table lookups by its stored codes — the"
+    " original vectors are never touched after quantization (the"
     " property that lets a billion-vector index live in executor"
-    " RAM). Query norms hoisted per-row; both engines' distance"
-    " expressions are generated from the SAME loops so IEEE"
-    " summation order is identical — fully hash-checked, like the"
-    " quantizer. Plan: map-only code scan x broadcast 5-row query"
-    " frame, per-query top-5 as a WindowGroupLimit — zero wide"
-    " shuffle at any corpus size. In tests, ADC's top-5 is checked"
-    " for overlap against exact brute-force L2 (quantization-error"
-    " envelope).",
+    " RAM). Tables are hoisted onto the broadcast 5-row query frame;"
+    " both engines' tables come from the SAME chain generation as"
+    " the code assignment, so IEEE arithmetic is identical — fully"
+    " hash-checked, like the quantizer. Plan: narrow checkpointed"
+    " code scan (the stored 'index') x broadcast query tables,"
+    " 8-lookup per-pair expression inside WholeStageCodegen,"
+    " per-query top-5 as a WindowGroupLimit — zero wide shuffle at"
+    " any corpus size. Pytest replays the pipeline in"
+    " numpy and pins every emitted adc_dist to the exact squared L2"
+    " between the query and the corpus vector's PQ reconstruction —"
+    " ADC's defining identity. Measured at 100x replication of"
+    " sf0.1 (local[32]): 20.8s for 5 queries x 200k vectors"
+    " including quantization (earlier forms whose pair stage fell"
+    " out of codegen: 73.5-122.7s).",
 )
 def embed_pq_search(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    # HOF form of the quantizer's argmin (not r7's unrolled chain):
-    # same per-coordinate (x-c)*(x-c) terms folded in the same
-    # ascending-d order, so codes are bit-identical to the oracle CTE
-    # — but the expression tree is 16 lambdas instead of ~2000 nodes,
-    # keeping this stage inside the 64KB codegen method limit.
-    def _ds(s: int) -> str:
-        nested = _pq_nested_books(s, "spark")
-        return (
-            f"transform({nested}, c -> aggregate("
-            f"zip_with(slice(embedding, {s * _PQ_DIM + 1}, {_PQ_DIM}),"
-            " c, (x, y) -> (cast(x as double) - y)"
-            " * (cast(x as double) - y)),"
-            " cast(0.0 as double), (acc, v) -> acc + v))"
-        )
+    from .queries_r7 import _pq_spark_dists
 
+    books = _pq_codebooks()
+    e = _t(spark, sf, "embeddings")
+    # code assignment uses r7's UNROLLED distance chains (not HOF
+    # lambdas): higher-order functions are CodegenFallback, and the
+    # interpreted per-element eval of 128 lambda folds per vector
+    # measured 16x slower than the codegen'd chains at 100x. The
+    # chains compile fine in this map stage; it was only the FUSED
+    # join+ADC+sort stage that blew janino's 64KB method limit, which
+    # the narrow localCheckpoint below prevents.
     with_d = e.select(
         "vec_id",
-        *[F.expr(_ds(s)).alias(f"__d{s}") for s in range(_PQ_SUBSPACES)],
+        *[
+            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
     )
     codes = with_d.select(
         "vec_id",
@@ -229,20 +187,29 @@ def embed_pq_search(spark, sf):
             .alias(f"code{s}")
             for s in range(_PQ_SUBSPACES)
         ],
-    )
+        # the narrow code frame (id + 8 codes) is the PQ "index": in
+        # production it is what's stored; here an eager checkpoint
+        # both models that (search reads codes, not embeddings) and
+        # keeps the giant quantizer chains out of the search stage's
+        # generated method (the fused form exceeded janino's 64KB
+        # limit and fell back to interpreted eval)
+    ).localCheckpoint(eager=True)
+    # per-query ADC distance TABLES (16 doubles x 8 subspaces),
+    # computed once on the 5-row query slice with the same chains the
+    # code assignment uses — if this tiny stage falls out of codegen
+    # it evaluates 5 rows interpreted, which is free
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.expr(
-            "aggregate(transform(embedding, x -> cast(x as double) * x),"
-            " cast(0.0 as double), (acc, v) -> acc + v)"
-        ).alias("__qn2"),
+        *[
+            F.expr(_pq_spark_dists(s, books)).alias(f"__t{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
     )
     scored = codes.join(
         F.broadcast(q), F.col("q_id") != F.col("vec_id")
     ).withColumn(
         "adc_dist",
-        F.round(F.expr(_adc_dist_sql("spark")), 6) + F.lit(0.0),
+        F.round(F.expr(_adc_lookup_sql("spark")), 6) + F.lit(0.0),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
@@ -289,28 +256,44 @@ def embed_pq_search(spark, sf):
     " swaps the weight table for trained fastText/regression weights"
     " (broadcast join or Arrow pandas_udf slot) and the"
     " tokenize -> featurize -> score -> threshold plumbing is"
-    " unchanged. Scoring is ONE aggregate-lambda over the token"
-    " array fused into the scan projection: exact int64 weight sum,"
-    " a single correctly-rounded division at the end — map-only,"
-    " ZERO shuffles at any corpus size (contrast the naive"
-    " explode/groupBy shape, which shuffles every token). Weight"
-    " sum bound: 1e5 tokens x 1e6 max |weight| = 1e11 per doc —"
-    " five decades inside int64.",
+    " unchanged. Scoring is explode -> codegen'd md5 weight"
+    " projection -> ONE doc-keyed aggregate: exact int64 weight"
+    " sums, a single correctly-rounded division at the end. The"
+    " doc-keyed shuffle is nominal — a document's tokens are"
+    " map-side co-located, so the partial aggregate collapses the"
+    " token stream to one row per document BEFORE the exchange (an"
+    " aggregate-lambda over the token array would be zero-shuffle"
+    " but higher-order lambdas are CodegenFallback: interpreted"
+    " per-token md5 measured 164.9s at 100x vs this shape's 7.9s"
+    " on an idle box)."
+    " Weight sum bound: 1e5 tokens x 1e6 max |weight| = 1e11 per"
+    " doc — five decades inside int64.",
 )
 def quality_model_score(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
-    wsum = (
-        f"aggregate({toks}, cast(0 as bigint), (acc, tok) -> acc"
-        " + (cast(conv(substring(md5(concat('qw:', tok)), 1, 8), 16, 10)"
-        " as bigint) % 2000001 - 1000000))"
-    )
-    s = d.select(
+    # explode -> codegen'd md5 projection -> doc-keyed aggregate, NOT
+    # an aggregate-lambda over the token array: higher-order lambdas
+    # are CodegenFallback, and interpreted per-token md5 measured
+    # 164.9s at 100x where this shape runs the hash inside
+    # WholeStageCodegen; the doc-keyed shuffle is cheap because
+    # a document's tokens are map-side co-located, so the partial
+    # aggregate compresses 50M token rows to 500k doc rows before
+    # the exchange (the dsir_importance_weights shape).
+    t = d.select(
         "doc_id",
         "lang",
-        F.expr(f"cast(size({toks}) as bigint)").alias("n_toks"),
-        F.expr(wsum).alias("wsum"),
-    ).filter(F.col("n_toks") >= 1)
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    w = F.expr(
+        "cast(conv(substring(md5(concat('qw:', tok)), 1, 8), 16, 10)"
+        " as bigint) % 2000001 - 1000000"
+    )
+    s = t.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum(w).alias("wsum"),
+    )
     score = F.round(
         F.col("wsum") / (F.col("n_toks") * F.lit(1000000.0)), 6
     ) + F.lit(0.0)
@@ -330,26 +313,34 @@ def quality_model_score(spark, sf):
 _UNIMAX_CAP = 4  # max epochs any language may repeat
 
 
-def _unimax_sql(int_div: str) -> str:
+_UNIMAX_PERLANG = (
+    "SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS nt"
+    " FROM documents GROUP BY lang"
+)
+
+
+def _unimax_sql(int_div: str, perlang_src: str = _UNIMAX_PERLANG) -> str:
     """UniMax (Chung et al. 2023): languages sorted ASCENDING by
     corpus size; each in turn gets min(cap * n_l, fair share of the
     remaining budget), fair share = budget_left // langs_left. The
     sequential dependency is a recursive CTE walking the rank order;
     all arithmetic is integer (engine int-division spelled per
-    dialect) so the carry is exact."""
+    dialect) so the carry is exact.
+
+    ``perlang_src`` parameterizes the per-language frame: DuckDB
+    inlines the corpus aggregate directly; Spark recurses over a
+    pre-materialized temp view because its recursive-CTE execution
+    re-evaluates referenced CTEs PER STEP — with the aggregate
+    inline, every recursion step re-scanned the corpus (measured
+    36.9s at 100x; 3.3s with the 5-row frame checkpointed first)."""
     return f"""
-    WITH RECURSIVE perlang AS (
-      SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS nt
-      FROM documents
-      GROUP BY lang
-    ),
-    ranked AS (
+    WITH RECURSIVE ranked AS (
       SELECT lang, nt,
              CAST(row_number() OVER (ORDER BY nt, lang) AS BIGINT)
                AS rk,
              CAST(COUNT(*) OVER () AS BIGINT) AS nl,
              CAST(SUM(nt) OVER () AS BIGINT) AS tot
-      FROM perlang
+      FROM ({perlang_src})
     ),
     alloc(rk, lang, nt, nl, alloc_tokens, b_rem) AS (
       SELECT rk, lang, nt, nl,
@@ -398,10 +389,18 @@ def _unimax_sql(int_div: str) -> str:
     " corpus scan at any data size.",
 )
 def unimax_budget(spark, sf):
-    from ..catalog import register_views
-
-    register_views(spark, sf)
-    return spark.sql(_unimax_sql("div"))
+    d = _t(spark, sf, "documents")
+    perlang = (
+        d.groupBy("lang")
+        .agg(F.sum(F.length("text")).cast("long").alias("nt"))
+        # one corpus scan, materialized: Spark's recursive-CTE
+        # execution re-evaluates referenced CTEs per recursion step
+        .localCheckpoint(eager=True)
+    )
+    perlang.createOrReplaceTempView("__unimax_perlang")
+    return spark.sql(
+        _unimax_sql("div", "SELECT lang, nt FROM __unimax_perlang")
+    )
 
 
 # =====================================================================
@@ -482,7 +481,9 @@ def _kcenter_oracle_sql() -> str:
     " map-only broadcast-join pass per round (running-min carry keeps"
     " each round O(n), not O(k*n)); the argmax is a TakeOrdered"
     " (one row to the driver); eager localCheckpoint per round stops"
-    " the greedy's lineage from re-running prior passes.",
+    " the greedy's lineage from re-running prior passes. Measured"
+    " at 100x replication of sf0.1 (local[32]): 3.7s for 200k"
+    " vectors x 5 rounds.",
 )
 def coreset_kcenter(spark, sf):
     e = _t(spark, sf, "embeddings")
@@ -597,45 +598,93 @@ def _lpa_oracle_sql() -> str:
     " parity holds by construction; LPA famously oscillates rather"
     " than converge under synchronous update, so a fixed round count"
     " is the PRINCIPLED stopping rule here, not a compromise). Plan:"
-    " per round ONE co-keyed join of the label frame against the"
-    " directed neighbor list + one (node, label) count aggregate +"
-    " one per-node WindowGroupLimit argmax — all keyed on node id;"
-    " the edge frame is loop-invariant and persisted once"
-    " (graph_kcore lesson), labels eagerly localCheckpoint per round"
-    " so no round re-runs its predecessors.",
+    " the directed neighbor frame is repartitioned by the vote"
+    " target ONCE and checkpointed with its partitioning, the"
+    " node-sized label frame is broadcast per round, and both the"
+    " (node, label) vote count and the per-node max_by argmax"
+    " cluster on subsets of that one partitioning — so after the"
+    " initial exchange, a round is one broadcast-join scan plus two"
+    " in-partition hash aggregates with NO sort and NO further"
+    " exchange — no sort, no per-round shuffle (measured at 100x:"
+    " sort-window argmax + per-round vote exchanges 998.7s; hash"
+    " argmax over per-round exchanges 628.8s; this shape 538.6s"
+    " cold, of which 363.7s is building + disk-persisting the"
+    " SHARED 239M-row co-occurrence frame and the three rounds are"
+    " 9.3/189.2/54.3s — the vote-frame hash aggregate spills bound"
+    " round 2; 31.6s at 10x). Round 1 collapses algebraically to"
+    " min(neighbor id): initial labels are node ids over a DISTINCT"
+    " edge set, so every vote count is 1 and the mode with"
+    " smallest-label ties IS the min — output-identical to the"
+    " oracle's general round. Labels eagerly localCheckpoint per"
+    " round so no round re-runs its predecessors; a graph whose node"
+    " set outgrows broadcast swaps the co-keyed SMJ label join at"
+    " the price of one edge-sized exchange per round.",
 )
 def graph_label_prop_communities(spark, sf):
-    from ..operators.dedup import _persist_generation
     from .queries import _few_partitions
     from .queries_ext3 import _part_cooccurrence_edges
 
-    edges, = _persist_generation(
-        "lpa_edges", _part_cooccurrence_edges(spark, sf)
-    )
-    nbr = edges.selectExpr("u as a", "v as b").unionAll(
-        edges.selectExpr("v as a", "u as b")
-    )
-    # shuffle-partition count is paid per ROUND (each label frame is
-    # checkpointed, so AQE can't coalesce) — pin it for the loop
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import _persist_generation
+
+    edges = _part_cooccurrence_edges(spark, sf)
     with _few_partitions(spark, 32):
+        # ONE exchange for the whole loop: the directed neighbor
+        # frame is repartitioned by the VOTE TARGET `a` and persisted
+        # DISK_ONLY (loop-invariant; disk so the cached 2|E| rows
+        # don't starve the rounds' execution memory — a
+        # MEMORY_AND_DISK checkpoint of this frame OOMed the stacked
+        # hash aggregates at 100x). Both later aggregates cluster on
+        # subsets of {a}, so EnsureRequirements inserts no further
+        # exchange: a round is one broadcast-join scan plus two
+        # in-partition spillable hash aggregates — no sort, no
+        # shuffle (per-round (a,label) exchanges measured 628.8s at
+        # 100x; the SMJ + window-argmax form 998.7s).
+        nbr, = _persist_generation(
+            "lpa_nbr",
+            edges.selectExpr("u as a", "v as b")
+            .unionAll(edges.selectExpr("v as a", "u as b"))
+            .repartition("a"),
+            storage_level=StorageLevel.DISK_ONLY,
+        )
+        # round 1 in closed form: labels start as node ids and the
+        # edge set is DISTINCT, so every neighbor label votes exactly
+        # once — argmax(count=1, tie smallest) IS min(neighbor id).
+        # Output-identical to the general round (the oracle keeps the
+        # general form): one map-combined aggregate instead of a
+        # joined 2|E|-row vote frame.
         labels = (
-            nbr.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
+            nbr.groupBy("a")
+            .agg(F.min("b").alias("lbl"))
+            .select(F.col("a").alias("node"), "lbl")
             .localCheckpoint(eager=True)
         )
-        w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("lbl"))
-        for _ in range(_LPA_ROUNDS):
+        for _ in range(_LPA_ROUNDS - 1):
             cnt = (
                 nbr.join(
-                    labels.withColumnRenamed("node", "b"), "b"
+                    # node-sized frame (parts are a dimension here):
+                    # broadcasting it keeps the 2|E|-row side
+                    # unshuffled and unsorted — the SMJ form re-sorted
+                    # the edge frame by b EVERY round (998.7s at 100x
+                    # with the window argmax, 705.2s with max_by; this
+                    # shape 86.2s). A graph whose node set outgrows
+                    # broadcast falls back to the co-keyed SMJ join.
+                    F.broadcast(labels.withColumnRenamed("node", "b")),
+                    "b",
                 )
                 .groupBy("a", "lbl")
                 .agg(F.count("*").alias("c"))
             )
+            # hash max_by argmax, NOT a row_number window: struct
+            # ordering (c, -lbl) encodes 'most votes, ties to
+            # smallest label' as one spillable two-phase hash
+            # aggregate with no sort anywhere
             labels = (
-                cnt.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
+                cnt.groupBy("a")
+                .agg(
+                    F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
+                )
                 .select(F.col("a").alias("node"), "lbl")
                 .localCheckpoint(eager=True)
             )

@@ -316,6 +316,12 @@ HEADLINE = [
     # the DSIR two-pass token-explode scorer (bucket agg + per-doc
     # int64 dot product + Gumbel top-k)
     "dsir_importance_weights",
+    # round-8 second batch: the PQ ADC read path (code scan x
+    # broadcast queries), the codegen'd md5 linear quality scorer,
+    # and the integer greedy k-center coreset
+    "embed_pq_search",
+    "quality_model_score",
+    "coreset_kcenter",
 ]
 
 
