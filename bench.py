@@ -326,6 +326,10 @@ HEADLINE = [
     # fingerprint scheme (doc-keyed window pipeline)
     "ann_ivfpq_search",
     "winnow_fingerprints",
+    # the ExactSubstr duplicated-span metric (token-volume-bound
+    # support aggregation) and the Arrow patchify matmul path
+    "span_dedup_exact",
+    "vit_patchify",
 ]
 
 

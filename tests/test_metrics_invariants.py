@@ -609,3 +609,105 @@ def test_winnowing_guarantee_and_python_replay(spark):
         for r in out.to_dict("records")
     }
     assert got == want
+
+
+def test_span_dedup_python_replay(spark):
+    import hashlib
+    import re as _re
+
+    out = REGISTRY["span_dedup_exact"].fn(spark, SF1).toPandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS text"
+        f" FROM '{SF1}/documents.parquet'"
+    ).fetchdf()
+    spans = {}
+    for _, row in docs.iterrows():
+        toks = _re.findall(r"[a-z]+", row["text"])
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 8]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - 7)
+        ]
+        if hs:
+            spans[row["doc_id"]] = hs
+    docs_of = {}
+    for d, hs in spans.items():
+        for h in set(hs):
+            docs_of.setdefault(h, set()).add(d)
+    want = {
+        d: (
+            len(hs),
+            sum(1 for h in hs if len(docs_of[h]) >= 2),
+        )
+        for d, hs in spans.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in out.to_dict("records")
+    }
+    assert got == want
+    # the fraction column is consistent with the counts
+    for r in out.to_dict("records"):
+        assert abs(
+            r["dup_frac"] - round(r["dup_spans"] / r["n_spans"], 6)
+        ) < 1e-9
+
+
+def test_hampel_localizes_and_repairs(spark):
+    out = REGISTRY["hampel_filter"].fn(spark, SF2).toPandas()
+    # repair semantics: flagged rows carry the window median,
+    # unflagged rows pass through
+    f = out[out["is_outlier"]]
+    assert (f["repaired"] == f["med"]).all()
+    nf = out[~out["is_outlier"]]
+    assert (nf["repaired"] == nf["cnt"]).all()
+    # pandas replay of the lower-median / lower-MAD windows
+    import numpy as np
+
+    for _, g in out.groupby("event_type"):
+        g = g.sort_values("day_idx").reset_index(drop=True)
+        c = g["cnt"].to_numpy()
+        for i in range(len(g)):
+            wdw = c[max(0, i - 3) : i + 4]
+            med = int(np.sort(wdw)[(len(wdw) + 1) // 2 - 1])
+            mad = int(
+                np.sort(np.abs(wdw - med))[(len(wdw) + 1) // 2 - 1]
+            )
+            assert g.loc[i, "med"] == med
+            assert g.loc[i, "mad"] == mad
+            assert bool(g.loc[i, "is_outlier"]) == (
+                abs(int(c[i]) - med) > 3 * mad
+            )
+
+
+def test_vit_patchify_matches_bytes(spark):
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries_r8b import (
+        _patch_weights,
+    )
+
+    out = REGISTRY["vit_patchify"].fn(spark, SF1).toPandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF1}/documents.parquet'"
+    ).fetchdf()
+    w = np.array(_patch_weights(), dtype=np.int64)
+    by_doc = dict(tuple(out.groupby("doc_id")))
+    for _, row in docs.iterrows():
+        b = row["text"].encode()
+        if not b:
+            continue
+        npatch = (len(b) + 15) // 16
+        g = by_doc[row["doc_id"]].sort_values("patch_idx")
+        assert len(g) == npatch
+        # byte accounting: patch sizes sum to the payload length
+        assert int(g["n_patch_bytes"].sum()) == len(b)
+        padded = b + b"\0" * (npatch * 16 - len(b))
+        m = np.frombuffer(padded, dtype=np.uint8).reshape(npatch, 16)
+        e = m.astype(np.int64) @ w.T
+        for k in range(4):
+            assert (g[f"e{k}"].to_numpy() == e[:, k]).all()
