@@ -1313,3 +1313,553 @@ def vit_patchify(spark, sf):
     return d.select("doc_id", "payload").mapInPandas(
         run, schema=_VIT_SCHEMA
     )
+
+
+# =====================================================================
+# STL-residual anomaly flag (seasonality-aware outlier detection)
+# =====================================================================
+
+_DAILY_CELLS_SQL_R8 = """
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+"""
+
+
+@_q(
+    "anomaly_stl_residual",
+    f"""
+    WITH cells AS ({_DAILY_CELLS_SQL_R8}),
+    tr AS (
+      SELECT event_type, day_idx, cnt,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(ROUND(1000000.0 * SUM(cnt) OVER w / 7, 0)
+                       AS BIGINT)
+             END AS trend_u
+      FROM cells
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, day_idx, day_idx % 7 AS dow, cnt,
+             cnt * 1000000 - trend_u AS d_u
+      FROM tr WHERE trend_u IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(ROUND(AVG(d_u), 0) AS BIGINT) AS seasonal_u
+      FROM detr GROUP BY event_type, dow
+    ),
+    r AS (
+      SELECT d.event_type, d.day_idx, d.cnt,
+             d.d_u - s.seasonal_u AS resid_u
+      FROM detr d JOIN seas s
+        ON d.event_type = s.event_type AND d.dow = s.dow
+    ),
+    rm AS (
+      SELECT event_type, day_idx, cnt, resid_u,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY resid_u, day_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM r
+    ),
+    med AS (
+      SELECT event_type, resid_u AS med_u FROM rm
+      WHERE rn = (n + 1) // 2
+    ),
+    am AS (
+      SELECT r.event_type, r.day_idx, r.cnt, r.resid_u, m.med_u,
+             abs(r.resid_u - m.med_u) AS adev_u
+      FROM r JOIN med m ON r.event_type = m.event_type
+    ),
+    am2 AS (
+      SELECT event_type, day_idx, cnt, resid_u, med_u, adev_u,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY adev_u, day_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM am
+    ),
+    mad AS (
+      SELECT event_type, adev_u AS mad_u FROM am2
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT a.event_type, a.day_idx, a.cnt,
+           ROUND(a.resid_u / 1000000.0, 4) + 0.0 AS residual,
+           ROUND(a.med_u / 1000000.0, 4) + 0.0 AS resid_med,
+           ROUND(d.mad_u / 1000000.0, 4) + 0.0 AS resid_mad,
+           abs(a.resid_u - a.med_u) > 3 * d.mad_u AS is_anomaly
+    FROM am a JOIN mad d ON a.event_type = d.event_type
+    """,
+    "Seasonality-aware anomaly detection: flag days whose STL"
+    " residual (observed - centered-7-day trend - weekday seasonal,"
+    " the stl_decompose_additive arithmetic in the same integer"
+    " micro-units) sits more than 3 robust MADs from the residual"
+    " median — the upgrade over anomaly_mad's raw-value test, which"
+    " mass-flags every weekend on a weekly-seasonal series because"
+    " it never removes the pattern it should be testing around."
+    " Medians are LOWER medians selected by explicit row_number"
+    " position (no interpolation ulp, no buffering percentile —"
+    " the per-type windows sort the types x days POST-AGGREGATE"
+    " frame, never raw rows); every statistic up to the final"
+    " renders is exact int64. One raw-stream aggregate total."
+    " Measured at 100x replication of sf0.1 (local[32]): 14.8s —"
+    " the one raw-stream aggregate is the whole cost (the residual"
+    " frame is checkpointed so its three consumers do not re-run"
+    " it).",
+)
+def anomaly_stl_residual(spark, sf):
+    ev = _t(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    tr = cells.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.round(
+                F.lit(1000000.0) * F.sum("cnt").over(w7) / 7, 0
+            ).cast("long"),
+        ).alias("trend_u"),
+    ).where(F.col("trend_u").isNotNull())
+    detr = tr.select(
+        "event_type",
+        "day_idx",
+        (F.col("day_idx") % 7).alias("dow"),
+        "cnt",
+        (F.col("cnt") * 1000000 - F.col("trend_u")).alias("d_u"),
+    )
+    seas = detr.groupBy(
+        F.col("event_type").alias("__set"),
+        F.col("dow").alias("__sdow"),
+    ).agg(F.round(F.avg("d_u"), 0).cast("long").alias("seasonal_u"))
+    r = detr.join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("__set"))
+        & (F.col("dow") == F.col("__sdow")),
+    ).select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        (F.col("d_u") - F.col("seasonal_u")).alias("resid_u"),
+        # the residual frame feeds the median pass, the MAD pass, and
+        # the output projection: checkpoint the (types x days)-bounded
+        # frame once so the raw-stream aggregate doesn't re-run per
+        # consumer (measured 19.6s -> re-measured after; the events
+        # scan is the whole cost)
+    ).localCheckpoint(eager=True)
+
+    def _lower_median(df, val, out):
+        wrn = Window.partitionBy("event_type").orderBy(val, "day_idx")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("__rn", F.row_number().over(wrn))
+            .withColumn("__n", F.count("*").over(wn))
+            .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = _lower_median(r, "resid_u", "med_u")
+    am = r.join(F.broadcast(med), "event_type").withColumn(
+        "adev_u", F.abs(F.col("resid_u") - F.col("med_u"))
+    )
+    mad = _lower_median(am, "adev_u", "mad_u")
+    out = am.join(F.broadcast(mad), "event_type")
+    return out.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        (F.round(F.col("resid_u") / 1000000.0, 4) + F.lit(0.0)).alias(
+            "residual"
+        ),
+        (F.round(F.col("med_u") / 1000000.0, 4) + F.lit(0.0)).alias(
+            "resid_med"
+        ),
+        (F.round(F.col("mad_u") / 1000000.0, 4) + F.lit(0.0)).alias(
+            "resid_mad"
+        ),
+        (
+            F.abs(F.col("resid_u") - F.col("med_u"))
+            > 3 * F.col("mad_u")
+        ).alias("is_anomaly"),
+    )
+
+
+# =====================================================================
+# Incremental MinHash dedup (the daily-delta ingest path)
+# =====================================================================
+
+_INC_THRESHOLD = 0.3
+
+
+def _incremental_minhash_oracle_sql() -> str:
+    """Delta-involving near-dup verdicts from the FULL logical pair
+    set: the oracle runs the shared all-pairs MinHash chain and
+    filters to pairs touching a delta doc — semantically identical to
+    the engine's delta-vs-all candidate join, which never generates a
+    base-base candidate in the first place."""
+    from .queries import _minhash_pairs_ctes
+
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    np AS (SELECT doc_a, doc_b, jaccard FROM pairs
+           WHERE jaccard >= {_INC_THRESHOLD}),
+    sym AS (
+      SELECT doc_a AS d, doc_b AS o, jaccard FROM np
+      UNION ALL
+      SELECT doc_b AS d, doc_a AS o, jaccard FROM np
+    ),
+    dm AS (SELECT d, o, jaccard FROM sym WHERE d % 10 = 0),
+    agg AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             MAX(jaccard) AS best_jaccard
+      FROM dm GROUP BY d
+    ),
+    best AS (
+      SELECT d, o AS best_match FROM (
+        SELECT d, o, row_number() OVER (PARTITION BY d
+          ORDER BY jaccard DESC, o) AS rn
+        FROM dm
+      ) WHERE rn = 1
+    )
+    SELECT dd.doc_id,
+           COALESCE(a.n_matches, 0) AS n_matches,
+           CAST(b.best_match AS BIGINT) AS best_match,
+           a.best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+    LEFT JOIN agg a ON a.d = dd.doc_id
+    LEFT JOIN best b ON b.d = dd.doc_id
+    """
+
+
+@_q(
+    "dedup_incremental_minhash",
+    _incremental_minhash_oracle_sql(),
+    "Incremental MinHash dedup — the DAILY-DELTA ingest path a"
+    " production pipeline actually runs: a new batch (here the"
+    " doc_id %% 10 == 0 slice) is checked against the EXISTING"
+    " corpus plus itself, emitting per-new-doc verdicts (match"
+    " count, best-matching existing doc, best Jaccard) — without"
+    " ever re-running base-vs-base, which is the whole point of"
+    " incremental dedup: per-batch cost is O(delta x collision"
+    " rate), not O(corpus^2), because the delta's band frame joins"
+    " the (in production: persisted) base band index on the band"
+    " key. Candidate semantics are IDENTICAL to the full LSH"
+    " restricted to delta-involving pairs — band-row equality is"
+    " symmetric — so the oracle runs the shared all-pairs CTE chain"
+    " and filters, while the engine never generates a base-base"
+    " candidate (plan-level asymmetry, output-level equality)."
+    " Signatures are the shared pure-Catalyst md5 lanes; exact"
+    " Jaccard verification on the candidate set only; ties break to"
+    " the smallest matching doc id. Fully hash-checked at three"
+    " scales. Measured at 100x replication of sf0.1 (local[32]):"
+    " 17.0s for a 50k-doc delta against a 450k-doc base — the"
+    " uncollapsed first cut measured 117.7s on the same corpus"
+    " (copy-heavy buckets are quadratic in duplication rate; the"
+    " minhash_pairs stage-0 lesson re-proven).",
+)
+def dedup_incremental_minhash(spark, sf):
+    from ..operators import dedup as dd
+    from ..operators.dedup import _persist_generation
+
+    docs = _t(spark, sf, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    # exact-copy collapse FIRST (the minhash_pairs stage-0 lesson: a
+    # copy-heavy corpus makes uncollapsed LSH buckets quadratic in the
+    # duplication rate — the uncollapsed form of this entry measured
+    # 117.7s at 100x vs this shape). Verdicts expand back to members
+    # through bounded PER-GROUP aggregates (size, two smallest ids,
+    # has-delta flag) — no member pair is ever materialized.
+    g1 = keyed.groupBy("fp").agg(
+        F.count("*").cast("long").alias("gsize"),
+        F.min("doc_id").alias("min1"),
+        F.max(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+        .alias("has_delta"),
+    )
+    min2 = (
+        keyed.join(
+            g1.select("fp", F.col("min1").alias("__m1")), "fp"
+        )
+        .filter(F.col("doc_id") != F.col("__m1"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    groups = g1.join(min2, "fp", "left")
+    reps = (
+        keyed.join(
+            g1.select("fp", F.col("min1").alias("doc_id")),
+            ["fp", "doc_id"],
+            "left_semi",
+        )
+        .join(docs, "doc_id")
+        .select("fp", F.col("doc_id").alias("rep_id"), "text")
+    )
+    sigs = dd.minhash_signatures(reps, id_col="rep_id", text_col="text")
+    sigs = sigs.join(
+        reps.select(F.col("rep_id").alias("id"), "fp"), "id"
+    ).join(
+        groups.select(
+            F.col("min1").alias("id"), "gsize", "has_delta"
+        ),
+        "id",
+    )
+    sigs, groups_p, keyed_p = _persist_generation(
+        "inc_minhash_sigs", sigs, groups, keyed
+    )
+
+    def bands(s):
+        return s.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {dd.N_BANDS - 1}),"
+                    f" b -> struct(b AS band,"
+                    f" slice(sig, b * {dd.ROWS_PER_BAND} + 1,"
+                    f" {dd.ROWS_PER_BAND}) AS rows,"
+                    f" hash(slice(sig, b * {dd.ROWS_PER_BAND} + 1,"
+                    f" {dd.ROWS_PER_BAND})) AS bh))"
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.rows", "bb.bh")
+
+    # rep-level candidates, delta-involving groups on the left only:
+    # in production the right side is the persisted base band index
+    cand = (
+        bands(sigs.filter(F.col("has_delta") == 1))
+        .alias("x")
+        .join(
+            bands(sigs).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.rows") == F.col("y.rows"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("ra"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(
+        F.col("id").alias("rb"),
+        F.col("shingles").alias("sh_b"),
+        F.col("gsize").alias("o_size"),
+        F.col("id").alias("o_min"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    rp = (
+        cand.join(sa, "ra")
+        .join(sb, "rb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union)
+                .otherwise(0.0),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= _INC_THRESHOLD)
+        .select("ra", "jaccard", "o_size", "o_min")
+    )
+    # per-GROUP cross aggregates: total cross matches, best jaccard,
+    # and the smallest member id among groups at the best jaccard
+    # (every member of a matched group is a match; its smallest id is
+    # the group's min — rep ids ARE group minima)
+    pf = rp.groupBy("ra").agg(
+        F.sum("o_size").cast("long").alias("cross_n"),
+        F.max("jaccard").alias("jmax"),
+        F.expr("max_by(o_min, struct(jaccard, -o_min))").alias(
+            "bx"
+        ),
+    )
+    per_group = (
+        sigs.filter(F.col("has_delta") == 1)
+        .select(
+            F.col("fp"),
+            F.col("id").alias("rep_id"),
+            F.col("gsize"),
+            (F.size("shingles") > 0).alias("has_sh"),
+        )
+        .join(pf.withColumnRenamed("ra", "rep_id"), "rep_id", "left")
+        .join(
+            groups_p.select("fp", "min1", "min2"), "fp"
+        )
+    )
+    # expand to delta members: map-only join of the per-group verdict
+    # frame onto the (fp, id) projection
+    mem = keyed_p.filter(F.col("doc_id") % 10 == 0)
+    out = mem.join(F.broadcast(per_group), "fp", "left")
+    same_n = F.when(
+        F.col("has_sh") & (F.col("gsize") > 1), F.col("gsize") - 1
+    ).otherwise(F.lit(0))
+    comem = F.when(
+        F.col("doc_id") != F.col("min1"), F.col("min1")
+    ).otherwise(F.col("min2"))
+    n_matches = (same_n + F.coalesce(F.col("cross_n"), F.lit(0))).cast(
+        "long"
+    )
+    jbest = F.when(
+        same_n > 0,
+        F.greatest(F.lit(1.0), F.coalesce(F.col("jmax"), F.lit(1.0))),
+    ).otherwise(F.col("jmax"))
+    best = F.when(
+        (same_n > 0)
+        & (F.coalesce(F.col("jmax"), F.lit(-1.0)) >= 1.0),
+        F.least(comem, F.col("bx")),
+    ).otherwise(
+        F.when(same_n > 0, comem).otherwise(F.col("bx"))
+    )
+    return out.select(
+        "doc_id",
+        F.when(n_matches.isNull(), F.lit(0).cast("long"))
+        .otherwise(n_matches)
+        .alias("n_matches"),
+        F.when(n_matches > 0, best).cast("long").alias("best_match"),
+        F.when(n_matches > 0, jbest).alias("best_jaccard"),
+    )
+
+
+
+# =====================================================================
+# Hard-negative mining (contrastive training pairs via LSH buckets)
+# =====================================================================
+
+_HARDNEG_K = 3
+
+
+def _hardneg_oracle_sql() -> str:
+    from ..operators import similarity as sim
+    from .queries import _COSINE_SQL
+
+    planes = sim._planes(64, sim.N_PLANES)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             a.label AS anchor_label, c.label AS negative_label,
+             a.embedding AS q_vec, c.embedding AS c_vec
+      FROM b a JOIN b c
+        ON bit_count(xor(a.bucket, c.bucket)) <= 1
+       AND a.vec_id <> c.vec_id
+       AND a.label <> c.label
+    ),
+    scored AS (
+      SELECT anchor_id, negative_id,
+             CAST(anchor_label AS BIGINT) AS anchor_label,
+             CAST(negative_label AS BIGINT) AS negative_label,
+             {_COSINE_SQL} AS cosine
+      FROM cand
+    ),
+    ranked AS (
+      SELECT anchor_id, negative_id, anchor_label, negative_label,
+             cosine,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, anchor_label, negative_label,
+           cosine, rank
+    FROM ranked WHERE rank <= {_HARDNEG_K}
+    """
+
+
+@_q(
+    "hard_negative_mine",
+    _hardneg_oracle_sql(),
+    "Hard-negative mining for contrastive training — for EVERY"
+    " labeled vector, the 3 most-similar vectors carrying a"
+    " DIFFERENT label: the pair generator behind embedding-model"
+    " fine-tuning (SimCLR/SBERT-style), where random negatives are"
+    " too easy and the gradient signal lives in near-misses;"
+    " negative_sampling draws behavioral negatives from an id"
+    " domain, this mines GEOMETRIC near-miss negatives. Candidates"
+    " come from the fixed-seed hyperplane LSH buckets (home bucket"
+    " + every 1-bit flip on the anchor side == Hamming <= 1, the"
+    " embed_ann_lsh identity), so the pair stage is a bucket-keyed"
+    " EQUI-self-join — cost is bucket-bounded, never corpus^2, and"
+    " BOTH sides shuffle on the bucket key (no broadcast: the"
+    " anchor side IS the corpus here, unlike lsh_topk's small query"
+    " frame). Exact double-accumulated cosine re-ranks candidates;"
+    " rank ties to the smallest negative id — fully hash-checked"
+    " at three scales. Measured at 10x replication of sf0.1"
+    " (local[32]): 13.9s for 20k anchors -> 60k mined pairs. The"
+    " SCALE KNOB is n_planes: with buckets fixed at 2^8 the"
+    " candidate count grows as n^2/256 (the 100x corpus packs ~800"
+    " vectors per bucket and the pair stage exceeds 20 minutes) —"
+    " production sizes n_planes ~ log2(n) so bucket occupancy, and"
+    " with it per-anchor candidate work, stays constant; the oracle"
+    " keeps the pinned 8-plane form, the semdedup_prune_sized"
+    " precedent.",
+)
+def hard_negative_mine(spark, sf):
+    from ..functions.arrays import norm_expr
+    from ..operators import similarity as sim
+
+    planes = sim._planes(64, sim.N_PLANES)
+    e = _t(spark, sf, "embeddings")
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+        norm_expr("embedding").alias("__c_norm"),
+    ).withColumn("bucket", sim._bucket_expr("c_vec", planes))
+    a = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+        norm_expr("embedding").alias("__q_norm"),
+    ).withColumn("bucket", sim._bucket_expr("q_vec", planes))
+    masks = [1 << i for i in range(sim.N_PLANES)]
+    flips = ", ".join(f"bucket ^ {m}" for m in masks)
+    a = a.withColumn(
+        "bucket", F.explode(F.expr(f"array(bucket, {flips})"))
+    )
+    scored = (
+        a.join(c, "bucket")
+        .filter(
+            (F.col("q_id") != F.col("c_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .drop("bucket")
+        .withColumn("cosine", F.round(sim._hoisted_cosine(), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            F.col("q_id").alias("anchor_id"),
+            F.col("c_id").alias("negative_id"),
+            F.col("q_label").cast("long").alias("anchor_label"),
+            F.col("c_label").cast("long").alias("negative_label"),
+            "cosine",
+            "rank",
+        )
+    )

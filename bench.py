@@ -330,6 +330,10 @@ HEADLINE = [
     # support aggregation) and the Arrow patchify matmul path
     "span_dedup_exact",
     "vit_patchify",
+    # the copy-collapsed incremental dedup delta join and the
+    # bucket-keyed hard-negative self-join
+    "dedup_incremental_minhash",
+    "hard_negative_mine",
 ]
 
 

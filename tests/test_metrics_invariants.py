@@ -711,3 +711,78 @@ def test_vit_patchify_matches_bytes(spark):
         e = m.astype(np.int64) @ w.T
         for k in range(4):
             assert (g[f"e{k}"].to_numpy() == e[:, k]).all()
+
+
+def test_incremental_minhash_agrees_with_full_pairs(spark):
+    # engine-internal cross-check: the delta verdicts must equal the
+    # FULL minhash_pairs output (the long-green operator) restricted
+    # to delta-involving pairs and aggregated per delta doc
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        dedup as dd,
+    )
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+
+    out = (
+        REGISTRY["dedup_incremental_minhash"].fn(spark, SF1).toPandas()
+    )
+    assert (out["doc_id"] % 10 == 0).all()
+    pairs = dd.minhash_pairs(
+        table(spark, SF1, "documents"), threshold=0.3
+    ).toPandas()
+    want = {}
+    for _, r in pairs.iterrows():
+        for d, o in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if d % 10 == 0:
+                cur = want.setdefault(d, [])
+                cur.append((r["jaccard"], o))
+    for _, r in out.iterrows():
+        m = want.get(r["doc_id"], [])
+        assert r["n_matches"] == len(m)
+        if m:
+            bj = max(j for j, _ in m)
+            bo = min(o for j, o in m if j == bj)
+            assert r["best_jaccard"] == bj
+            assert r["best_match"] == bo
+        else:
+            assert pd.isna(r["best_match"])
+
+
+def test_hard_negatives_are_cross_label_bucket_mates(spark):
+    import numpy as np
+
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    out = REGISTRY["hard_negative_mine"].fn(spark, SF1).toPandas()
+    assert (out["anchor_label"] != out["negative_label"]).all()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding, label"
+        f" FROM '{SF1}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchdf()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    planes = sim._planes(64, sim.N_PLANES)
+    buckets = ((m @ planes.T) > 0).astype(int) @ (
+        2 ** np.arange(sim.N_PLANES)
+    )
+    bk = dict(zip(emb["vec_id"], buckets))
+    for _, r in out.iterrows():
+        x = bk[r["anchor_id"]] ^ bk[r["negative_id"]]
+        assert bin(int(x)).count("1") <= 1
+    # ranks descend in cosine per anchor
+    for _, g in out.groupby("anchor_id"):
+        g = g.sort_values("rank")
+        assert g["cosine"].is_monotonic_decreasing or len(g) == 1
+
+
+def test_stl_residual_anomalies_are_rare_and_consistent(spark):
+    out = REGISTRY["anomaly_stl_residual"].fn(spark, SF2).toPandas()
+    # the flag is consistent with the emitted robust statistics
+    # (rendered at 1e-4, test at matching tolerance)
+    lhs = (out["residual"] - out["resid_med"]).abs()
+    rhs = 3 * out["resid_mad"]
+    flagged = out["is_anomaly"]
+    assert ((lhs > rhs + 3e-4) <= flagged).all()
+    assert (flagged <= (lhs > rhs - 3e-4)).all()
+    # a robust 3-MAD fence on real data flags a small minority
+    assert flagged.mean() < 0.25
