@@ -26,7 +26,7 @@ are reproducible and testable.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_expr
@@ -834,3 +834,135 @@ def simhash_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+# --- prefix-filtered exact similarity join ---------------------------
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_num: int = 3,
+    t_den: int = 10,
+) -> DataFrame:
+    """Exact shingle-Jaccard >= t_num/t_den pairs via PREFIX FILTERING
+    (AllPairs/PPJoin candidate generation — Bayardo, Ma & Srikant,
+    WWW 2007; Xiao et al., WWW 2008).
+
+    Same answer as :func:`ngram_jaccard_pairs` at the same threshold,
+    different candidate-generation policy. The full inverted index
+    joins on EVERY shingle, so one shingle shared by k docs costs k²
+    join rows regardless of threshold. Prefix filtering exploits the
+    threshold: order each doc's shingles by a global total order
+    (ascending document frequency, ties by value — rarest first) and
+    keep only the first p = |d| - ceil(t*|d|) + 1 as its PREFIX. Any
+    pair with J >= t has |x∩y| >= t*|x∪y| >= max(ceil(t*|x|),
+    ceil(t*|y|)), and by the prefix-filtering principle (Chaudhuri,
+    Ganti & Kaushik, ICDE 2006) two sets whose overlap is >= alpha
+    must collide inside their (size - alpha + 1)-prefixes — so joining
+    prefix-vs-prefix loses nothing, while the index shrinks by ~t and,
+    because prefixes hold the RAREST shingles, the quadratic per-token
+    blowup concentrates on tokens with the smallest document
+    frequency. Boilerplate shingles shared by everything land at the
+    END of the order and never enter the index — the exact skew the
+    full-index plan degrades on.
+
+    Candidates are verified EXACTLY: join each candidate pair's full
+    shingle sets, count the intersection, keep round(J, 4) >= t. The
+    prefix length uses integer arithmetic (t_num*sz + t_den - 1) div
+    t_den == ceil(t*sz) with no float boundary hazard in either
+    engine. Exact-copy collapse first, like every pair generator here;
+    members expand through linear fp-keyed joins and within-copy-group
+    pairs emit jaccard = 1.0 (>= any t <= 1).
+
+    Shuffle audit: one doc-frequency aggregate on the shingle value,
+    one per-doc rank window (partitioned by doc fingerprint — bounded
+    frames, no global sort), the prefix-prefix equi-join, and the
+    verification joins keyed on (fp, shingle). The exploded rep
+    shingle frame feeds four consumers, so it persists one generation
+    (same discipline as minhash_pairs). Output: (doc_a, doc_b,
+    jaccard) with doc_a < doc_b.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must be in (0, 1]")
+    threshold = t_num / t_den
+    src = df.select(
+        F.col(id_col).alias("id"),
+        fingerprint_expr(text_col).alias("fp"),
+        F.col(text_col).alias("__text"),
+        F.expr(
+            f"size(regexp_extract_all(lower({text_col}), '[a-z]+', 0))"
+            f" >= {SHINGLE_WIDTH}"
+        ).alias("ok"),
+    )
+    members = src.select("fp", "id", "ok")
+    reps = members.groupBy("fp").agg(F.min("id").alias("rid"))
+    rep_src = src.join(reps, "fp").filter(F.col("id") == F.col("rid"))
+    # explode_outer for the same InferFiltersFromGenerate reason as
+    # _ngram_overlap_pairs: plain explode re-inlines the shingling
+    # expression into a synthesized size()>0 filter below the Generate.
+    ex = (
+        with_shingles(rep_src, "__text")
+        .select(
+            "fp",
+            F.size("shingles").alias("sz"),
+            F.explode_outer("shingles").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    (ex,) = _persist_generation("prefix_filter_jaccard_pairs", ex)
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("dfc"))
+    rank_w = Window.partitionBy("fp").orderBy("dfc", "s")
+    prefix_len = F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
+    pref = (
+        ex.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("fp", "s")
+    )
+    cand = (
+        pref.select(F.col("fp").alias("fp_a"), "s")
+        .join(pref.select(F.col("fp").alias("fp_b"), "s"), "s")
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b")
+        .distinct()
+    )
+    sizes = ex.groupBy("fp").agg(F.first("sz").alias("sz"))
+    inter = (
+        cand.join(ex.select(F.col("fp").alias("fp_a"), "s"), "fp_a")
+        .join(ex.select(F.col("fp").alias("fp_b"), "s"), ["fp_b", "s"])
+        .groupBy("fp_a", "fp_b")
+        .agg(F.count("*").alias("n"))
+    )
+    rep_pairs = (
+        inter.join(sizes.select(F.col("fp").alias("fp_a"),
+                                F.col("sz").alias("sz_a")), "fp_a")
+        .join(sizes.select(F.col("fp").alias("fp_b"),
+                           F.col("sz").alias("sz_b")), "fp_b")
+        .select(
+            "fp_a", "fp_b",
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "fp_a").join(mb, "fp_b").select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    okm = members.filter("ok")
+    within = (
+        okm.select("fp", F.col("id").alias("doc_a"))
+        .join(okm.select("fp", F.col("id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)

@@ -1676,14 +1676,25 @@ def dedup_incremental_minhash(spark, sf):
     # per-GROUP cross aggregates: total cross matches, best jaccard,
     # and the smallest member id among groups at the best jaccard
     # (every member of a matched group is a match; its smallest id is
-    # the group's min — rep ids ARE group minima)
-    pf = rp.groupBy("ra").agg(
+    # the group's min — rep ids ARE group minima). Two codegen-safe
+    # stages instead of max_by-over-struct: max_by's typed aggregation
+    # buffer forces ObjectHashAggregate (the only OHA the registry
+    # plan audit would have to allowlist); max-then-min over the tiny
+    # candidate frame keeps the whole entry in HashAggregate, and a
+    # packed-BIGINT (jaccard, -id) key was rejected for the same
+    # 2^32-scale wrap hazard as market_basket_rules' pair keys.
+    (rp,) = _persist_generation("inc_minhash_rp", rp)
+    pf0 = rp.groupBy("ra").agg(
         F.sum("o_size").cast("long").alias("cross_n"),
         F.max("jaccard").alias("jmax"),
-        F.expr("max_by(o_min, struct(jaccard, -o_min))").alias(
-            "bx"
-        ),
     )
+    bx = (
+        rp.join(pf0.select("ra", "jmax"), "ra")
+        .filter(F.col("jaccard") == F.col("jmax"))
+        .groupBy("ra")
+        .agg(F.min("o_min").alias("bx"))
+    )
+    pf = pf0.join(bx, "ra")
     per_group = (
         sigs.filter(F.col("has_delta") == 1)
         .select(

@@ -334,6 +334,18 @@ HEADLINE = [
     # bucket-keyed hard-negative self-join
     "dedup_incremental_minhash",
     "hard_negative_mine",
+    # round-8 continuation batch: the prefix-filtered exact
+    # similarity join (rarest-shingle index vs the full inverted
+    # index), the window-only sorted-neighborhood linkage (zero-join
+    # candidate generation), the per-stratum conformal rank
+    # selection, the int64-moments CUPED pass, the parse_url rollup,
+    # and the raw-Arrow-batch UDF path
+    "prefix_filter_simjoin",
+    "record_linkage_snm",
+    "conformal_interval",
+    "cuped_adjustment",
+    "url_parse_stats",
+    "mapinarrow_transform",
 ]
 
 

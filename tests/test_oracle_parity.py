@@ -31,7 +31,13 @@ ROWS_ONLY_NAMES = sorted(n for n, q in REGISTRY.items() if q.sql is None)
 # return rows — an empty result would make parity pass trivially while
 # checking nothing (a filter on values that don't exist in the data,
 # a join that never matches, ...).
-EMPTY_OK = {"filter_empty_guard"}
+EMPTY_OK = {
+    "filter_empty_guard",
+    # 150 customers spread over ~$11k of balance in 5 blocks: no two
+    # sort-neighbors land within the 100-cent match window at smoke
+    # scale (38 matches at sf0.01, 4026 at sf0.1)
+    "record_linkage_snm",
+}
 
 
 def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:

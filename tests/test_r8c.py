@@ -1,0 +1,176 @@
+"""Invariant tests for the round-8 continuation batch
+(prefix-filtered similarity join, sorted-neighborhood linkage,
+conformal intervals, CUPED, URL parsing, mapInArrow).
+
+Oracle parity for each entry is owned by test_oracle_parity.py; these
+pin the properties parity can't see — losslessness of the prefix
+filter vs the full-index plan, candidate-set shrinkage, plan shapes
+(no joins in SNM candidate generation, no ObjectHashAggregate), the
+conformal coverage guarantee, and CUPED's variance-reduction
+direction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from az_datapipeline_sentiment_analysis_spark.catalog import table as _t
+from az_datapipeline_sentiment_analysis_spark.operators import dedup as dd
+from az_datapipeline_sentiment_analysis_spark.plans import queries_r8c as r8c
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- prefix-filtered similarity join ---------------------------------
+
+def test_prefix_filter_matches_full_index_exactly(spark):
+    """Losslessness: the prefix-filtered join returns EXACTLY the
+    pairs the full inverted index finds at the same threshold."""
+    docs = _t(spark, SF_ORACLE, "documents")
+    got = sorted(
+        map(
+            tuple,
+            dd.prefix_filter_jaccard_pairs(docs, t_num=3, t_den=10)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            dd.ngram_jaccard_pairs(docs, threshold=0.3)
+            .filter(F.col("jaccard") >= 0.3)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_prefix_index_is_smaller_than_full_index(spark):
+    """The point of the technique: the prefix index holds strictly
+    fewer postings than the full index (|d| - ceil(0.3|d|) + 1 < |d|
+    whenever |d| >= 2), so candidate generation shrinks."""
+    docs = _t(spark, SF_ORACLE, "documents")
+    src = docs.select(
+        F.col("doc_id"), F.col("text"),
+    )
+    ex = dd.with_shingles(src, "text").select(
+        "doc_id", F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    full = ex.count()
+    pref_len = F.expr("sz - ((3 * sz + 9) div 10) + 1")
+    w = F.row_number().over(Window.partitionBy("doc_id").orderBy("s"))
+    pruned = ex.withColumn("rn", w).filter(F.col("rn") <= pref_len).count()
+    assert pruned < full
+
+
+def test_prefix_filter_plan_is_codegen_safe(spark):
+    plan = _plan(
+        dd.prefix_filter_jaccard_pairs(
+            _t(spark, SF_SMOKE, "documents"), t_num=3, t_den=10
+        )
+    )
+    assert "ObjectHashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- sorted-neighborhood record linkage -------------------------------
+
+def test_snm_candidate_generation_has_no_join(spark):
+    """SNM's candidates come from lead() over one block-partitioned
+    window — the plan must contain a Window and NO join of any kind
+    (the naive matcher's self-join is exactly what SNM avoids)."""
+    plan = _plan(r8c.record_linkage_snm(spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_snm_pairs_respect_window_and_block(spark):
+    rows = r8c.record_linkage_snm(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.rank_gap <= r8c._SNM_W
+        assert 0 <= r.bal_diff_cents <= r8c._SNM_EPS_CENTS
+        assert r.custkey_a != r.custkey_b
+
+
+# --- split-conformal intervals ----------------------------------------
+
+def test_conformal_coverage_guarantee(spark):
+    """Split conformal guarantees E[coverage] >= 1 - alpha = 0.9 over
+    the calibration/test randomness; with ~2000 test points per type
+    the realized coverage concentrates well above 0.85."""
+    rows = r8c.conformal_interval(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.q_resid >= 0.0
+        assert r.n_covered <= r.n_test
+        assert r.coverage >= 0.85, (r.event_type, r.coverage)
+        # rank k = ceil(0.9 * (n_cal + 1)), clamped to n_cal
+        assert r.k == min((9 * (r.n_cal + 1) + 9) // 10, r.n_cal)
+
+
+# --- CUPED -------------------------------------------------------------
+
+def test_cuped_theta_is_pooled_variance_minimizer(spark):
+    """theta = cov(x,y)/var(x) minimizes POOLED var(y - theta*x), so
+    any other theta' must do worse on the pooled frame — the defining
+    property of CUPED's adjustment. (Per-arm variance may tick up
+    when an arm's local covariance differs from the pooled theta;
+    that's real CUPED behavior, not a bug, so the per-arm direction
+    is deliberately NOT asserted.) Also pins that theta is a single
+    shared broadcast value across arms."""
+    rows = r8c.cuped_adjustment(spark, SF_ORACLE).collect()
+    assert {r.arm for r in rows} == {"treat", "control"}
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1
+    theta = thetas.pop()
+    assert theta is not None
+
+    ev = _t(spark, SF_ORACLE, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+        .alias("y"),
+    )
+
+    def pooled_var_adj(t: float) -> float:
+        return (
+            pu.select(
+                F.var_samp(
+                    (F.col("y").cast("double") - F.lit(t) * F.col("x"))
+                    / 100.0
+                ).alias("v")
+            ).collect()[0].v
+        )
+
+    best = pooled_var_adj(theta)
+    assert best <= pooled_var_adj(0.0) + 1e-9   # no worse than no adjustment
+    for other in (theta - 0.5, theta + 0.5, 1.0):
+        assert best < pooled_var_adj(other)
+
+
+# --- mapInArrow ---------------------------------------------------------
+
+def test_mapinarrow_matches_jvm_higher_order_norms(spark):
+    """The Arrow-batch kernel must agree with the pure-JVM
+    higher-order-function formulation (embed_norms) on every vector."""
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
+
+    arrow = {
+        r.vec_id: r.l2_norm
+        for r in r8c.mapinarrow_transform(spark, SF_SMOKE).collect()
+    }
+    jvm = {
+        r.vec_id: r.l2_norm
+        for r in REGISTRY["embed_norms"].fn(spark, SF_SMOKE).collect()
+    }
+    assert arrow == jvm and len(arrow) == 500
