@@ -572,3 +572,303 @@ def _arrow_norm_batches(batches):
 def mapinarrow_transform(spark, sf):
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(_arrow_norm_batches, _ARROW_OUT)
+
+
+# =====================================================================
+# Difference-in-differences (panel DiD on user change scores)
+# =====================================================================
+
+_DID_MOM = """
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(d) AS BIGINT) AS sd,
+      CAST(SUM(d * d) AS BIGINT) AS sdd
+"""
+_DID_MEAN = "ROUND(CAST(sd AS DOUBLE) / n / 100.0, 4)"
+_DID_VAR = (
+    "ROUND((CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)"
+    " / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4)"
+)
+# scalars over the 2-arm moment row: same quantize-first discipline as
+# welch_ttest — means/vars are rounded FIRST, then did/se/t are scalar
+# functions of identical quantized inputs on both engines
+_DID_EST = "ROUND(mt - mc, 4)"
+_DID_SE = "ROUND(sqrt(vt / nt + vc / nc), 6)"
+_DID_T = "ROUND((mt - mc) / sqrt(vt / nt + vc / nc), 4)"
+
+
+@_q(
+    "diff_in_diff",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+             - COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS d,
+             CASE WHEN ((user_id % 100) * 61) % 100 < 50
+                  THEN 'treat' ELSE 'control' END AS arm
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, {_DID_MOM},
+             {_DID_MEAN} AS mean_delta, {_DID_VAR} AS var_delta
+      FROM per_user GROUP BY arm
+    ),
+    flat AS (
+      SELECT
+        MAX(CASE WHEN arm = 'treat' THEN n END) AS nt,
+        MAX(CASE WHEN arm = 'treat' THEN mean_delta END) AS mt,
+        MAX(CASE WHEN arm = 'treat' THEN var_delta END) AS vt,
+        MAX(CASE WHEN arm = 'control' THEN n END) AS nc,
+        MAX(CASE WHEN arm = 'control' THEN mean_delta END) AS mc,
+        MAX(CASE WHEN arm = 'control' THEN var_delta END) AS vc
+      FROM arms
+    )
+    SELECT a.arm, a.n AS n_users, a.mean_delta, a.var_delta,
+           {_DID_EST} AS did_estimate,
+           {_DID_SE} AS se,
+           {_DID_T} AS t_stat
+    FROM arms a, flat
+    """,
+    "Difference-in-differences (the canonical pre/post x treat/control"
+    " causal estimator, Card & Krueger form) on PANEL data: each"
+    " user's change score d = post - pre spend in exact integer cents"
+    " absorbs the user fixed effect, so DiD = mean_d(treat) -"
+    " mean_d(control) with a plain two-sample Welch SE — the"
+    " change-score formulation is the correct panel DiD where naive"
+    " 2x2 cell means would need clustered errors (each user appears"
+    " in two cells). Same engine-shared scalar-algebra discipline as"
+    " cuped_adjustment: int64 moments, explicit CAST(... AS DOUBLE),"
+    " means/vars rounded before the did/se/t arithmetic. One user"
+    " shuffle + a 2-row arm rollup; the cross-arm scalars ride a"
+    " 1-row broadcast. Complements cuped_adjustment (variance"
+    " reduction) and welch_ttest (cross-sectional test) in the"
+    " experimentation family.",
+)
+def diff_in_diff(spark, sf):
+    ev = _t(spark, sf, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+            - F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+        ).alias("d")
+    ).select(
+        "d",
+        F.when(((F.col("user_id") % 100) * 61) % 100 < 50, "treat")
+        .otherwise("control").alias("arm"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    ).select(
+        "arm", "n",
+        F.expr(_DID_MEAN).alias("mean_delta"),
+        F.expr(_DID_VAR).alias("var_delta"),
+    )
+    t = F.when(F.col("arm") == "treat", 1)
+    flat = arms.groupBy().agg(
+        F.max(F.when(t == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(t == 1, F.col("mean_delta"))).alias("mt"),
+        F.max(F.when(t == 1, F.col("var_delta"))).alias("vt"),
+        F.max(F.when(t.isNull(), F.col("n"))).alias("nc"),
+        F.max(F.when(t.isNull(), F.col("mean_delta"))).alias("mc"),
+        F.max(F.when(t.isNull(), F.col("var_delta"))).alias("vc"),
+    )
+    return arms.crossJoin(F.broadcast(flat)).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        "mean_delta", "var_delta",
+        F.expr(_DID_EST).alias("did_estimate"),
+        F.expr(_DID_SE).alias("se"),
+        F.expr(_DID_T).alias("t_stat"),
+    )
+
+
+# =====================================================================
+# Wald sequential probability ratio test (daily conversion monitor)
+# =====================================================================
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_C1 = repr(_math.log(_SPRT_P1 / _SPRT_P0))
+_SPRT_C2 = repr(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))
+# alpha = beta = 0.05: accept-H1 above ln(19), accept-H0 below -ln(19)
+_SPRT_A_Q = int(round(_math.log(19.0) * 1_000_000))
+# per-day LLR quantized to integer 1e-6 units BEFORE the running sum:
+# a running window over doubles is order-deterministic, but the
+# quantize-first int64 cumulative is immune even to engine-internal
+# compensation differences (the anomaly_cusum discipline)
+_SPRT_LLRQ = (
+    f"CAST(ROUND((x * {_SPRT_C1} + (n - x) * {_SPRT_C2})"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@_q(
+    "ab_sequential_sprt",
+    f"""
+    WITH daily AS (
+      SELECT CASE WHEN ((user_id % 100) * 61) % 100 < 50
+                  THEN 'treat' ELSE 'control' END AS arm,
+             date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT arm, day, x, n,
+             {_SPRT_LLRQ} AS llr_q,
+             SUM({_SPRT_LLRQ}) OVER (
+               PARTITION BY arm ORDER BY day) AS cum_llr_q
+      FROM daily
+    )
+    SELECT arm, day, x, n, llr_q, CAST(cum_llr_q AS BIGINT) AS cum_llr_q,
+           CASE WHEN cum_llr_q >= {_SPRT_A_Q} THEN 'accept_h1'
+                WHEN cum_llr_q <= -{_SPRT_A_Q} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk
+    """,
+    "Wald's sequential probability ratio test (Wald 1945) monitoring"
+    " each arm's daily purchase-conversion rate — H0: p = 0.18 vs"
+    " H1: p = 0.22, alpha = beta = 0.05: the ALWAYS-VALID sequential"
+    " monitor that lets an experimenter stop the day the cumulative"
+    " log-likelihood ratio crosses ln(19), where a fixed-horizon"
+    " welch_ttest peeked daily would inflate false positives."
+    " Bernoulli LLR constants are module-level Python floats embedded"
+    " as identical literals in both engines; per-day LLR is quantized"
+    " to integer 1e-6 units BEFORE the running sum (the anomaly_cusum"
+    " discipline), so the walk and both decision thresholds are pure"
+    " int64 — no float accumulation anywhere. One map-combined daily"
+    " aggregate; the cumulative window runs on the calendar-bounded"
+    " (arm x day) cell frame.",
+)
+def ab_sequential_sprt(spark, sf):
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        F.when(((F.col("user_id") % 100) * 61) % 100 < 50, "treat")
+        .otherwise("control").alias("arm"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    w = Window.partitionBy("arm").orderBy("day")
+    walk = daily.withColumn("llr_q", F.expr(_SPRT_LLRQ)).withColumn(
+        "cum_llr_q", F.sum("llr_q").over(w)
+    )
+    return walk.select(
+        "arm", "day", "x", "n", "llr_q", "cum_llr_q",
+        F.when(F.col("cum_llr_q") >= _SPRT_A_Q, "accept_h1")
+        .when(F.col("cum_llr_q") <= -_SPRT_A_Q, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# =====================================================================
+# Johnson-Lindenstrauss sparse random projection (Achlioptas 2003)
+# =====================================================================
+
+_JL_OUT_DIMS = 16
+_JL_SCALE = repr(_math.sqrt(3.0 / _JL_OUT_DIMS))
+
+
+def _jl_signs(j: int, d: int = 64) -> list[tuple[int, int]]:
+    """Deterministic Achlioptas column j: (input_dim, sign) for the
+    nonzero entries — +1 / -1 / 0 with prob 1/6 / 1/6 / 2/3, derived
+    from md5 so both engines see the same fixed matrix."""
+    import hashlib
+
+    out = []
+    for i in range(d):
+        u = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16)
+        if u % 6 == 0:
+            out.append((i, 1))
+        elif u % 6 == 1:
+            out.append((i, -1))
+    return out
+
+
+def _jl_expr(j: int, elem: str) -> str:
+    """The j-th projected coordinate as an explicit literal +/- chain;
+    identical term ORDER in both engines makes the float sum
+    bit-identical. ``elem`` formats a 1-based element access."""
+    terms = "".join(
+        f" {'+' if s > 0 else '-'} CAST({elem.format(i + 1)} AS DOUBLE)"
+        for i, s in _jl_signs(j)
+    )
+    return f"ROUND({_JL_SCALE} * (0.0{terms}), 6)"
+
+
+def _jl_oracle_sql() -> str:
+    proj = ",\n             ".join(
+        f"{_jl_expr(j, 'embedding[{0}]')} AS jl{j}"
+        for j in range(_JL_OUT_DIMS)
+    )
+    ssq = " + ".join(f"jl{j} * jl{j}" for j in range(_JL_OUT_DIMS))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id,
+             {proj},
+             ROUND(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * x))), 6) AS l2x
+      FROM embeddings
+    )
+    SELECT vec_id, jl0, jl1, jl2, jl3,
+           ROUND(CASE WHEN l2x > 0
+                      THEN sqrt({ssq}) / l2x ELSE 0.0 END, 4) + 0.0
+             AS norm_ratio
+    FROM proj
+    """
+
+
+@_q(
+    "embed_jl_project",
+    _jl_oracle_sql(),
+    "Johnson-Lindenstrauss sparse random projection (Achlioptas 2003,"
+    " database-friendly form): 64 -> 16 dims through a FIXED +1/-1/0"
+    " matrix (density 1/3, entries md5-derived so the matrix is a"
+    " deterministic constant in both engines), scaled by sqrt(3/k) so"
+    " pairwise distances are preserved within (1 +- eps) w.h.p. — the"
+    " OBLIVIOUS dimensionality-reduction move next to"
+    " embed_matryoshka_eval's learned truncation: JL needs no"
+    " training and its guarantee is data-independent. Each projected"
+    " coordinate is one literal +/- chain over ~21 CAST-to-double"
+    " components — identical term order on both engines makes every"
+    " float bit-identical; the norm-preservation audit (||y||/||x||,"
+    " the JL guarantee made measurable per row) is computed from the"
+    " QUANTIZED coordinates on both sides. Map-only, zero shuffle,"
+    " fused into the scan — a 100 TB corpus pays one pass, and the"
+    " 4x-narrower output is what downstream ANN indexes ingest."
+    " Emits 4 of the 16 coordinates plus the ratio; pytest pins the"
+    " ratio distribution inside the JL concentration band.",
+)
+def embed_jl_project(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    proj = e.select(
+        "vec_id",
+        *[
+            F.expr(_jl_expr(j, "element_at(embedding, {0})")).alias(f"jl{j}")
+            for j in range(_JL_OUT_DIMS)
+        ],
+        F.expr(
+            "ROUND(sqrt(aggregate(embedding, 0.0D,"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * x)), 6)"
+        ).alias("l2x"),
+    )
+    ssq = " + ".join(f"jl{j} * jl{j}" for j in range(_JL_OUT_DIMS))
+    return proj.select(
+        "vec_id", "jl0", "jl1", "jl2", "jl3",
+        F.expr(
+            f"ROUND(CASE WHEN l2x > 0 THEN sqrt({ssq}) / l2x"
+            " ELSE 0.0 END, 4) + 0.0"
+        ).alias("norm_ratio"),
+    )

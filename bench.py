@@ -346,6 +346,11 @@ HEADLINE = [
     "cuped_adjustment",
     "url_parse_stats",
     "mapinarrow_transform",
+    # the panel-DiD change-score pass, the int64 SPRT walk, and the
+    # fixed-matrix JL projection scan
+    "diff_in_diff",
+    "ab_sequential_sprt",
+    "embed_jl_project",
 ]
 
 

@@ -174,3 +174,109 @@ def test_mapinarrow_matches_jvm_higher_order_norms(spark):
         for r in REGISTRY["embed_norms"].fn(spark, SF_SMOKE).collect()
     }
     assert arrow == jvm and len(arrow) == 500
+
+
+# --- difference-in-differences ----------------------------------------
+
+def test_did_scalars_replay_from_arm_rows(spark):
+    """did/se/t must be the documented scalar functions of the two
+    arm rows' quantized moments (the welch quantize-first shape),
+    and identical on both output rows."""
+    import math
+
+    rows = {r.arm: r for r in r8c.diff_in_diff(spark, SF_ORACLE).collect()}
+    t, c = rows["treat"], rows["control"]
+    assert t.did_estimate == c.did_estimate
+    assert t.se == c.se and t.t_stat == c.t_stat
+    assert t.did_estimate == round(t.mean_delta - c.mean_delta, 4)
+    se = math.sqrt(t.var_delta / t.n_users + c.var_delta / c.n_users)
+    assert t.se == round(se, 6)
+
+
+# --- sequential SPRT ----------------------------------------------------
+
+def test_sprt_walk_replays_in_python(spark):
+    """The quantized LLR walk must replay exactly from the daily
+    (x, n) counts with the module's constants — no float accumulation
+    can exist anywhere in the entry."""
+    import math
+
+    c1 = float(r8c._SPRT_C1)
+    c2 = float(r8c._SPRT_C2)
+    rows = r8c.ab_sequential_sprt(spark, SF_ORACLE).collect()
+    by_arm = {}
+    for r in sorted(rows, key=lambda r: (r.arm, r.day)):
+        lq = int(round((r.x * c1 + (r.n - r.x) * c2) * 1_000_000))
+        assert r.llr_q == lq, (r.arm, r.day)
+        cum = by_arm.get(r.arm, 0) + lq
+        by_arm[r.arm] = cum
+        assert r.cum_llr_q == cum
+        want = (
+            "accept_h1" if cum >= r8c._SPRT_A_Q
+            else "accept_h0" if cum <= -r8c._SPRT_A_Q
+            else "continue"
+        )
+        assert r.decision == want
+
+
+# --- JL projection -------------------------------------------------------
+
+def test_jl_norm_ratio_concentrates(spark):
+    """The JL guarantee made measurable: ||proj(x)|| / ||x|| must
+    concentrate around 1 (k=16 gives a loose but real band)."""
+    ratios = [
+        r.norm_ratio
+        for r in r8c.embed_jl_project(spark, SF_ORACLE).collect()
+    ]
+    assert len(ratios) == 500
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, mean
+    var = sum((x - mean) ** 2 for x in ratios) / len(ratios)
+    assert var ** 0.5 <= 0.35
+
+
+def test_jl_matrix_is_achlioptas_shaped():
+    """Fixed-matrix sanity: ~1/3 of entries are nonzero, both signs
+    present, and the matrix is identical on recomputation
+    (determinism — no RNG anywhere)."""
+    cols = [r8c._jl_signs(j) for j in range(r8c._JL_OUT_DIMS)]
+    nnz = sum(len(c) for c in cols)
+    assert 0.2 <= nnz / (64 * r8c._JL_OUT_DIMS) <= 0.5
+    signs = {s for c in cols for _, s in c}
+    assert signs == {1, -1}
+    assert cols == [r8c._jl_signs(j) for j in range(r8c._JL_OUT_DIMS)]
+
+
+# --- prefix-filtering principle (pure-python hypothesis model) ----------
+
+def test_prefix_filter_principle_hypothesis():
+    """Property-check the math the Spark plan relies on: under ANY
+    global token order, if J(x, y) >= t then the
+    (|d| - ceil(t|d|) + 1)-prefixes intersect. Run over random small
+    set pairs; a counterexample here would mean the prefix join can
+    DROP a qualifying pair at any scale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    t_num, t_den = 3, 10
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sets(st.integers(0, 40), min_size=1, max_size=25),
+        st.sets(st.integers(0, 40), min_size=1, max_size=25),
+        st.randoms(use_true_random=False),
+    )
+    def check(x, y, rng):
+        inter = len(x & y)
+        union = len(x | y)
+        if inter * t_den < t_num * union:  # J < t — no guarantee
+            return
+        order = list(range(41))
+        rng.shuffle(order)
+        rank = {tok: i for i, tok in enumerate(order)}
+        def prefix(s):
+            p = len(s) - ((t_num * len(s) + t_den - 1) // t_den) + 1
+            return set(sorted(s, key=rank.__getitem__)[:p])
+        assert prefix(x) & prefix(y), (x, y, order)
+
+    check()
