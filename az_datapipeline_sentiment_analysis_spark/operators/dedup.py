@@ -878,11 +878,22 @@ def prefix_filter_jaccard_pairs(
 
     Shuffle audit: one doc-frequency aggregate on the shingle value,
     one per-doc rank window (partitioned by doc fingerprint — bounded
-    frames, no global sort), the prefix-prefix equi-join, and the
-    verification joins keyed on (fp, shingle). The exploded rep
-    shingle frame feeds four consumers, so it persists one generation
-    (same discipline as minhash_pairs). Output: (doc_a, doc_b,
-    jaccard) with doc_a < doc_b.
+    frames, no global sort), the prefix-prefix equi-join, and two
+    fp-keyed joins that fetch each candidate pair's shingle ARRAYS
+    for the map-side array_intersect verify. The rep set frame feeds
+    three consumers, so it persists one generation (same discipline
+    as minhash_pairs). Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b.
+
+    Measured at 100x replication of sf0.1 (local[32], default-heap
+    scale_timing harness, same session shape for both numbers):
+    253.4s vs 974.9s for ngram_jaccard_pairs' full inverted index —
+    identical 27.3M-pair output, 3.8x from indexing only the rare
+    prefix (185k of 260k postings at sf0.1, and candidate pair
+    postings 647k vs 1.26M) plus the array-intersect verify. Under a
+    48g warm-bench driver the full index has measured as low as
+    21.4s (GC dominates the expansion under small heaps), so the
+    honest claim is the same-harness ratio, not the absolute.
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must be in (0, 1]")
@@ -899,19 +910,28 @@ def prefix_filter_jaccard_pairs(
     members = src.select("fp", "id", "ok")
     reps = members.groupBy("fp").agg(F.min("id").alias("rid"))
     rep_src = src.join(reps, "fp").filter(F.col("id") == F.col("rid"))
+    # Keep each rep's DISTINCT shingle ARRAY: the prefix index is
+    # built from its explode, and verification intersects the two
+    # arrays per candidate pair MAP-SIDE (size(array_intersect)) —
+    # the AllPairs paper's verify step. The first cut verified by
+    # joining candidates back onto the exploded posting list, which
+    # multiplies |candidates| x |doc| posting rows before the
+    # intersection count (measured 428.6s at 100x vs 26s for this
+    # form); fetching the two bounded set arrays per pair is the
+    # output-proportional shape.
+    sets_df = with_shingles(rep_src, "__text").select(
+        "fp", "shingles", F.size("shingles").alias("sz")
+    )
+    (sets_df,) = _persist_generation("prefix_filter_jaccard_pairs", sets_df)
     # explode_outer for the same InferFiltersFromGenerate reason as
     # _ngram_overlap_pairs: plain explode re-inlines the shingling
     # expression into a synthesized size()>0 filter below the Generate.
     ex = (
-        with_shingles(rep_src, "__text")
-        .select(
-            "fp",
-            F.size("shingles").alias("sz"),
-            F.explode_outer("shingles").alias("s"),
+        sets_df.select(
+            "fp", "sz", F.explode_outer("shingles").alias("s")
         )
         .filter(F.col("s").isNotNull())
     )
-    (ex,) = _persist_generation("prefix_filter_jaccard_pairs", ex)
     dfreq = ex.groupBy("s").agg(F.count("*").alias("dfc"))
     rank_w = Window.partitionBy("fp").orderBy("dfc", "s")
     prefix_len = F.expr(f"sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
@@ -928,23 +948,21 @@ def prefix_filter_jaccard_pairs(
         .select("fp_a", "fp_b")
         .distinct()
     )
-    sizes = ex.groupBy("fp").agg(F.first("sz").alias("sz"))
-    inter = (
-        cand.join(ex.select(F.col("fp").alias("fp_a"), "s"), "fp_a")
-        .join(ex.select(F.col("fp").alias("fp_b"), "s"), ["fp_b", "s"])
-        .groupBy("fp_a", "fp_b")
-        .agg(F.count("*").alias("n"))
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     rep_pairs = (
-        inter.join(sizes.select(F.col("fp").alias("fp_a"),
-                                F.col("sz").alias("sz_a")), "fp_a")
-        .join(sizes.select(F.col("fp").alias("fp_b"),
+        cand.join(
+            sets_df.select(F.col("fp").alias("fp_a"),
+                           F.col("shingles").alias("sh_a"),
+                           F.col("sz").alias("sz_a")), "fp_a")
+        .join(
+            sets_df.select(F.col("fp").alias("fp_b"),
+                           F.col("shingles").alias("sh_b"),
                            F.col("sz").alias("sz_b")), "fp_b")
         .select(
             "fp_a", "fp_b",
             F.round(
-                F.col("n").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n")), 4
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -76,7 +76,10 @@ _PFX_ORACLE = """
     " cost k^2 join rows in the full index but sort to the END of"
     " the frequency order and never enter the prefix index — the"
     " exact-copy collapse handles literal copies, prefix filtering"
-    " handles the high-df tail. Implementation in"
+    " handles the high-df tail. Measured at 100x in the same cold"
+    " harness: 253.4s vs the full index's 974.9s for the identical"
+    " 27.3M-pair output (see the operator docstring for the"
+    " heap-dependence caveat). Implementation in"
     " operators/dedup.py:prefix_filter_jaccard_pairs.",
 )
 def prefix_filter_simjoin(spark, sf):
@@ -127,7 +130,9 @@ _SNM_EPS_CENTS = 100
     " key, so a 100 TB run sorts per block, not globally. Matches ="
     " neighbor pairs within 100 cents. Multi-pass SNM (re-run under a"
     " second sort key, union) composes by re-invoking with a different"
-    " key; the oracle mirrors via ROW_NUMBER + banded self-join.",
+    " key; the oracle mirrors via ROW_NUMBER + banded self-join."
+    " Measured at 100x replication of sf0.1: 42.9s for 7.33M"
+    " candidate pairs (output-bound — w x n candidates by design).",
 )
 def record_linkage_snm(spark, sf):
     c = _t(spark, sf, "customer").select(
@@ -238,7 +243,8 @@ def record_linkage_snm(spark, sf):
     " operate on identically-quantized doubles. The rank selection"
     " is a per-type window (5 bounded groups here; a corpus with"
     " millions of strata stays per-group); everything else is two"
-    " broadcast joins of 5-row frames against the fact scan.",
+    " broadcast joins of 5-row frames against the fact scan."
+    " Measured at 100x replication of sf0.1: 12.3s.",
 )
 def conformal_interval(spark, sf):
     ev = _t(spark, sf, "events")
@@ -395,7 +401,8 @@ _CU_REDPCT = f"ROUND((1.0 - ({_CU_VADJ}) / ({_CU_VY})) * 100.0, 4) + 0.0"
     " bound (docstring contract, same discipline as autocorr_daily):"
     " SUM(x*x) stays exact while n_users * max_user_cents^2 < 2^63"
     " (~1e18 — 150k users at $30k each here is 1.4e18; corpora past"
-    " that cast the per-user products to DOUBLE symmetrically).",
+    " that cast the per-user products to DOUBLE symmetrically)."
+    " Measured at 100x replication of sf0.1: 4.6s.",
 )
 def cuped_adjustment(spark, sf):
     ev = _t(spark, sf, "events")
@@ -470,7 +477,8 @@ def cuped_adjustment(spark, sf):
     " entry pins that parse_url's HOST/QUERY semantics agree with the"
     " RFC-shaped patterns a non-Spark pipeline would use. Map-only"
     " until the single rollup shuffle; at 100 TB a per-host cap joins"
-    " this output back broadcast.",
+    " this output back broadcast. Measured at 100x replication of"
+    " sf0.1: 2.4s.",
 )
 def url_parse_stats(spark, sf):
     d = _t(spark, sf, "documents")
@@ -567,7 +575,8 @@ def _arrow_norm_batches(batches):
     " zero shuffle, embarrassingly parallel at any scale; the honest"
     " caveat stays in force — a pure-JVM expression (embed_norms)"
     " still beats any Python worker exchange, so mapInArrow is for"
-    " kernels Catalyst genuinely cannot express.",
+    " kernels Catalyst genuinely cannot express. Measured at 100x"
+    " replication of sf0.1: 3.7s for 200k vectors.",
 )
 def mapinarrow_transform(spark, sf):
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -644,7 +653,8 @@ _DID_T = "ROUND((mt - mc) / sqrt(vt / nt + vc / nc), 4)"
     " shuffle + a 2-row arm rollup; the cross-arm scalars ride a"
     " 1-row broadcast. Complements cuped_adjustment (variance"
     " reduction) and welch_ttest (cross-sectional test) in the"
-    " experimentation family.",
+    " experimentation family. Measured at 100x replication of"
+    " sf0.1: 4.2s.",
 )
 def diff_in_diff(spark, sf):
     ev = _t(spark, sf, "events")
@@ -746,7 +756,8 @@ _SPRT_LLRQ = (
     " discipline), so the walk and both decision thresholds are pure"
     " int64 — no float accumulation anywhere. One map-combined daily"
     " aggregate; the cumulative window runs on the calendar-bounded"
-    " (arm x day) cell frame.",
+    " (arm x day) cell frame. Measured at 100x replication of"
+    " sf0.1: 2.5s.",
 )
 def ab_sequential_sprt(spark, sf):
     ev = _t(spark, sf, "events")
@@ -849,7 +860,8 @@ def _jl_oracle_sql() -> str:
     " fused into the scan — a 100 TB corpus pays one pass, and the"
     " 4x-narrower output is what downstream ANN indexes ingest."
     " Emits 4 of the 16 coordinates plus the ratio; pytest pins the"
-    " ratio distribution inside the JL concentration band.",
+    " ratio distribution inside the JL concentration band. Measured"
+    " at 100x replication of sf0.1: 5.5s for 200k vectors.",
 )
 def embed_jl_project(spark, sf):
     e = _t(spark, sf, "embeddings")
