@@ -884,3 +884,291 @@ def embed_jl_project(spark, sf):
             " ELSE 0.0 END, 4) + 0.0"
         ).alias("norm_ratio"),
     )
+
+
+# =====================================================================
+# nDCG@5 ranking evaluation (graded complement of recall_at_k_eval)
+# =====================================================================
+
+_NDCG_K = 5
+# integer DCG weights: W_i = round(1e9 / log2(i + 1)) — Python floats
+# never cross the engine boundary, only these int64 literals
+_NDCG_W = {
+    i: int(round(1e9 / _math.log2(i + 1))) for i in range(1, _NDCG_K + 1)
+}
+
+
+def _ndcg_oracle_sql(k: int) -> str:
+    """Brute-force and LSH top-k rankings scored with integer DCG
+    weights over quantized micro-cosine relevance — all int64 until
+    the single final division."""
+    from ..operators import similarity as sim
+
+    planes = sim._planes(64, sim.N_PLANES)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        dot = (
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cosine = """
+             ROUND(
+               list_sum(list_transform(generate_series(1,
+                 len(c.embedding)),
+                 i -> CAST(q.q_vec[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)))), 6)
+    """
+    wcase = " ".join(
+        f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items()
+    )
+    rel = "GREATEST(CAST(ROUND(cosine * 1000000) AS BIGINT), 0)"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+          FROM b WHERE vec_id < 20),
+    exact_scored AS (
+      SELECT q.q_id, c.vec_id, {cosine} AS cosine
+      FROM b c, q
+      WHERE c.vec_id <> q.q_id
+    ),
+    exact_ranked AS (
+      SELECT q_id, {rel} AS rel,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM exact_scored
+    ),
+    idcg AS (
+      SELECT q_id, CAST(SUM(rel * (CASE rnk {wcase} END)) AS BIGINT)
+               AS idcg_q
+      FROM exact_ranked WHERE rnk <= {k} GROUP BY q_id
+    ),
+    lsh_scored AS (
+      SELECT q.q_id, c.vec_id, {cosine} AS cosine
+      FROM b c, q
+      WHERE c.vec_id <> q.q_id
+        AND bit_count(xor(c.bucket, q.q_bucket)) <= 1
+    ),
+    lsh_ranked AS (
+      SELECT q_id, {rel} AS rel,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM lsh_scored
+    ),
+    dcg AS (
+      SELECT q_id, CAST(SUM(rel * (CASE rnk {wcase} END)) AS BIGINT)
+               AS dcg_q
+      FROM lsh_ranked WHERE rnk <= {k} GROUP BY q_id
+    )
+    SELECT i.q_id, COALESCE(d.dcg_q, 0) AS dcg_q, i.idcg_q,
+           ROUND(CASE WHEN i.idcg_q > 0
+                      THEN CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / i.idcg_q
+                      ELSE 0.0 END, 6) + 0.0 AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id
+    """
+
+
+@_q(
+    "ndcg_ranking_eval",
+    _ndcg_oracle_sql(_NDCG_K),
+    "nDCG@5 of the LSH candidate path against the exact brute-force"
+    " ranking (Jarvelin & Kekalainen, TOIS 2002) — the GRADED"
+    " complement of recall_at_k_eval: recall says whether the right"
+    " items were retrieved, nDCG says whether the most-relevant ones"
+    " landed at the TOP, with relevance = the quantized micro-cosine"
+    " itself. Discount weights are integer literals W_i ="
+    " round(1e9/log2(i+1)) fixed at module load, relevance is"
+    " clamped-nonnegative int64, so DCG and ideal-DCG are exact"
+    " integer dot products — one final division produces the only"
+    " float. Reuses operators/similarity's brute_force_topk +"
+    " lsh_topk pipelines verbatim (both deterministic arithmetic,"
+    " the recall_at_k_eval precedent); same per-query"
+    " WindowGroupLimit plans, broadcast query side. Measured at 100x"
+    " replication of sf0.1: 37.0s isolated (vs recall_at_k_eval's"
+    " 17.3s in the same harness — nDCG scores BOTH rankings'"
+    " cosines where recall only intersects id sets).",
+)
+def ndcg_ranking_eval(spark, sf):
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    wcase = "CASE rank " + " ".join(
+        f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items()
+    ) + " END"
+    rel = "GREATEST(CAST(ROUND(cosine * 1000000) AS BIGINT), 0)"
+    gain = F.expr(f"{rel} * ({wcase})")
+    idcg = (
+        sim.brute_force_topk(e, q, k=_NDCG_K)
+        .groupBy("q_id")
+        .agg(F.sum(gain).alias("idcg_q"))
+    )
+    dcg = (
+        sim.lsh_topk(e, q, k=_NDCG_K)
+        .groupBy("q_id")
+        .agg(F.sum(gain).alias("dcg_q"))
+    )
+    return (
+        idcg.join(dcg, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("dcg_q", F.lit(0)).alias("dcg_q"),
+            "idcg_q",
+            (
+                F.round(
+                    F.when(
+                        F.col("idcg_q") > 0,
+                        F.coalesce("dcg_q", F.lit(0)).cast("double")
+                        / F.col("idcg_q"),
+                    ).otherwise(0.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ndcg"),
+        )
+    )
+
+
+# =====================================================================
+# Item-item collaborative filtering (cosine neighbors over baskets)
+# =====================================================================
+
+_ITEMCF_K = 3
+_ITEMCF_FLOOR = 2
+
+
+@_q(
+    "itemcf_neighbors",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_ITEMCF_FLOOR}
+    ),
+    sym AS (
+      SELECT pa AS part_i, pb AS part_j, n_ij FROM p
+      UNION ALL
+      SELECT pb, pa, n_ij FROM p
+    ),
+    scored AS (
+      SELECT s.part_i, s.part_j, s.n_ij, di.n AS n_i, dj.n AS n_j,
+             CAST(ROUND(s.n_ij * 1000000.0
+                  / sqrt(CAST(di.n AS DOUBLE) * dj.n)) AS BIGINT)
+               AS score_q
+      FROM sym s
+      JOIN deg di ON di.l_partkey = s.part_i
+      JOIN deg dj ON dj.l_partkey = s.part_j
+    )
+    SELECT part_i, part_j, n_ij, n_i, n_j, score_q,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY part_i
+               ORDER BY score_q DESC, part_j) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_ITEMCF_K}
+    """,
+    "Item-item collaborative filtering (Sarwar et al., WWW 2001 —"
+    " the production recsys workhorse): cosine similarity between"
+    " items' basket-occurrence vectors, computed entirely from"
+    " co-occurrence counts (cos = n_ij / sqrt(n_i * n_j) for binary"
+    " vectors), top-3 neighbors per item. Completes the recsys"
+    " family: basket_pairs counts co-occurrence, market_basket_rules"
+    " directs it (confidence/lift), this NORMALIZES it into the"
+    " neighbor lists an item-page recommender serves. Pair expansion"
+    " is basket-bounded (the basket_pairs join, never |items|^2) with"
+    " a support floor before the degree joins; scores quantized to"
+    " integer micro-cosine so the per-item top-3 is an exact int64"
+    " ranking (WindowGroupLimit pushes the cut below the shuffle);"
+    " degree frame is |items|-sized and co-keyed. Measured at 100x"
+    " replication of sf0.1: 401.5s for 713k neighbor rows — the"
+    " ~90M-pair groupBy exchange is the honest cost class (see the"
+    " in-code profile note).",
+)
+def itemcf_neighbors(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    deg = d.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    # pair expansion via the per-basket sorted item ARRAY (the
+    # market_basket_rules core): one basket-key shuffle with state
+    # bounded by basket size, pairs generated by an in-row
+    # flatten(transform(slice)) instead of a distinct-frame SELF-JOIN
+    # that shuffles the 60M-row frame twice (back-to-back 100x runs:
+    # 401.5s array form vs 443.2s join form — the dominant cost in
+    # BOTH is the ~90M-generated-pair groupBy shuffle, profiled at
+    # ~250s of the wall under that session's I/O load, which is the
+    # workload itself: duplicate pairs rarely colocate so map-side
+    # combine can't compress the exchange; a real cluster spreads
+    # exactly this shuffle)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    p = (
+        baskets.select(F.explode(pairs_expr).alias("pr"))
+        .groupBy(
+            F.col("pr.u").alias("pa"), F.col("pr.v").alias("pb")
+        )
+        .agg(F.count("*").alias("n_ij"))
+        .filter(F.col("n_ij") >= _ITEMCF_FLOOR)
+    )
+    sym = p.select(
+        F.col("pa").alias("part_i"), F.col("pb").alias("part_j"), "n_ij"
+    ).unionByName(
+        p.select(
+            F.col("pb").alias("part_i"), F.col("pa").alias("part_j"),
+            "n_ij",
+        )
+    )
+    scored = (
+        sym.join(
+            deg.select(
+                F.col("l_partkey").alias("part_i"), F.col("n").alias("n_i")
+            ),
+            "part_i",
+        )
+        .join(
+            deg.select(
+                F.col("l_partkey").alias("part_j"), F.col("n").alias("n_j")
+            ),
+            "part_j",
+        )
+        .withColumn(
+            "score_q",
+            F.expr(
+                "CAST(ROUND(n_ij * 1000000.0"
+                " / sqrt(CAST(n_i AS DOUBLE) * n_j)) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("part_i").orderBy(
+        F.desc("score_q"), F.asc("part_j")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _ITEMCF_K)
+        .select("part_i", "part_j", "n_ij", "n_i", "n_j", "score_q", "rnk")
+    )

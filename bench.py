@@ -351,6 +351,10 @@ HEADLINE = [
     "diff_in_diff",
     "ab_sequential_sprt",
     "embed_jl_project",
+    # the integer-weighted graded ranking eval and the basket-bounded
+    # item-item cosine neighbor lists
+    "ndcg_ranking_eval",
+    "itemcf_neighbors",
 ]
 
 

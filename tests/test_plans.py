@@ -543,7 +543,7 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # per-basket collect_set: state is bounded by BASKET size
         # (items per order, single digits), not corpus volume — the
         # same bound the pair expansion itself relies on
-        "market_basket_rules",
+        "market_basket_rules", "itemcf_neighbors",
     }
     # Entries whose ONLY single-partition sort/window runs on a
     # bounded post-aggregate frame (plan-audited round 7; the fact

@@ -280,3 +280,59 @@ def test_prefix_filter_principle_hypothesis():
         assert prefix(x) & prefix(y), (x, y, order)
 
     check()
+
+
+# --- nDCG ranking eval --------------------------------------------------
+
+def test_ndcg_bounds_and_perfect_ranking_consistency(spark):
+    """0 <= nDCG <= 1 per query (DCG over any k-list can't beat the
+    ideal list — relevance is clamped nonnegative and weights
+    decrease), and queries where LSH@5 returns exactly the exact@5
+    set in the same order must score 1.0."""
+    from az_datapipeline_sentiment_analysis_spark.operators import similarity as sim
+
+    rows = {r.q_id: r for r in r8c.ndcg_ranking_eval(spark, SF_ORACLE).collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert 0.0 <= r.ndcg <= 1.0, r
+        assert 0 <= r.dcg_q <= r.idcg_q
+
+    e = _t(spark, SF_ORACLE, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in sim.brute_force_topk(e, q, k=5).collect()
+    }
+    lsh = {
+        (r.q_id, r.rank): r.vec_id
+        for r in sim.lsh_topk(e, q, k=5).collect()
+    }
+    for qid in rows:
+        same = all(
+            exact.get((qid, i)) == lsh.get((qid, i)) for i in range(1, 6)
+        )
+        if same:
+            assert rows[qid].ndcg == 1.0, qid
+
+
+# --- item-item CF ---------------------------------------------------------
+
+def test_itemcf_scores_replay_and_topk_shape(spark):
+    """score_q must equal the binary-cosine formula from the row's own
+    counts; each item carries at most k neighbors; the neighbor
+    relation's underlying pair counts are symmetric."""
+    import math
+
+    rows = r8c.itemcf_neighbors(spark, SF_ORACLE).collect()
+    assert rows
+    per_item = {}
+    for r in rows:
+        assert r.score_q == int(
+            round(r.n_ij * 1_000_000.0 / math.sqrt(float(r.n_i) * r.n_j))
+        )
+        assert 1 <= r.rnk <= r8c._ITEMCF_K
+        assert r.n_ij >= r8c._ITEMCF_FLOOR
+        assert r.n_ij <= min(r.n_i, r.n_j)
+        per_item.setdefault(r.part_i, []).append(r.rnk)
+    for ranks in per_item.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
