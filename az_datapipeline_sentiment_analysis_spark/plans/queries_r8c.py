@@ -1172,3 +1172,164 @@ def itemcf_neighbors(spark, sf):
         .filter(F.col("rnk") <= _ITEMCF_K)
         .select("part_i", "part_j", "n_ij", "n_i", "n_j", "score_q", "rnk")
     )
+
+
+# =====================================================================
+# Per-class classification report (precision / recall / F1 / support)
+# =====================================================================
+
+def _clsreport_oracle_sql() -> str:
+    """lang_id's prediction CTE (verbatim arithmetic) scored against
+    the gold ``lang`` column — per-class counts, every metric one
+    exact-integer division."""
+    from ..functions.text import _CJK_RANGE
+    from .queries import _LANG_HIT
+
+    return f"""
+    WITH h AS (
+      SELECT lang AS gold,
+             regexp_matches(text, '{_CJK_RANGE}') AS cjk,
+             {_LANG_HIT.format("'the', 'and', 'of', 'to', 'a'")} AS en,
+             {_LANG_HIT.format("'el', 'la', 'que', 'los', 'una'")} AS es,
+             {_LANG_HIT.format("'der', 'die', 'und', 'das', 'ein'")} AS de,
+             {_LANG_HIT.format("'le', 'les', 'des', 'une', 'est'")} AS fr
+      FROM documents
+    ),
+    scored AS (
+      SELECT gold,
+             CASE WHEN cjk THEN 'zh'
+                  WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS pred
+      FROM h
+    ),
+    grid AS (
+      SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS c
+      FROM scored GROUP BY 1, 2
+    ),
+    gold_tot AS (
+      SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS support
+      FROM grid GROUP BY 1
+    ),
+    pred_tot AS (
+      SELECT pred AS label, CAST(SUM(c) AS BIGINT) AS predicted
+      FROM grid GROUP BY 1
+    ),
+    diag AS (
+      SELECT gold AS label, CAST(SUM(c) AS BIGINT) AS tp
+      FROM grid WHERE gold = pred GROUP BY 1
+    ),
+    labels AS (
+      SELECT COALESCE(g.label, p.label) AS label,
+             COALESCE(g.support, 0) AS support,
+             COALESCE(p.predicted, 0) AS predicted,
+             COALESCE(d.tp, 0) AS tp
+      FROM gold_tot g
+      FULL OUTER JOIN pred_tot p ON g.label = p.label
+      LEFT JOIN diag d ON COALESCE(g.label, p.label) = d.label
+    )
+    SELECT label, support, tp,
+           predicted - tp AS fp,
+           support - tp AS fn,
+           ROUND(CASE WHEN predicted > 0
+                 THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END, 6)
+             + 0.0 AS precision,
+           ROUND(CASE WHEN support > 0
+                 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END, 6)
+             + 0.0 AS recall,
+           ROUND(CASE WHEN predicted + support > 0
+                 THEN 2.0 * tp / (predicted + support) ELSE 0.0 END, 6)
+             + 0.0 AS f1
+    FROM labels
+    """
+
+
+@_q(
+    "classification_report",
+    _clsreport_oracle_sql(),
+    "Per-class precision / recall / F1 / support of the lang_id"
+    " heuristic scored against the gold lang column — the"
+    " classifier-eval primitive (sklearn's classification_report"
+    " shape) that was missing next to calibration_ece (is the score"
+    " honest) and auc_by_cohort (does the score rank): this one says"
+    " where a CLASSIFIER's errors live, per class, including classes"
+    " that appear only in predictions (the 'und' reject class"
+    " survives the FULL OUTER label join with support 0). Everything"
+    " reduces to the |gold| x |pred| confusion grid — ONE"
+    " map-combined aggregate over the corpus, all downstream math on"
+    " the <=36-cell frame; F1 computed directly from integer counts"
+    " as 2*tp/(predicted+support), a SINGLE exact division instead"
+    " of the 2PR/(P+R) form whose nested rounded divisions would"
+    " compound cross-engine ulps. Measured at 100x replication of"
+    " sf0.1: 16.8s isolated for 500k docs (lang_id's bare scan is"
+    " 5.4s in the same session — the delta is the second aggregate"
+    " level and the full-outer label assembly on the tiny grid).",
+)
+def classification_report(spark, sf):
+    from ..functions.text import lang_id_on_tokens, tokens_expr
+
+    d = _t(spark, sf, "documents")
+    scored = d.withColumn("__toks", tokens_expr("text")).select(
+        F.col("lang").alias("gold"),
+        lang_id_on_tokens("text", "__toks").alias("pred"),
+    )
+    grid = scored.groupBy("gold", "pred").agg(F.count("*").alias("c"))
+    gold_tot = grid.groupBy(F.col("gold").alias("label")).agg(
+        F.sum("c").alias("support")
+    )
+    pred_tot = grid.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("c").alias("predicted")
+    )
+    diag = (
+        grid.filter(F.col("gold") == F.col("pred"))
+        .groupBy(F.col("gold").alias("label"))
+        .agg(F.sum("c").alias("tp"))
+    )
+    labels = (
+        gold_tot.join(pred_tot, "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return labels.select(
+        "label", "support", "tp",
+        (F.col("predicted") - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+        (
+            F.round(
+                F.when(
+                    F.col("predicted") > 0,
+                    F.col("tp").cast("double") / F.col("predicted"),
+                ).otherwise(0.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("precision"),
+        (
+            F.round(
+                F.when(
+                    F.col("support") > 0,
+                    F.col("tp").cast("double") / F.col("support"),
+                ).otherwise(0.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+        (
+            F.round(
+                F.when(
+                    (F.col("predicted") + F.col("support")) > 0,
+                    F.lit(2.0) * F.col("tp")
+                    / (F.col("predicted") + F.col("support")),
+                ).otherwise(0.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("f1"),
+    )

@@ -355,6 +355,8 @@ HEADLINE = [
     # item-item cosine neighbor lists
     "ndcg_ranking_eval",
     "itemcf_neighbors",
+    # the confusion-grid classifier eval (one tokenizer corpus scan)
+    "classification_report",
 ]
 
 

@@ -336,3 +336,25 @@ def test_itemcf_scores_replay_and_topk_shape(spark):
         per_item.setdefault(r.part_i, []).append(r.rnk)
     for ranks in per_item.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --- classification report ----------------------------------------------
+
+def test_classification_report_identities(spark):
+    """Count identities that hold for ANY confusion matrix: sum(tp)
+    == total correct, per-class tp <= min(support, predicted), F1
+    equals the harmonic mean computed from the row's own counts, and
+    micro-precision == micro-recall (both are total-correct / N)."""
+    rows = r8c.classification_report(spark, SF_ORACLE).collect()
+    labels = {r.label for r in rows}
+    assert {"en", "es", "de", "fr", "zh"} <= labels
+    n_gold = sum(r.support for r in rows)
+    assert n_gold == 500  # every doc has exactly one gold label
+    n_pred = sum(r.tp + r.fp for r in rows)
+    assert n_pred == 500  # and exactly one prediction
+    for r in rows:
+        assert 0 <= r.tp <= min(r.support, r.tp + r.fp)
+        assert r.fp >= 0 and r.fn >= 0
+        denom = (r.tp + r.fp) + r.support
+        want_f1 = round(2.0 * r.tp / denom, 6) if denom else 0.0
+        assert r.f1 == want_f1
