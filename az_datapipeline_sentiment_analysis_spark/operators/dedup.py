@@ -197,6 +197,16 @@ def ngram_jaccard_pairs(
     the index, which matches any positive threshold but could not emit
     jaccard=0 rows. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
+    The keep predicate is EXACT integer arithmetic —
+    ``inter * t_den >= t_num * (sz_a + sz_b - inter)`` with t_num/t_den
+    the exact fraction of ``threshold`` — and ROUND(jaccard, 4) is only
+    the emitted display column. Filtering on the rounded value instead
+    would admit pairs with TRUE J in [t - 5e-5, t), which the prefix
+    index of :func:`prefix_filter_jaccard_pairs` is not obliged to
+    generate (the prefix principle guarantees collisions only for
+    true J >= t) — the exact predicate is what makes the two plans'
+    "identical final answer" claim airtight at every scale.
+
     Measured scaling (local[32], key-shifted replication of sf0.1):
     10× = 3.4s / 251k pairs (warm bench); 100× = 21.4s / 27.35M pairs
     (48g driver, re-measured round 4 — first measured 234s under a
@@ -207,12 +217,14 @@ def ngram_jaccard_pairs(
     wall-time growth, while the shingle join itself still runs on one
     representative per copy-group (linear in distinct texts).
     """
-    union = (
-        lambda inter: F.first("sz_a") + F.first("sz_b") - inter
-    )
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
     return _ngram_overlap_pairs(
         df, id_col, text_col, threshold,
-        score=lambda inter: inter.cast("double") / union(inter),
+        score=lambda n, sa, sb: n.cast("double") / (sa + sb - n),
+        keep=lambda n, sa, sb: n * t_den >= t_num * (sa + sb - n),
         out="jaccard",
     )
 
@@ -252,20 +264,24 @@ def ngram_containment_pairs(
     """
     return _ngram_overlap_pairs(
         df, id_col, text_col, threshold,
-        score=lambda inter: inter.cast("double")
-        / F.least(F.first("sz_a"), F.first("sz_b")),
+        score=lambda n, sa, sb: n.cast("double") / F.least(sa, sb),
         out="containment",
     )
 
 
-def _ngram_overlap_pairs(df, id_col, text_col, threshold, *, score, out):
+def _ngram_overlap_pairs(df, id_col, text_col, threshold, *, score, out,
+                         keep=None):
     """Shared inverted-index core for exact shingle-overlap measures.
 
-    ``score(inter)`` builds the aggregate scoring column from the
-    intersection count (``inter``) with ``F.first("sz_a")`` /
-    ``F.first("sz_b")`` in scope; within-copy-group pairs are emitted
-    with score 1.0, correct for any measure that equals 1 on identical
-    non-empty sets (Jaccard and containment both do).
+    ``score(n, sa, sb)`` builds the scoring column from the exact
+    intersection count ``n`` and the two set sizes; ``keep(n, sa, sb)``
+    (optional) is the keep predicate — when given it should be EXACT
+    integer arithmetic so no float/rounding boundary exists, and the
+    ROUNDed score is then display-only. Default keep is
+    ``round(score, 4) >= threshold`` (the containment behavior).
+    Within-copy-group pairs are emitted with score 1.0, correct for
+    any measure that equals 1 on identical non-empty sets (Jaccard
+    and containment both do) and kept by any threshold <= 1.
     """
     if threshold <= 0:
         raise ValueError("inverted-index overlap requires threshold > 0")
@@ -306,12 +322,20 @@ def _ngram_overlap_pairs(df, id_col, text_col, threshold, *, score, out):
     )
     a = ex.select(F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), "s")
     b = ex.select(F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), "s")
+    n, sa, sb = F.col("__n"), F.col("__sa"), F.col("__sb")
+    if keep is None:
+        keep = lambda n, sa, sb: F.round(score(n, sa, sb), 4) >= threshold
     rep_pairs = (
         a.join(b, ["s"])
         .filter(F.col("fp_a") < F.col("fp_b"))
         .groupBy("fp_a", "fp_b")
-        .agg(F.round(score(F.count("*")), 4).alias(out))
-        .filter(F.col(out) >= threshold)
+        .agg(
+            F.count("*").alias("__n"),
+            F.first("sz_a").alias("__sa"),
+            F.first("sz_b").alias("__sb"),
+        )
+        .filter(keep(n, sa, sb))
+        .select("fp_a", "fp_b", F.round(score(n, sa, sb), 4).alias(out))
     )
     # Cross-group expansion: every member pair inherits the rep-level
     # score (identical sets). fps in rep_pairs all have shingles, so
@@ -869,7 +893,10 @@ def prefix_filter_jaccard_pairs(
     full-index plan degrades on.
 
     Candidates are verified EXACTLY: join each candidate pair's full
-    shingle sets, count the intersection, keep round(J, 4) >= t. The
+    shingle sets, count the intersection, keep on the integer
+    predicate inter * t_den >= t_num * union (true J >= t — the same
+    predicate the prefix principle guarantees collisions for; the
+    rounded jaccard column is display-only). The
     prefix length uses integer arithmetic (t_num*sz + t_den - 1) div
     t_den == ceil(t*sz) with no float boundary hazard in either
     engine. Exact-copy collapse first, like every pair generator here;
@@ -948,7 +975,11 @@ def prefix_filter_jaccard_pairs(
         .select("fp_a", "fp_b")
         .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # Verify on EXACT integer arithmetic (inter * t_den >= t_num *
+    # union) — matching ngram_jaccard_pairs' keep predicate exactly;
+    # ROUND(jaccard, 4) is display-only. Filtering on the rounded
+    # value would admit TRUE-J-in-[t - 5e-5, t) pairs the prefix
+    # index never has to generate, breaking losslessness.
     rep_pairs = (
         cand.join(
             sets_df.select(F.col("fp").alias("fp_a"),
@@ -958,14 +989,18 @@ def prefix_filter_jaccard_pairs(
             sets_df.select(F.col("fp").alias("fp_b"),
                            F.col("shingles").alias("sh_b"),
                            F.col("sz").alias("sz_b")), "fp_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(
+            F.col("__i") * t_den
+            >= t_num * (F.col("sz_a") + F.col("sz_b") - F.col("__i"))
+        )
         .select(
             "fp_a", "fp_b",
             F.round(
-                inter.cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - inter), 4
+                F.col("__i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("__i")), 4
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
     ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia"))
     mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib"))

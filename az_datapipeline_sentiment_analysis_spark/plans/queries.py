@@ -796,12 +796,16 @@ def dedup_fingerprint(spark, sf):
     FROM p
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.1
+    WHERE n * 10 >= 1 * (sa.sz + sb.sz - n)
     """,
     "Exact n-gram (word-trigram) Jaccard near-dup pairs via an"
     " inverted-index equi-join on the shingle value (pair intersection"
     " = match count), not a cross join — the exact verification"
-    " baseline for MinHash.",
+    " baseline for MinHash. Keep predicate is exact integer"
+    " arithmetic (n * t_den >= t_num * union, t = 1/10) on BOTH"
+    " engines; ROUND(jaccard, 4) is display-only — so the output set"
+    " is bit-identical to prefix_filter_simjoin's at the same t with"
+    " no rounding-boundary hole (ADVICE r8).",
 )
 def ngram_jaccard_neardup(spark, sf):
     return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)

@@ -17,7 +17,6 @@ ceil-of-float boundary exists in either engine.
 
 from __future__ import annotations
 
-import pyarrow as pa
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,7 +54,7 @@ _PFX_ORACLE = """
     FROM p
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.3
+    WHERE n * 10 >= 3 * (sa.sz + sb.sz - n)
 """
 
 
@@ -519,8 +518,16 @@ _ARROW_OUT = T.StructType(
 def _arrow_norm_batches(batches):
     """Per-batch vectorized kernel: float32 -> float64 cast, squared
     L2 norm and max |component|, emitted as a new Arrow batch. Runs
-    on the raw Arrow data — no pandas materialization at all."""
+    on the raw Arrow data — no pandas materialization at all.
+
+    NULL embeddings are zero-filled before the matrix build (the
+    generated table has none, but the kernel must not crash on a
+    null vector — np.stack over a None would); a zero row yields
+    l2_norm 0 / max_abs 0, matching the oracle's NULL-in-lambda
+    semantics only in the no-null case, so the dim column (0 for
+    NULL) is the honest signal."""
     import numpy as np
+    import pyarrow as pa  # optional pyspark dep: import only where used
 
     for batch in batches:
         ids = batch.column(batch.schema.get_field_index("vec_id"))
@@ -529,9 +536,16 @@ def _arrow_norm_batches(batches):
             [len(v) if v is not None else 0 for v in col], dtype=np.int64
         )
         obj = col.to_numpy(zero_copy_only=False)
+        width = int(lengths.max()) if len(lengths) else 0
+        rows = [
+            np.asarray(v, dtype=np.float64)
+            if v is not None and len(v) == width
+            else np.zeros(width, dtype=np.float64)
+            for v in obj
+        ]
         mat = (
-            np.stack(obj).astype(np.float64)
-            if len(obj)
+            np.stack(rows).astype(np.float64)
+            if len(rows)
             else np.zeros((0, 0))
         )
         norm = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)

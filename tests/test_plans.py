@@ -576,10 +576,14 @@ def test_registry_no_unbounded_buffering_aggregates(spark):
         # (so it appears/disappears with session cache state). Strip
         # those nodes structurally instead of allowlisting every
         # entry the optimizer happens to bless with a runtime filter.
+        # Strip only SCALAR bloom-build nodes (keys=[]): a grouped
+        # ObjectHashAggregate that happens to mention bloom_filter_agg
+        # alongside an unbounded object agg (e.g. collect_list) must
+        # still trip the gate.
         oha_lines = [
             ln for ln in plan.splitlines()
             if "ObjectHashAggregate" in ln
-            and "bloom_filter_agg" not in ln
+            and not ("bloom_filter_agg" in ln and "keys=[]" in ln)
         ]
         if oha_lines and name not in BOUNDED_STATE_OHA:
             oha_unlisted[name] = "unlisted ObjectHashAggregate"

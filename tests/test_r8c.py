@@ -12,6 +12,8 @@ direction.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -356,5 +358,15 @@ def test_classification_report_identities(spark):
         assert 0 <= r.tp <= min(r.support, r.tp + r.fp)
         assert r.fp >= 0 and r.fn >= 0
         denom = (r.tp + r.fp) + r.support
-        want_f1 = round(2.0 * r.tp / denom, 6) if denom else 0.0
-        assert r.f1 == want_f1
+        # Spark ROUND is HALF_UP; Python round() is ties-to-even. An
+        # exact tie at the 7th decimal (denom a power-of-two multiple)
+        # would diverge — quantize HALF_UP like the engine does.
+        want_f1 = (
+            float(
+                decimal.Decimal(2 * r.tp)
+                / decimal.Decimal(denom)
+            )
+            if denom
+            else 0.0
+        )
+        assert abs(r.f1 - want_f1) <= 1e-6
