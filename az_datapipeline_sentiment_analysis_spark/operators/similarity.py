@@ -225,6 +225,65 @@ def _centroid_dots_expr(vec_col: str, cents: np.ndarray) -> F.Column:
     return F.expr("array(" + ", ".join(dots) + ")")
 
 
+def cluster_blocked_pairs(
+    e: DataFrame, *, n_lists: int, tau: float
+) -> DataFrame:
+    """Within-cluster cosine pairs over the fixed-quantizer blocking
+    (the SemDeDup candidate frame, exposed as its own operator).
+
+    Assign every vector to its nearest fixed centroid (pure
+    deterministic arithmetic — no training pass, so the whole frame
+    is hash-checkable cross-engine), then self-join ON list_id so
+    pair work is sum-of-cluster-sizes² instead of n²; norms are
+    hoisted per SIDE so only the dot product is per-pair work.
+    ``n_lists`` is THE scale knob: production grows it with the
+    corpus (SemDeDup uses ~1e5 clusters at web scale), which keeps
+    per-cluster size — and with it total pair cost — flat while the
+    plan shape (one equi-join) never changes.
+
+    Returns (u, v, cosine) with u < v and round(cosine, 6) >= tau.
+    """
+    cents = fixed_centroids(n_lists)
+    assigned = (
+        e.select(
+            "vec_id",
+            "embedding",
+            norm_expr("embedding").alias("__n"),
+        )
+        .withColumn("__dots", _centroid_dots_expr("embedding", cents))
+        .withColumn(
+            "list_id",
+            (
+                F.array_position(F.col("__dots"), F.array_max("__dots"))
+                - 1
+            ).cast("long"),
+        )
+        .drop("__dots")
+    )
+    x = assigned.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("u_vec"),
+        F.col("__n").alias("__un"),
+    )
+    y = assigned.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("v_vec"),
+        F.col("__n").alias("__vn"),
+    )
+    denom = F.col("__un") * F.col("__vn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_expr("u_vec", "v_vec") / denom
+    )
+    return (
+        x.join(y, "list_id")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )
+
+
 def ivf_fixed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2221,65 +2221,6 @@ def tokenize_ngrams(spark, sf):
 
 
 @_q(
-    "embed_neardup",
-    """
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-             list_sum(list_transform(generate_series(1, len(a.embedding)),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
-                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))
-               AS cosine
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    )
-    SELECT left_id, right_id, ROUND(cosine, 6) AS cosine
-    FROM pairs WHERE cosine >= 0.35
-    """,
-    "Embedding-cosine near-dup candidate pairs, label-blocked so the"
-    " self-join runs per block instead of as a full cross product."
-    " SCALE HONESTY: with a FIXED block count the per-block pair set"
-    " still grows quadratically in corpus size — measured 12.8s at"
-    " 10x replication of sf0.1 (640k vectors, 129k pairs; norms"
-    " hoisted per side so only the dot product is per-pair work) but"
-    " intractable at 100x. This entry is the exact within-block"
-    " baseline; past ~10x the blocking must refine with the corpus —"
-    " hyperplane sub-buckets (embed_ann_lsh's planes), IVF lists with"
-    " n_lists scaled to n (embed_ann_ivf), or MinHash banding on"
-    " discretized vectors — all present as registry entries.",
-)
-def embed_neardup(spark, sf):
-    from ..functions.arrays import dot_expr, norm_expr
-
-    e = _t(spark, sf, "embeddings")
-    # norms hoisted into the per-SIDE projections: inside the pair
-    # expression each vector would recompute its norm once per
-    # in-bucket partner (bucket-size times). Same doubles, same
-    # multiplication — the rounded cosine is bit-identical.
-    a = e.select(
-        F.col("label"),
-        F.col("vec_id").alias("left_id"),
-        F.col("embedding").alias("left_vec"),
-        norm_expr("embedding").alias("__ln"),
-    )
-    b = e.select(
-        F.col("label"),
-        F.col("vec_id").alias("right_id"),
-        F.col("embedding").alias("right_vec"),
-        norm_expr("embedding").alias("__rn"),
-    )
-    pairs = a.join(b, "label").filter(F.col("left_id") < F.col("right_id"))
-    denom = F.col("__ln") * F.col("__rn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_expr("left_vec", "right_vec") / denom
-    )
-    return (
-        pairs.select("left_id", "right_id", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
-    )
-
-
-@_q(
     "agg_stats",
     """
     SELECT l_returnflag,
@@ -2441,6 +2382,7 @@ from . import queries_r7 as _r7  # noqa: E402,F401
 from . import queries_r8 as _r8  # noqa: E402,F401
 from . import queries_r8b as _r8b  # noqa: E402,F401
 from . import queries_r8c as _r8c  # noqa: E402,F401
+from . import queries_r9 as _r9  # noqa: E402,F401
 from . import queries_stats as _stats  # noqa: E402,F401
 from . import queries_tpch as _tpch  # noqa: E402,F401
 from . import streaming_queries as _sq  # noqa: E402,F401
@@ -2636,41 +2578,60 @@ _DRIVER_GREEN_R7 = frozenset(
 )
 
 
-# Materially changed in ROUND 8, so re-verify first (the standing
+# Round-8 driver window (CORRECTNESS_r08.json): 49/50 hash-green,
+# the 50th being embed_ann_ivf's by-design no_oracle rows-only row.
+# This cleared the whole _RECHECK / _RECHECK_PERF_ONLY debt of r8.
+_DRIVER_GREEN_R8 = frozenset(
+    {
+        "ab_sequential_sprt", "ann_ivfpq_search", "anomaly_stl_residual",
+        "array_funcs", "classification_report", "conditional_case",
+        "conformal_interval", "coreset_kcenter", "cuped_adjustment",
+        "curation_pipeline", "date_funcs", "dedup_clusters",
+        "dedup_incremental_minhash", "dedup_verdict", "diff_in_diff",
+        "dp_noise_count", "dsir_importance_weights", "editdist_neardup",
+        "embed_ann_ivf", "embed_jl_project", "embed_matryoshka_eval",
+        "embed_pq_search", "filter_empty_guard", "filter_in",
+        "graph_kcore", "graph_label_prop_communities",
+        "graph_triangles_approx", "hampel_filter", "hard_negative_mine",
+        "itemcf_neighbors", "json_funcs", "kfold_assign_stratified",
+        "mapinarrow_transform", "math_funcs", "minhash_neardup",
+        "ndcg_ranking_eval", "nested_extract", "null_normalize",
+        "prefix_filter_simjoin", "quality_model_score",
+        "record_linkage_snm", "semdedup_prune_sized", "simhash_neardup",
+        "sketch_kll_quantiles", "span_dedup_exact", "string_funcs",
+        "unimax_budget", "url_parse_stats", "vit_patchify",
+        "winnow_fingerprints",
+    }
+)
+
+
+# Materially changed in ROUND 9, so re-verify first (the standing
 # rule from VERDICT r5 #3: every entry whose implementation changed
-# must get a fresh driver row the same round). editdist_neardup
-# LEADS: its r7 rewrite (exact-copy collapse + two lower bounds) was
-# mirror-reproved at three scales but its external driver row
-# predates the rewrite — VERDICT r7 Next-round #2 schedules it first.
+# must get a fresh driver row the same round).
 _RECHECK = frozenset(
     {
-        "editdist_neardup",
-        # checksum formula changed (overflow-safe mod-prime reduction
-        # before the Knuth multiply) — a SEMANTIC change to the
-        # member_checksum column on both engines
-        "kfold_assign_stratified",
-        # operators/dedup.py round-8 restructure: the copy-group
-        # collect_list replaced by the persisted map-only members
-        # projection (VERDICT r7 #4) — output-identical,
-        # mirror-reproved at three scales, but the physical plan
-        # changed wholesale
-        "minhash_neardup", "simhash_neardup", "dedup_clusters",
-        "dedup_verdict",
+        # rebuilt on corpus-refining cluster blocking (VERDICT r8 #1):
+        # candidate scope changed label-blocks -> quantizer clusters —
+        # a SEMANTIC change on both engines
+        "embed_neardup",
+        # keep predicate moved from round(J,4) >= t to exact integer
+        # arithmetic on both engines (ADVICE r8 rounding-boundary
+        # hole) — boundary pairs can change membership
+        "ngram_jaccard_neardup", "prefix_filter_simjoin",
+        # plan refactor onto the shared cluster_blocked_pairs operator
+        # (output-identical, mirror-reproved; physical plan unchanged
+        # but the code path is new)
+        "semdedup_prune", "semdedup_prune_sized",
+        # mapInArrow kernel gained the null/ragged zero-fill guard
+        "mapinarrow_transform",
     }
 )
 
-# Perf-only recheck debt: the two r6-rewrite entries the round-7
-# window never reached (bit-identical rewrites, mirror-reproved).
-# They recheck after this round's first-checks but ahead of stale
-# greens.
-_RECHECK_PERF_ONLY = frozenset(
-    {
-        "sketch_kll_quantiles",
-        "embed_ann_ivf",
-    }
-)
+# Perf-only recheck debt: none — the round-8 window cleared both
+# r6-rewrite stragglers (sketch_kll_quantiles, embed_ann_ivf).
+_RECHECK_PERF_ONLY: frozenset[str] = frozenset()
 
-# Round-8 additions that land after the window budget is spent sort
+# Round-9 additions that land after the window budget is spent sort
 # here (mirror-verified at all three scales on landing, the standing
 # convention); empty until needed.
 _DEFER_FIRST_CHECK: frozenset[str] = frozenset()
@@ -2680,13 +2641,13 @@ def _gate_priority(name: str) -> float:
     """Bucket rank for driver-gate iteration order (stable within
     bucket — ties keep REGISTRY declaration order).
 
-    Front of the 50-slot window: queries changed this round (led by
-    editdist_neardup's owed post-rewrite re-row, VERDICT r7 #2), then
-    any entry without a driver row yet (this round's additions), then
-    perf-only rechecks. The remaining
-    slots re-verify the greens LONGEST-UNCHECKED FIRST (VERDICT r5
-    #3): round-1/2 rows predate the repr-level mirror hardening, so
-    they recycle ahead of newer greens. Membership is checked
+    Front of the 50-slot window: queries changed this round, then any
+    entry without a driver row yet (this round's additions), then
+    perf-only rechecks. The remaining slots lead with the
+    PRE-HARDENING STRATUM (VERDICT r8 #3): entries whose newest
+    driver row is from rounds 1–3 predate the repr-strict comparator,
+    so the whole R1→R2→R3 band recycles ahead of every newer green —
+    oldest first within the band. Membership is checked
     newest-round-first because many entries re-verified in a later
     round (e.g. q1/scan_parquet/filter_flag are in both R1 and R5).
     """
@@ -2699,20 +2660,23 @@ def _gate_priority(name: str) -> float:
         return 1.45
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
-    if name in _DRIVER_GREEN_R7:
+    if name in _DRIVER_GREEN_R8:
         return 9
-    if name in _DRIVER_GREEN_R6:
+    if name in _DRIVER_GREEN_R7:
         return 8
-    if name in _DRIVER_GREEN_R5:
+    if name in _DRIVER_GREEN_R6:
         return 7
-    if name in _DRIVER_GREEN_R4:
+    if name in _DRIVER_GREEN_R5:
         return 6
-    if name in _DRIVER_GREEN_R3:
+    if name in _DRIVER_GREEN_R4:
         return 5
+    # --- pre-hardening stratum: rows only from rounds 1–3 ---
+    if name in _DRIVER_GREEN_R3:
+        return 2.2
     if name in _DRIVER_GREEN_R2:
-        return 4
+        return 2.1
     if name in _DRIVER_GREEN_R1:
-        return 2  # oldest greens recycle into the spare slots first
+        return 2  # oldest rows recycle first
     return 1  # no driver row yet
 
 

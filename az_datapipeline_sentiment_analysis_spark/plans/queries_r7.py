@@ -779,12 +779,11 @@ def lateral_topk_join(spark, sf):
 # SemDeDup: cluster-bucketed embedding near-dup pruning
 # =====================================================================
 
-def _semdedup_oracle_sql(tau: float, n_lists: int = 16) -> str:
-    """Fixed-quantizer cluster assignment (the embed_ann_ivf_exact
-    arithmetic) + within-cluster cosine pairs + deterministic prune
-    aggregate, all in DuckDB SQL. ``n_lists`` sizes the quantizer —
-    the assignment stays pure arithmetic at any size, so the SIZED
-    form is just as hash-checkable as the pinned-16 one."""
+def _cluster_pairs_ctes(n_lists: int) -> str:
+    """The fixed-quantizer cluster-blocked cosine-pair frame as a
+    reusable DuckDB CTE chain ending in ``pairs(u, v, cosine)``
+    (unthresholded) — shared by the SemDeDup prune oracles and the
+    cluster-blocked embed_neardup oracle."""
     from ..operators import similarity as sim
 
     cents = sim.fixed_centroids(n_lists)
@@ -819,7 +818,16 @@ def _semdedup_oracle_sql(tau: float, n_lists: int = 16) -> str:
                     t -> CAST(t AS DOUBLE) * t)))), 6) AS cosine
       FROM a x JOIN a y
         ON x.list_id = y.list_id AND x.vec_id < y.vec_id
-    )
+    )"""
+
+
+def _semdedup_oracle_sql(tau: float, n_lists: int = 16) -> str:
+    """Fixed-quantizer cluster assignment (the embed_ann_ivf_exact
+    arithmetic) + within-cluster cosine pairs + deterministic prune
+    aggregate, all in DuckDB SQL. ``n_lists`` sizes the quantizer —
+    the assignment stays pure arithmetic at any size, so the SIZED
+    form is just as hash-checkable as the pinned-16 one."""
+    return f"""{_cluster_pairs_ctes(n_lists)}
     SELECT v AS vec_id,
            CAST(COUNT(*) AS BIGINT) AS n_witnesses,
            CAST(MIN(u) AS BIGINT) AS first_witness,
@@ -854,51 +862,10 @@ _SEMDEDUP_DOC = (
 
 
 def _semdedup_frame(spark, sf, *, n_lists: int, tau: float):
-    from ..functions.arrays import dot_expr, norm_expr
     from ..operators import similarity as sim
 
-    cents = sim.fixed_centroids(n_lists)
     e = _t(spark, sf, "embeddings")
-    assigned = (
-        e.select(
-            "vec_id",
-            "embedding",
-            norm_expr("embedding").alias("__n"),
-        )
-        .withColumn(
-            "__dots", sim._centroid_dots_expr("embedding", cents)
-        )
-        .withColumn(
-            "list_id",
-            (
-                F.array_position(F.col("__dots"), F.array_max("__dots"))
-                - 1
-            ).cast("long"),
-        )
-        .drop("__dots")
-    )
-    x = assigned.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("u"),
-        F.col("embedding").alias("u_vec"),
-        F.col("__n").alias("__un"),
-    )
-    y = assigned.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("v"),
-        F.col("embedding").alias("v_vec"),
-        F.col("__n").alias("__vn"),
-    )
-    denom = F.col("__un") * F.col("__vn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_expr("u_vec", "v_vec") / denom
-    )
-    pairs = (
-        x.join(y, "list_id")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= tau)
-    )
+    pairs = sim.cluster_blocked_pairs(e, n_lists=n_lists, tau=tau)
     return pairs.groupBy("v").agg(
         F.count("*").cast("long").alias("n_witnesses"),
         F.min("u").cast("long").alias("first_witness"),
