@@ -32,7 +32,7 @@ import tempfile
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table as _t
@@ -782,3 +782,275 @@ def stream_quality_gate(spark, sf):
         F.count("*").cast("long").alias("n_docs")
     )
     return _drain(agg, spark, mode="complete")
+
+
+# =====================================================================
+# Streaming curation pipeline (VERDICT r8 #6): the deploy shape of
+# curation_pipeline's gate + dedup stages as ONE foreachBatch lineage
+# =====================================================================
+
+def _staged_documents_ordered(spark: SparkSession, sf_dir: str) -> str:
+    """Two ID-ORDERED document slices with staggered mtimes: slice 1
+    holds the lower half of doc_id, slice 2 the rest, so the
+    AvailableNow drain (maxFilesPerTrigger=1) replays the corpus in
+    id order — the arrival order under which incremental
+    first-arrival dedup provably equals the batch keep-the-
+    smallest-id rule."""
+    key = (sf_dir, "docs-ordered")
+    if key in _STAGED and os.path.isdir(_STAGED[key]):
+        return _STAGED[key]
+    d = tempfile.mkdtemp(prefix="sg_stream_docs_ord_")
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.5)").alias("m")
+    ).first()["m"]
+    now = time.time()
+    seen: set[str] = set()
+    preds = [F.col("doc_id") < mid, F.col("doc_id") >= mid]
+    for i, pred in enumerate(preds):
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(d)
+        fresh = {f for f in os.listdir(d) if f.endswith(".parquet")} - seen
+        for f in fresh:
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        seen |= fresh
+    _STAGED[key] = d
+    return d
+
+
+def _curation_gate(df: DataFrame) -> DataFrame:
+    """quality_filter_gate's exact keep rules (stateless, map-only)."""
+    sig = df.withColumn(
+        "__toks", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    )
+    nt = F.expr("size(__toks)")
+    uf = F.coalesce(
+        F.round(
+            F.expr("size(array_distinct(__toks))") * F.lit(1.0)
+            / F.nullif(F.expr("size(__toks)"), F.lit(0)),
+            4,
+        ),
+        F.lit(0.0),
+    )
+    from ..functions.text import alpha_ratio_expr
+
+    return sig.filter(
+        (nt >= 10)
+        & (nt <= 100000)
+        & (alpha_ratio_expr("text") >= 0.5)
+        & (uf >= 0.2)
+    ).select("doc_id", "text", "lang", "n_chars")
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(id, band, rows, bh) — the LSH band explode (minhash_pairs' /
+    dedup_incremental_minhash's banding, one expression)."""
+    from ..operators import dedup as dd
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {dd.N_BANDS - 1}),"
+                f" b -> struct(b AS band,"
+                f" slice(sig, b * {dd.ROWS_PER_BAND} + 1,"
+                f" {dd.ROWS_PER_BAND}) AS rows,"
+                f" hash(slice(sig, b * {dd.ROWS_PER_BAND} + 1,"
+                f" {dd.ROWS_PER_BAND})) AS bh))"
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.rows", "bb.bh")
+
+
+def curation_stream_batch(
+    batch: DataFrame, bid: int, out_dir: str, idx_dir: str
+) -> None:
+    """One idempotent micro-batch of the streaming curation pipeline:
+    gate -> exact dedup vs the fingerprint index -> near dedup vs the
+    SIGNATURE INDEX (+ this batch) -> append accepted docs; extend the
+    index with every gate-passed new fingerprint (matched-or-not —
+    the batch rule drops b when paired with ANY smaller a, even an a
+    that was itself dropped, so the index must remember dropped reps
+    too). All writes go to per-batch subdirs with mode=overwrite, so
+    a replayed batch_id rewrites the identical content instead of
+    appending twice — the foreachBatch idempotence pattern
+    (streaming/incremental.py's merge discipline, file-sink form).
+    """
+    from ..operators import dedup as dd
+
+    spark = batch.sparkSession
+    kept = _curation_gate(batch)
+    keyed = kept.withColumn(
+        "fp", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    wfp = Window.partitionBy("fp")
+    reps = (
+        keyed.withColumn("__m", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("__m"))
+        .drop("__m")
+    )
+    prior = [
+        f"{idx_dir}/b{i}" for i in range(bid)
+        if os.path.isdir(f"{idx_dir}/b{i}")
+    ]
+    idx = spark.read.parquet(*prior) if prior else None
+    new_reps = (
+        reps.join(idx.select("fp"), "fp", "left_anti") if idx is not None
+        else reps
+    )
+    sigs_new = dd.minhash_signatures(
+        new_reps, id_col="doc_id", text_col="text"
+    ).select("id", "shingles", "sig").persist()
+    all_sigs = (
+        sigs_new.unionByName(idx.select("id", "shingles", "sig"))
+        if idx is not None
+        else sigs_new
+    )
+    # candidates: new reps vs (index + this batch), EARLIER side only
+    # (id order == arrival order, so rb < ra covers both the persisted
+    # index and the within-batch self-pairs)
+    cand = (
+        _band_frame(sigs_new).alias("x")
+        .join(
+            _band_frame(all_sigs).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.rows") == F.col("y.rows"))
+            & (F.col("y.id") < F.col("x.id")),
+        )
+        .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"))
+        .distinct()
+    )
+    sa = sigs_new.select(F.col("id").alias("ra"),
+                         F.col("shingles").alias("sh_a"))
+    sb = all_sigs.select(F.col("id").alias("rb"),
+                         F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dropped = (
+        cand.join(sa, "ra")
+        .join(sb, "rb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union)
+                .otherwise(0.0),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select(F.col("ra").alias("doc_id"))
+        .distinct()
+    )
+    accepted = new_reps.join(dropped, "doc_id", "left_anti")
+    accepted.select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/b{bid}")
+    sigs_new.join(
+        new_reps.select(F.col("doc_id").alias("id"), "fp"), "id"
+    ).select("fp", "id", "shingles", "sig").write.mode(
+        "overwrite"
+    ).parquet(f"{idx_dir}/b{bid}")
+    sigs_new.unpersist()
+
+
+def _stream_curation_oracle_sql() -> str:
+    """The batch twin: curation_pipeline's stage-1/2 CTEs verbatim
+    (quality gate -> exact-before-near dedup verdict), projected to
+    the survivor rows the stream appends."""
+    from .queries import _minhash_pairs_ctes
+
+    return f"""
+    WITH sigq AS (
+      SELECT doc_id, text, lang, n_chars,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, lang, n_chars FROM sigq
+      WHERE len(toks) >= 10 AND len(toks) <= 100000
+        AND ROUND(CASE WHEN n = 0 THEN 0.0
+                       ELSE alpha * 1.0 / n END, 6) >= 0.5
+        AND COALESCE(ROUND(len(list_distinct(toks)) * 1.0
+                           / nullif(len(toks), 0), 4), 0.0) >= 0.2
+    ),
+    {_minhash_pairs_ctes("kept")},
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(coalesce(text, ''))) AS rep
+      FROM kept
+    ),
+    near AS (
+      SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.3
+    )
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM kept k JOIN ex e ON k.doc_id = e.doc_id
+    WHERE e.doc_id = e.rep
+      AND k.doc_id NOT IN (SELECT doc_id FROM near)
+    """
+
+
+@_q(
+    "stream_curation_pipeline",
+    _stream_curation_oracle_sql(),
+    "The composed curation pipeline AS IT DEPLOYS (VERDICT r8 #6):"
+    " ONE foreachBatch lineage running quality gate -> incremental"
+    " exact dedup (fingerprint index) -> incremental MinHash near"
+    " dedup (signature index, dedup_incremental_minhash's"
+    " band-join-the-persisted-index shape) -> append sink, drained"
+    " under Trigger.AvailableNow over two chronologically-staggered,"
+    " ID-ORDERED document slices. Because arrival order == id order,"
+    " first-arrival-wins is PROVABLY the batch keep-the-smallest-id"
+    " rule: a rep is dropped iff some band-colliding earlier doc"
+    " verifies at jaccard >= 0.3, and every earlier doc is findable"
+    " as its exact-group rep in the index (reps are group minima and"
+    " share their members' text — the member-expansion argument in"
+    " curation_stream_batch). The oracle is therefore the BATCH"
+    " twin: curation_pipeline's gate + dedup-verdict CTEs verbatim,"
+    " hash-compared to what the stream appended — streaming"
+    " semantics checked against batch ground truth, the"
+    " stream_tumbling_agg contract extended to a multi-stage"
+    " stateful pipeline. Index state lives in per-batch parquet"
+    " subdirs written with mode=overwrite keyed on batch_id, so a"
+    " crashed-and-replayed batch rewrites identical content instead"
+    " of double-appending (idempotent-rerun pytest in"
+    " tests/test_r9.py). At scale: per-batch cost is O(delta x"
+    " collision rate) — the stream never re-pairs base-vs-base; the"
+    " index join is band-keyed exactly like the batch LSH.",
+)
+def stream_curation_pipeline(spark, sf):
+    from pyspark.sql import types as T
+
+    src_dir = _staged_documents_ordered(spark, sf)
+    work = tempfile.mkdtemp(prefix="sg_curation_stream_")
+    out_dir, idx_dir = f"{work}/out", f"{work}/idx"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def fn(b: DataFrame, bid: int) -> None:
+        curation_stream_batch(b, bid, out_dir, idx_dir)
+
+    with _few_partitions(spark):
+        q = stream.start_foreach_batch(
+            src, fn, checkpoint=f"{work}/ckpt", mode="update"
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -116,6 +116,40 @@ def _band_outliers(
         for n, t in timings.items()
         if reference.get(n, 0) >= 0.1 and t > NOISE_BAND_X * reference[n]
     }
+
+
+def _ratios(
+    timings: dict[str, float], probe_s: float
+) -> dict[str, float]:
+    """Per-query wall-time divided by the in-session reference probe.
+
+    BENCH history shows 2-8x swings in ABSOLUTE wall time across
+    sessions with no code change (212.5 -> 147.3 -> 110.8s round-8
+    headline; host co-tenancy this container cannot observe), so
+    cross-round comparisons on absolutes are noise. Dividing by a
+    probe measured in the SAME session (q1 best-of-3 on the same
+    data) cancels the host factor to first order: a plan regression
+    moves ONE ratio, host contention moves the probe and the query
+    together. VERDICT r8 #4.
+    """
+    if not probe_s or probe_s <= 0:
+        return {}
+    return {n: round(t / probe_s, 3) for n, t in timings.items()}
+
+
+def _probe(spark, sf_dir: str, runs: int = 3) -> float:
+    """The pinned reference probe: q1_pricing_summary best-of-n on
+    ``sf_dir``, measured with the same quiesce discipline as the
+    suite. q1 is scan + columnar hash-agg — the cost class host
+    contention scales most uniformly."""
+    fn = REGISTRY["q1_pricing_summary"].fn
+    best = float("inf")
+    for _ in range(runs):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 SCALE_HEADLINE = [
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -422,6 +456,8 @@ def _quiesce(spark) -> None:
 def main() -> None:
     spark = get_spark("bench")
     warmup(spark)
+    probe_s = _probe(spark, SF_DIR)
+    print(f"# ref probe (q1 best-of-3): {probe_s:.4f}s", flush=True)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -474,6 +510,14 @@ def main() -> None:
         ),
         "queries": timings,
         "sf": sf_val,
+        # who produced this artifact (VERDICT r8 #5: a driver re-run
+        # overwrote a committed local payload untraceably) and the
+        # in-session probe that makes cross-round RATIO comparison
+        # possible (VERDICT r8 #4)
+        "source": os.environ.get("SPARK_GRAFT_BENCH_SOURCE", "unlabeled"),
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "ref_probe_seconds": probe_s,
+        "query_ratios": _ratios(timings, probe_s),
     }
     if errors:
         payload["query_errors"] = errors
@@ -487,6 +531,12 @@ def main() -> None:
                 spark, SF_DIR, SCALE_DIR, factor=SCALE_FACTOR
             )
             build_s = round(time.perf_counter() - t0, 3)
+            scale_probe_s = _probe(spark, scale_dir)
+            print(
+                f"# [x{SCALE_FACTOR}] ref probe (q1 best-of-3):"
+                f" {scale_probe_s:.4f}s",
+                flush=True,
+            )
             scale_timings: dict[str, float] = {}
             scale_errors: dict[str, str] = {}
             for name in SCALE_HEADLINE:
@@ -535,6 +585,10 @@ def main() -> None:
                         3,
                     ),
                     "scale_queries": scale_timings,
+                    "scale_ref_probe_seconds": scale_probe_s,
+                    "scale_query_ratios": _ratios(
+                        scale_timings, scale_probe_s
+                    ),
                 }
             )
             if scale_errors:
@@ -581,10 +635,29 @@ def main() -> None:
         payload["scale_band_outliers"] = _band_outliers(
             payload["scale_queries"], ref["scale_queries"]
         )
-    for key in ("band_outliers", "scale_band_outliers"):
+    # RATIO triage (VERDICT r8 #4) — the primary cross-round signal
+    # once the reference payload carries ratios: each query normalized
+    # by its session's own q1 probe, so host-contention swings (which
+    # move probe and query together) cancel and only genuine per-plan
+    # shifts cross the band.
+    if ref.get("query_ratios") and payload.get("query_ratios"):
+        payload["ratio_band_outliers"] = _band_outliers(
+            payload["query_ratios"], ref["query_ratios"]
+        )
+    if ref.get("scale_query_ratios") and payload.get("scale_query_ratios"):
+        payload["scale_ratio_band_outliers"] = _band_outliers(
+            payload["scale_query_ratios"], ref["scale_query_ratios"]
+        )
+    for key in (
+        "band_outliers",
+        "scale_band_outliers",
+        "ratio_band_outliers",
+        "scale_ratio_band_outliers",
+    ):
+        unit = "" if "ratio" in key else "s"
         for n, (now, was) in payload.get(key, {}).items():
             print(
-                f"# BAND {key}: {n} {now:.3f}s vs ref {was:.3f}s"
+                f"# BAND {key}: {n} {now:.3f}{unit} vs ref {was:.3f}{unit}"
                 f" ({now / was:.2f}x)",
                 flush=True,
             )
@@ -621,6 +694,12 @@ def main() -> None:
         "n_queries": len(timings),
         "n_band_outliers": len(payload.get("band_outliers", {}))
         + len(payload.get("scale_band_outliers", {})),
+        "n_ratio_band_outliers": len(
+            payload.get("ratio_band_outliers", {})
+        )
+        + len(payload.get("scale_ratio_band_outliers", {})),
+        "source": payload["source"],
+        "ref_probe_seconds": probe_s,
     }
     if "scale_value" in payload:
         compact.update(

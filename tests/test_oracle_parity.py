@@ -37,6 +37,8 @@ EMPTY_OK = {
     # sort-neighbors land within the 100-cent match window at smoke
     # scale (38 matches at sf0.01, 4026 at sf0.1)
     "record_linkage_snm",
+    # same domain, both passes: 0 at smoke, 43 at sf0.01
+    "record_linkage_snm_multipass",
 }
 
 

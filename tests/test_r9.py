@@ -1,0 +1,257 @@
+"""Round-9 additions: the real PNG pixel codec, the exact-integer
+Jaccard keep predicate (the ADVICE r8 rounding-boundary hole), the
+multi-pass SNM linkage, and the streaming curation pipeline's
+idempotent foreachBatch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from az_datapipeline_sentiment_analysis_spark.catalog import table as _t
+from az_datapipeline_sentiment_analysis_spark.operators import dedup as dd
+from az_datapipeline_sentiment_analysis_spark.operators import multimodal as mm
+from az_datapipeline_sentiment_analysis_spark.plans import queries_r9 as r9
+from az_datapipeline_sentiment_analysis_spark.plans import (
+    streaming_queries as sq,
+)
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+# --- PNG codec ------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    """Encode cycles filter types per row (y % 5); any h >= 5 image
+    exercises every unfilter branch. Decode must be bit-exact."""
+    for i in [0, 1, 5, 17, 123, 999, 4242]:
+        w, h = mm.pixel_dims(i)
+        pix = mm.pixel_rgb(i, w, h)
+        assert (mm.png_decode_rgb(mm.png_encode_rgb(pix)) == pix).all()
+
+
+def test_png_decode_handpinned():
+    """Decode a PNG built BY HAND (not via the encoder): 2x2 RGB,
+    filter 0 rows, pixels written literally — so a matching decode
+    cannot come from mutually-cancelling encoder/decoder bugs."""
+    pix = [
+        [(10, 20, 30), (40, 50, 60)],
+        [(70, 80, 90), (200, 210, 220)],
+    ]
+    raw = b""
+    for row in pix:
+        raw += b"\x00" + bytes(v for px in row for v in px)
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+
+    def chunk(tag, data):
+        return (
+            len(data).to_bytes(4, "big") + tag + data
+            + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = mm.png_decode_rgb(png)
+    assert got.shape == (2, 2, 3)
+    assert got.tolist() == [[list(p) for p in row] for row in pix]
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    pix = mm.pixel_rgb(3, 8, 8)
+    good = bytearray(mm.png_encode_rgb(pix))
+    # flip a byte inside the IDAT payload -> CRC failure
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.png_decode_rgb(bytes(bad))
+    # not a PNG at all
+    with pytest.raises(ValueError):
+        mm.png_decode_rgb(b"\xff\xd8notapng")
+    # unsupported subset: color type 6 (RGBA) in an otherwise valid IHDR
+    ihdr = (
+        (8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    with pytest.raises(ValueError):
+        mm.png_decode_rgb(rgba)
+
+
+def test_png_pixel_stats_match_formula(spark):
+    """Decoded-channel statistics must equal the closed-form pixel
+    formula's — computed here independently in numpy."""
+    df = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    rows = mm.png_pixel_stats(mm.with_png_payload(df)).collect()
+    assert len(rows) == 18
+    for r in rows:
+        i = r.doc_id
+        w, h = mm.pixel_dims(i)
+        ch = {"r": 0, "g": 1, "b": 2}[r.channel]
+        v = mm.pixel_rgb(i, w, h)[:, :, ch].astype(np.int64).ravel()
+        assert (r.width, r.height) == (w, h)
+        assert r.px_sum == v.sum()
+        assert r.px_sqsum == (v * v).sum()
+        assert (r.px_min, r.px_max) == (v.min(), v.max())
+        assert [r.bin0, r.bin1, r.bin2, r.bin3] == (
+            np.bincount(v >> 6, minlength=4).tolist()
+        )
+        assert abs(r.mean - v.mean()) < 1e-6
+
+
+# --- exact-integer Jaccard keep predicate ---------------------------
+
+def _alpha(i: int) -> str:
+    """Letters-only token encoding (digits are stripped by the
+    [a-z]+ tokenizer)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(ord("a") + r) + s
+    return s
+
+
+def test_jaccard_rounding_boundary_pair_excluded(spark):
+    """ADVICE r8: a pair with TRUE J in [t - 5e-5, t) rounds UP to t
+    at 4 decimals. The old round-then-filter admitted it in the full
+    index but the prefix index never guarantees generating it; the
+    exact integer predicate must drop it in BOTH plans.
+
+    Construction: shared 2001-token prefix (inter = 1999 shingles),
+    suffixes sized so union = 6664 -> J = 1999/6664 = 0.299970
+    (round4 = 0.3000, but 1999 * 10 < 3 * 6664)."""
+    shared = [f"s{_alpha(i)}" for i in range(2001)]
+    a_doc = " ".join(shared + [f"xa{_alpha(i)}" for i in range(2332)])
+    b_doc = " ".join(shared + [f"yb{_alpha(i)}" for i in range(2333)])
+    docs = spark.createDataFrame(
+        [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+    )
+    # sanity: the constructed overlap is exactly the boundary case
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in dd.with_shingles(docs).select("doc_id", "shingles").collect()
+    }
+    inter = len(sh[1] & sh[2])
+    union = len(sh[1] | sh[2])
+    assert (inter, union) == (1999, 6664)
+    assert round(inter / union, 4) == 0.3  # rounds UP across t
+    assert inter * 10 < 3 * union         # but TRUE J < 0.3
+
+    full = dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    pfx = dd.prefix_filter_jaccard_pairs(docs, t_num=3, t_den=10).collect()
+    assert full == [] and pfx == []
+
+
+def test_jaccard_exact_threshold_pair_kept(spark):
+    """A pair at exactly J = t must be KEPT by the integer predicate
+    (inter * den == num * union) in both plans."""
+    # need inter * 10 == 3 * union exactly: inter = 3k, union = 10k.
+    # k = 667 -> inter 2001 (prefix of 2003 tokens), union 6670;
+    # szA + szB = union + inter = 8671 = 4002 + a + b -> a + b = 4669
+    shared = [f"s{_alpha(i)}" for i in range(2003)]
+    a_extra, b_extra = 2334, 2335
+    a_doc = " ".join(shared + [f"xa{_alpha(i)}" for i in range(a_extra)])
+    b_doc = " ".join(shared + [f"yb{_alpha(i)}" for i in range(b_extra)])
+    docs = spark.createDataFrame(
+        [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+    )
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in dd.with_shingles(docs).select("doc_id", "shingles").collect()
+    }
+    inter, union = len(sh[1] & sh[2]), len(sh[1] | sh[2])
+    assert inter * 10 == 3 * union  # exactly at threshold
+    full = dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    pfx = dd.prefix_filter_jaccard_pairs(docs, t_num=3, t_den=10).collect()
+    assert len(full) == 1 and len(pfx) == 1
+    assert full[0].jaccard == pfx[0].jaccard == 0.3
+
+
+# --- multi-pass SNM --------------------------------------------------
+
+def test_snm_multipass_invariants(spark):
+    # smoke scale has zero matches in the 100-cent window (the
+    # single-pass entry's EMPTY_OK note); invariants need sf0.01
+    rows = r9.record_linkage_snm_multipass(spark, SF_ORACLE).collect()
+    assert rows
+    pairs = [(r.custkey_a, r.custkey_b) for r in rows]
+    assert len(pairs) == len(set(pairs))  # pair-deduped across passes
+    assert {r.n_passes for r in rows} <= {1, 2}
+    assert any(r.n_passes == 2 for r in rows)  # passes DO overlap
+    # every pass-1 (segment-blocked) pair survives into the union,
+    # and bal_diff is pass-invariant
+    c = _t(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+    )
+    p1 = {
+        (r.ka, r.kb): r.d
+        for r in r9._snm_pass_frame(c, "c_mktsegment").collect()
+    }
+    p2 = {
+        (r.ka, r.kb): r.d
+        for r in r9._snm_pass_frame(c, "c_nationkey").collect()
+    }
+    got = {(r.custkey_a, r.custkey_b): (r.bal_diff_cents, r.n_passes)
+           for r in rows}
+    assert set(p1) | set(p2) == set(got)
+    for k, (d, n) in got.items():
+        want_n = (k in p1) + (k in p2)
+        assert n == want_n
+        assert d == p1.get(k, p2.get(k))
+        if k in p1 and k in p2:
+            assert p1[k] == p2[k]  # pass-invariant bal_diff
+
+
+# --- streaming curation pipeline -------------------------------------
+
+def test_curation_stream_batch_idempotent_rerun(spark):
+    """Replaying the same batch_id must rewrite identical content
+    (overwrite-by-batch-dir), and the drained two-batch result must
+    be insensitive to a replay of batch 0 after batch 1 ran."""
+    docs = _t(spark, SF_SMOKE, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    b0 = docs.filter(F.col("doc_id") < mid)
+    b1 = docs.filter(F.col("doc_id") >= mid)
+    work = tempfile.mkdtemp(prefix="sg_test_curation_")
+    out, idx = f"{work}/out", f"{work}/idx"
+
+    sq.curation_stream_batch(b0, 0, out, idx)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b0").collect()
+    )
+    sq.curation_stream_batch(b1, 1, out, idx)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b1").collect()
+    )
+    # replay batch 0 (crash-recovery redelivery): same content, no dupes
+    sq.curation_stream_batch(b0, 0, out, idx)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b0").collect()
+    ) == first
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/b1").collect()
+    ) == second
+    both = sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    assert both == sorted(set(first) | set(second))
+    # accepted ids from batch 1 never collide with batch 0's
+    assert {t[0] for t in first}.isdisjoint({t[0] for t in second})
