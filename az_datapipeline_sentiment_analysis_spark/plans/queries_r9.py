@@ -290,3 +290,394 @@ def record_linkage_snm_multipass(spark, sf):
             "n_passes",
         )
     )
+
+# =====================================================================
+# Iterative BPE tokenizer training (k merge rounds)
+# =====================================================================
+
+_BPE_ROUNDS = 3
+_BPE_ENC = (
+    "concat('|', array_join(transform(split({w}, ''),"
+    " c -> c), '||'), '|')"
+)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """k unrolled merge rounds in DuckDB: word-frequency table ->
+    per-round weighted pair counts -> top pair (count desc, pair asc)
+    -> leftmost-nonoverlapping replace on the |sym||sym| encoding."""
+    ctes = [
+        """
+    w AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+              AS tok FROM documents)
+      WHERE length(tok) >= 2 GROUP BY tok
+    ),
+    s0 AS (
+      SELECT '|' || array_to_string(regexp_extract_all(word, '.'), '||')
+             || '|' AS s, n
+      FROM w
+    )"""
+    ]
+    selects = []
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""
+    p{r} AS (
+      SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(n) AS BIGINT) AS c
+      FROM (SELECT string_split(trim(s, '|'), '||') AS a, n FROM {prev}),
+           unnest(generate_series(1, len(a) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+    s{r} AS (
+      SELECT replace(s,
+               '|' || (SELECT l FROM m{r}) || '||'
+                   || (SELECT r FROM m{r}) || '|',
+               '|' || (SELECT l FROM m{r})
+                   || (SELECT r FROM m{r}) || '|') AS s, n
+      FROM {prev}
+    )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym,"
+            f" r AS right_sym, l || r AS merged, c AS pair_count"
+            f" FROM m{r}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_q(
+    "bpe_train_merges",
+    _bpe_oracle_sql(_BPE_ROUNDS),
+    "BPE tokenizer TRAINING, not just the statistics pass: the first"
+    f" {_BPE_ROUNDS} merge rounds of byte-pair encoding (Sennrich et"
+    " al. 2016, ACL) run as an iterative distributed computation —"
+    " bpe_merge_pairs mines round-1 candidates; this entry LEARNS the"
+    " merge table. Classic trainer shape: collapse the corpus to the"
+    " distinct-word frequency table first (the standard BPE trick —"
+    " pair statistics are word-frequency-weighted, so each round"
+    " scans |vocab| rows, not the corpus), encode each word as"
+    " |sym||sym|...|, then per round: adjacent-pair weighted count"
+    " (one small hash aggregate), argmax by (count desc, pair asc),"
+    " and merge application as a LITERAL string replace — leftmost"
+    " non-overlapping continue-after-replacement, which is exactly"
+    " BPE's single-pass greedy merge, and the |a||b| -> |ab| encoding"
+    " makes the pattern self-delimiting (no symbol-boundary false"
+    " matches, no consumed-delimiter miss; proven on the a,b,a,b,bc"
+    " fixture in pytest). Both engines run the IDENTICAL replace"
+    " semantics so the full k-round trajectory is hash-checked. The"
+    " per-round argmax is ONE row to the driver (the k-means/"
+    "graph_kcore iterative pattern) parameterizing the next round's"
+    " expression; everything else is distributed. At 100 TB the"
+    " corpus scan happens ONCE (the word-frequency aggregate,"
+    " map-combined); rounds then cost |vocab| each — the reason real"
+    " tokenizer trainers run exactly this collapse. Emits one row"
+    " per learned merge: (merge_rank, left_sym, right_sym, merged,"
+    " pair_count). Measured at 100x replication of sf0.1 (local[32]):"
+    " 64.4s — the one-time corpus-scan word-frequency aggregate over"
+    " 500k docs dominates; the three merge rounds themselves run on"
+    " the (tiny) vocabulary frame, so more rounds cost almost"
+    " nothing — exactly the cost profile real BPE trainers have.",
+)
+def bpe_train_merges(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(
+                "filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+                " t -> length(t) >= 2)"
+            )
+        ).alias("word")
+    )
+    # ONE corpus scan: the distinct-word frequency table (map-side
+    # combined), then every round runs on this small frame
+    w = (
+        toks.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "s",
+            F.expr(
+                "concat('|', array_join(split(word, ''), '||'), '|')"
+            ),
+        )
+        .select("s", "n")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = w
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select(
+                F.expr("split(trim(BOTH '|' FROM s), '\\\\|\\\\|')")
+                .alias("a"),
+                "n",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> struct(element_at(a, i) AS l,"
+                        " element_at(a, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, rr, c = top[0].l, top[0].r, top[0].c
+        merges.append((r, l, rr, l + rr, c))
+        find, repl = f"|{l}||{rr}|", f"|{l}{rr}|"
+        cur = cur.select(
+            F.expr(
+                "replace(s, "
+                + "'" + find.replace("'", "''") + "', "
+                + "'" + repl.replace("'", "''") + "')"
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )
+
+# =====================================================================
+# PII redaction (curation scrub pass)
+# =====================================================================
+
+# Alternation-free patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) with identical leftmost-longest-free matching: no
+# backtracking constructs, so the two engines find the same spans.
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+[0-9]-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# deterministic PII fabrication from doc_id (same expression text on
+# both engines, CASTs explicit)
+_PII_ENRICH = (
+    "concat(text, ' contact user', CAST(doc_id AS {str}), '@mail',"
+    " CAST(doc_id % 7 AS {str}), '.com or +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS {str}), 4, '0'), ' from 10.',"
+    " CAST(doc_id % 256 AS {str}), '.0.',"
+    " CAST((doc_id * 3) % 256 AS {str}))"
+)
+
+
+@_q(
+    "pii_redact",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             {_PII_ENRICH.format(str="VARCHAR")} AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM enriched
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(clean, '{_PII_IP}')) AS BIGINT)
+             AS n_ips_probe,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM red
+    """,
+    "PII redaction — the scrub pass every release pipeline runs"
+    " before shipping text (complements pii_density_report, which"
+    " only MEASURES): emails, phone numbers and IPv4 addresses"
+    " replaced by typed placeholders via three chained"
+    " regexp_replace passes (email first — its span contains dots"
+    " and digits the later patterns could partially match),"
+    " emitting per-doc match counts, redacted length, and the md5"
+    " of the REDACTED text so the transform itself — not just the"
+    " counts — is value-hash-checked cross-engine. The corpus has"
+    " no organic PII, so deterministic PII is fabricated from"
+    " doc_id first (the multimodal fabricate-then-operate"
+    " convention) — every doc carries exactly one email, one phone,"
+    " one IP, and the md5 proves the redactor removed precisely"
+    " those spans. Patterns are alternation/backtracking-free so"
+    " Java regex (Spark) and RE2 (DuckDB) match identical spans."
+    " Map-only: one scan, three fused regex passes, no shuffle —"
+    " the 100 TB scrub shape. n_ips_probe recomputes the IP count on"
+    " the REDACTED text — leftover PII after redaction, 0 by"
+    " construction — folded into the hash as a self-audit column."
+    " Measured at 100x replication of sf0.1 (local[32]): 64.7s for"
+    " 500k docs — six regex passes over ~0.9 GB of text, scan-bound.",
+)
+def pii_redact(spark, sf):
+    # Spark SQL single-quoted literals consume one level of backslash
+    # escaping (DuckDB's do not), so the shared raw patterns are
+    # re-escaped for the Spark expressions only.
+    em = _PII_EMAIL.replace("\\", "\\\\")
+    ph = _PII_PHONE.replace("\\", "\\\\")
+    ip = _PII_IP.replace("\\", "\\\\")
+    d = _t(spark, sf, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.expr(_PII_ENRICH.format(str="STRING")).alias("t"),
+    )
+    clean = F.expr(
+        f"regexp_replace(regexp_replace(regexp_replace(t,"
+        f" '{em}', '<EMAIL>'),"
+        f" '{ph}', '<PHONE>'),"
+        f" '{ip}', '<IP>')"
+    )
+    red = enriched.withColumn("clean", clean)
+    return red.select(
+        "doc_id",
+        F.expr(f"regexp_count(t, '{em}')").cast("long")
+        .alias("n_emails"),
+        F.expr(f"regexp_count(t, '{ph}')").cast("long")
+        .alias("n_phones"),
+        F.expr(f"regexp_count(clean, '{ip}')").cast("long")
+        .alias("n_ips_probe"),
+        F.expr(f"regexp_count(t, '{ip}')").cast("long")
+        .alias("n_ips"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+# =====================================================================
+# ViT patchify over REAL decoded pixels (decode -> patch -> project)
+# =====================================================================
+
+from .queries_r8b import (  # noqa: E402
+    _PATCH_BYTES,
+    _PATCH_EDIM,
+    _VIT_SCHEMA,
+    _patch_weights,
+)
+
+
+def _vitpix_oracle_sql() -> str:
+    """The full decode->patchify->project chain recomputed from the
+    PIXEL FORMULA: byte position p of doc i maps to channel p%3,
+    x=(p//3)%w, y=(p//3)//w in row-major RGB order — the exact layout
+    png_decode_rgb(...).ravel() produces."""
+    wm = _patch_weights()
+
+    def val(d: int) -> str:
+        pos = f"(patch_idx * {_PATCH_BYTES} + {d})"
+        q = f"({pos} // 3)"
+        x, y = f"({q} % w)", f"({q} // w)"
+        return (
+            f"(CASE WHEN {pos} < n THEN (CASE {pos} % 3"
+            f" WHEN 0 THEN (7*doc_id + 3*{x} + 5*{y}) % 256"
+            f" WHEN 1 THEN (11*doc_id + {x} + 2*{y}) % 256"
+            f" ELSE (13*doc_id + 4*{x} + {y}) % 256 END)"
+            f" ELSE 0 END)"
+        )
+
+    ecols = []
+    for k in range(_PATCH_EDIM):
+        terms = " + ".join(
+            f"{val(d)} * ({wm[k][d]})" for d in range(_PATCH_BYTES)
+        )
+        ecols.append(f"CAST({terms} AS BIGINT) AS e{k}")
+    es = ",\n           ".join(ecols)
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {mm.PIXEL_W_BASE} + doc_id % {mm.PIXEL_W_MOD} AS w,
+             {mm.PIXEL_H_BASE} + doc_id % {mm.PIXEL_H_MOD} AS h
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, w, h, CAST(w * h * 3 AS BIGINT) AS n
+           FROM dims),
+    p AS (
+      SELECT doc_id, w, h, n,
+             unnest(range(CAST(ceil(n / {_PATCH_BYTES}.0) AS BIGINT)))
+               AS patch_idx
+      FROM d2
+    )
+    SELECT doc_id,
+           CAST(patch_idx AS BIGINT) AS patch_idx,
+           LEAST({_PATCH_BYTES}, n - patch_idx * {_PATCH_BYTES})
+             AS n_patch_bytes,
+           {es}
+    FROM p
+    """
+
+
+@_q(
+    "vit_patchify_pixels",
+    _vitpix_oracle_sql(),
+    "The ViT ingest front end over REAL DECODED PIXELS — composing"
+    " the two halves that previously existed separately:"
+    " media_pixel_stats' stdlib PNG codec (zlib IDAT inflate +"
+    " unfilter 0-4) feeds vit_patchify's 16-byte patchify + fixed"
+    " integer 4x16 linear projection, all inside ONE Arrow-batched"
+    " mapInPandas pass (decode -> ravel to row-major RGB bytes ->"
+    " zero-padded patch matrix -> one vectorized int64 matmul per"
+    " batch; the binary never round-trips a JVM explode). This is"
+    " the actual image-ingest shape a multimodal training pipeline"
+    " runs: decode, patchify, embed, all fused map-side — no"
+    " shuffle, embarrassingly parallel, payload pruned after the"
+    " projection. The oracle recomputes every patch coordinate from"
+    " the closed-form pixel formula (channel p%3, x=(p//3)%w,"
+    " y=(p//3)//w — the ravel layout), so the hash check covers the"
+    " codec, the layout convention, AND the projection arithmetic"
+    " end to end. Measured at 100x replication of sf0.1 (local[32]):"
+    " 245.0s for 500k images -> 12.5M patch rows — ~4.5x the"
+    " text-byte vit_patchify (54.3s) because each row ADDS the full"
+    " PNG decode (inflate + unfilter) before patchify; per-image"
+    " decode+patchify+project is ~0.5ms, embarrassingly parallel,"
+    " output-bound on the collect like its parent.",
+)
+def vit_patchify_pixels(spark, sf):
+    import numpy as np
+    import pandas as pd
+
+    wmat = np.array(_patch_weights(), dtype=np.int64)  # (4, 16)
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, sizes, mats = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = mm.png_decode_rgb(bytes(payload))
+                b = pix.ravel().tobytes()  # row-major RGB byte stream
+                n = len(b)
+                npatch = (n + _PATCH_BYTES - 1) // _PATCH_BYTES
+                padded = b + b"\0" * (npatch * _PATCH_BYTES - n)
+                m = np.frombuffer(padded, dtype=np.uint8).reshape(
+                    npatch, _PATCH_BYTES
+                )
+                ids.extend([doc_id] * npatch)
+                idxs.extend(range(npatch))
+                sizes.extend(
+                    min(_PATCH_BYTES, n - i * _PATCH_BYTES)
+                    for i in range(npatch)
+                )
+                mats.append(m)
+            if not ids:
+                continue
+            emb = np.vstack(mats).astype(np.int64) @ wmat.T
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "patch_idx": pd.Series(idxs, dtype="int64"),
+                "n_patch_bytes": pd.Series(sizes, dtype="int64"),
+            }
+            for k in range(_PATCH_EDIM):
+                out[f"e{k}"] = pd.Series(emb[:, k], dtype="int64")
+            yield pd.DataFrame(out)
+
+    d = mm.with_png_payload(_t(spark, sf, "documents").select("doc_id"))
+    return d.select("doc_id", "payload").mapInPandas(
+        run, schema=_VIT_SCHEMA
+    )

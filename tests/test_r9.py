@@ -255,3 +255,48 @@ def test_curation_stream_batch_idempotent_rerun(spark):
     assert both == sorted(set(first) | set(second))
     # accepted ids from batch 1 never collide with batch 0's
     assert {t[0] for t in first}.isdisjoint({t[0] for t in second})
+
+
+# --- BPE training -----------------------------------------------------
+
+def test_bpe_encoding_replace_semantics(spark):
+    """The |a||b| -> |ab| encoding makes literal replace exactly BPE's
+    leftmost-nonoverlapping greedy merge: both abab occurrences merge,
+    and b-prefix-of-bc never false-matches."""
+    row = spark.sql(
+        "SELECT replace('|a||b||a||b||a||bc|', '|a||b|', '|ab|') AS x"
+    ).first()
+    assert row.x == "|ab||ab||a||bc|"
+
+
+def test_bpe_train_merges_trajectory(spark):
+    """Learned merges must be frequency-sound: counts non-increasing
+    across rounds is NOT guaranteed (a merge can create a new frequent
+    pair), but each round's winner must beat or tie every pair that
+    existed in ITS OWN round — verified here for round 1 against an
+    independent pair count."""
+    rows = r9.bpe_train_merges(spark, SF_SMOKE).collect()
+    assert [r.merge_rank for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+    # independent round-1 check: the top adjacent-char pair weighted
+    # by word frequency
+    from collections import Counter
+
+    words = Counter()
+    for row in _t(spark, SF_SMOKE, "documents").select("text").collect():
+        import re
+
+        for w in re.findall(r"[a-z]+", (row.text or "").lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += n
+    best = min(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    assert (rows[0].left_sym, rows[0].right_sym) == best[0]
+    assert rows[0].pair_count == best[1]
