@@ -1019,3 +1019,10 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(within)
+
+
+# --- sorted-neighborhood linkage parameters (shared plans-layer) ------
+# Cycle-free home for the SNM window/epsilon (see multimodal.py note).
+
+SNM_W = 5
+SNM_EPS_CENTS = 100

@@ -635,3 +635,26 @@ def _round6(x: float) -> float:
     import math
 
     return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# --- ViT patchify constants (shared by the plans-layer entries) -------
+# Live here, not in a plans module: operators/ imports no plans code,
+# so worker-side unpickling of any plans module never needs a sibling
+# plans module's names (the plans-layer circular-import hazard).
+
+PATCH_BYTES = 16
+PATCH_EDIM = 4
+
+VIT_SCHEMA = (
+    "doc_id long, patch_idx long, n_patch_bytes long, "
+    + ", ".join(f"e{k} long" for k in range(PATCH_EDIM))
+)
+
+
+def patch_weights() -> list[list[int]]:
+    """Fixed integer projection matrix (4 x 16), small ints so the
+    per-patch dot products stay exact int64 on every engine."""
+    return [
+        [((k * PATCH_BYTES + d) * 37) % 13 - 6 for d in range(PATCH_BYTES)]
+        for k in range(PATCH_EDIM)
+    ]

@@ -457,3 +457,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias("vec_id"), "cosine", "rank")
     )
+
+
+# --- fixed PQ codebooks (shared by the plans-layer PQ entries) --------
+
+PQ_SUBSPACES = 8
+PQ_DIM = 8       # 64-dim embeddings -> 8 subvectors of 8 dims
+PQ_K = 16        # 16 centroids per subspace -> 4-bit codes
+
+
+def pq_codebooks() -> np.ndarray:
+    """Fixed deterministic PQ codebooks, (subspaces, k, dim) — the
+    fixed-quantizer convention (:func:`fixed_centroids`) applied per
+    subspace so assignment is engine-identical arithmetic. Lives here
+    (not in a plans module) so worker-side unpickling of any plans
+    module never needs a sibling plans module's names — operators/
+    modules import no plans code, so they are cycle-free."""
+    rng = np.random.RandomState(17)
+    return rng.standard_normal((PQ_SUBSPACES, PQ_K, PQ_DIM))
+
+
+def cluster_pairs_ctes(n_lists: int) -> str:
+    """The fixed-quantizer cluster-blocked cosine-pair frame as a
+    reusable DuckDB CTE chain ending in ``pairs(u, v, cosine)``
+    (unthresholded) — shared by the SemDeDup prune oracles and the
+    cluster-blocked embed_neardup oracle. Cycle-free home (see
+    :func:`pq_codebooks`)."""
+    cents = fixed_centroids(n_lists)
+    dots = []
+    for c in cents:
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        dots.append(
+            "list_sum(list_transform(generate_series(1, len(embedding)),"
+            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
+        )
+    dots_arr = "[" + ", ".join(dots) + "]"
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding, {dots_arr} AS dots FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT)
+               AS list_id
+      FROM d
+    ),
+    pairs AS (
+      SELECT x.vec_id AS u, y.vec_id AS v,
+             ROUND(
+               list_sum(list_transform(generate_series(1,
+                 len(x.embedding)),
+                 i -> CAST(x.embedding[i] AS DOUBLE)
+                      * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding,
+                    t -> CAST(t AS DOUBLE) * t)))
+                  * sqrt(list_sum(list_transform(y.embedding,
+                    t -> CAST(t AS DOUBLE) * t)))), 6) AS cosine
+      FROM a x JOIN a y
+        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+    )"""

@@ -2618,6 +2618,10 @@ _RECHECK = frozenset(
         # arithmetic on both engines (ADVICE r8 rounding-boundary
         # hole) — boundary pairs can change membership
         "ngram_jaccard_neardup", "prefix_filter_simjoin",
+        # shares the restructured _ngram_overlap_pairs core (agg now
+        # emits count+sizes then projects the score) — output
+        # bit-identical, mirror-reproved, but the plan changed
+        "containment_neardup",
         # plan refactor onto the shared cluster_blocked_pairs operator
         # (output-identical, mirror-reproved; physical plan unchanged
         # but the code path is new)

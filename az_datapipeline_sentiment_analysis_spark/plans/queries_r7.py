@@ -552,19 +552,14 @@ def cohort_ltv_curve(spark, sf):
 # Product quantization (vector compression for ANN at scale)
 # =====================================================================
 
-_PQ_SUBSPACES = 8
-_PQ_DIM = 8       # 64-dim embeddings -> 8 subvectors of 8 dims
-_PQ_K = 16        # 16 centroids per subspace -> 4-bit codes
-
-
-def _pq_codebooks():
-    """Fixed deterministic PQ codebooks, (subspaces, k, dim) — the
-    fixed-quantizer convention (similarity.fixed_centroids) applied
-    per subspace so assignment is engine-identical arithmetic."""
-    import numpy as np
-
-    rng = np.random.RandomState(17)
-    return rng.standard_normal((_PQ_SUBSPACES, _PQ_K, _PQ_DIM))
+# canonical values/impl live in operators/similarity.py (cycle-free
+# for worker-side unpickling of sibling plans modules)
+from ..operators.similarity import PQ_DIM as _PQ_DIM  # noqa: E402
+from ..operators.similarity import PQ_K as _PQ_K  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    PQ_SUBSPACES as _PQ_SUBSPACES,
+)
+from ..operators.similarity import pq_codebooks as _pq_codebooks  # noqa: E402
 
 
 def _pq_oracle_sql() -> str:
@@ -779,46 +774,11 @@ def lateral_topk_join(spark, sf):
 # SemDeDup: cluster-bucketed embedding near-dup pruning
 # =====================================================================
 
-def _cluster_pairs_ctes(n_lists: int) -> str:
-    """The fixed-quantizer cluster-blocked cosine-pair frame as a
-    reusable DuckDB CTE chain ending in ``pairs(u, v, cosine)``
-    (unthresholded) — shared by the SemDeDup prune oracles and the
-    cluster-blocked embed_neardup oracle."""
-    from ..operators import similarity as sim
-
-    cents = sim.fixed_centroids(n_lists)
-    dots = []
-    for c in cents:
-        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
-        dots.append(
-            "list_sum(list_transform(generate_series(1, len(embedding)),"
-            f" j -> CAST(embedding[j] AS DOUBLE) * ({arr})[j]))"
-        )
-    dots_arr = "[" + ", ".join(dots) + "]"
-    return f"""
-    WITH d AS (
-      SELECT vec_id, embedding, {dots_arr} AS dots FROM embeddings
-    ),
-    a AS (
-      SELECT vec_id, embedding,
-             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT)
-               AS list_id
-      FROM d
-    ),
-    pairs AS (
-      SELECT x.vec_id AS u, y.vec_id AS v,
-             ROUND(
-               list_sum(list_transform(generate_series(1,
-                 len(x.embedding)),
-                 i -> CAST(x.embedding[i] AS DOUBLE)
-                      * CAST(y.embedding[i] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(x.embedding,
-                    t -> CAST(t AS DOUBLE) * t)))
-                  * sqrt(list_sum(list_transform(y.embedding,
-                    t -> CAST(t AS DOUBLE) * t)))), 6) AS cosine
-      FROM a x JOIN a y
-        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
-    )"""
+# canonical implementation lives in operators/similarity.py
+# (cycle-free for worker-side unpickling of sibling plans modules)
+from ..operators.similarity import (  # noqa: E402
+    cluster_pairs_ctes as _cluster_pairs_ctes,
+)
 
 
 def _semdedup_oracle_sql(tau: float, n_lists: int = 16) -> str:

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import table as _t
 from .queries import _q
-from .queries_r7 import _PQ_DIM, _PQ_K, _PQ_SUBSPACES, _pq_codebooks
+from ..operators.similarity import PQ_DIM as _PQ_DIM
+from ..operators.similarity import PQ_K as _PQ_K
+from ..operators.similarity import PQ_SUBSPACES as _PQ_SUBSPACES
+from ..operators.similarity import pq_codebooks as _pq_codebooks
 
 # =====================================================================
 # PQ asymmetric-distance search (the ANN read path over 4-bit codes)
@@ -1196,17 +1199,14 @@ def hampel_filter(spark, sf):
 # ViT-style patchify + linear projection (multimodal ingest plumbing)
 # =====================================================================
 
-_PATCH_BYTES = 16
-_PATCH_EDIM = 4
-
-
-def _patch_weights():
-    """Fixed integer projection matrix (4 x 16), small ints so the
-    per-patch dot products stay exact int64 on every engine."""
-    return [
-        [((k * _PATCH_BYTES + d) * 37) % 13 - 6 for d in range(_PATCH_BYTES)]
-        for k in range(_PATCH_EDIM)
-    ]
+# canonical values/impl live in operators/multimodal.py (cycle-free
+# for worker-side unpickling of sibling plans modules)
+from ..operators.multimodal import PATCH_BYTES as _PATCH_BYTES  # noqa: E402
+from ..operators.multimodal import PATCH_EDIM as _PATCH_EDIM  # noqa: E402
+from ..operators.multimodal import VIT_SCHEMA as _VIT_SCHEMA  # noqa: E402
+from ..operators.multimodal import (  # noqa: E402
+    patch_weights as _patch_weights,
+)
 
 
 def _vit_oracle_sql() -> str:
@@ -1239,12 +1239,6 @@ def _vit_oracle_sql() -> str:
            {es}
     FROM p
     """
-
-
-_VIT_SCHEMA = (
-    "doc_id long, patch_idx long, n_patch_bytes long, "
-    + ", ".join(f"e{k} long" for k in range(_PATCH_EDIM))
-)
 
 
 @_q(

@@ -91,8 +91,10 @@ def prefix_filter_simjoin(spark, sf):
 # Sorted-neighborhood record linkage (entity-resolution blocking)
 # =====================================================================
 
-_SNM_W = 5
-_SNM_EPS_CENTS = 100
+# canonical values live in operators/dedup.py (cycle-free for
+# worker-side unpickling of sibling plans modules)
+from ..operators.dedup import SNM_EPS_CENTS as _SNM_EPS_CENTS
+from ..operators.dedup import SNM_W as _SNM_W
 
 
 @_q(

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from ..catalog import table as _t
 from ..operators import similarity as sim
 from .queries import _q
-from .queries_r7 import _cluster_pairs_ctes
+from ..operators.similarity import (
+    cluster_pairs_ctes as _cluster_pairs_ctes,
+)
 
 # =====================================================================
 # embed_neardup, rebuilt on corpus-refining cluster blocking
@@ -163,7 +165,10 @@ def media_pixel_stats(spark, sf):
 # =====================================================================
 
 from pyspark.sql import Window  # noqa: E402
-from .queries_r8c import _SNM_EPS_CENTS, _SNM_W  # noqa: E402
+from ..operators.dedup import (  # noqa: E402
+    SNM_EPS_CENTS as _SNM_EPS_CENTS,
+    SNM_W as _SNM_W,
+)
 
 
 def _snm_pass_sql(block_col: str) -> str:
@@ -557,11 +562,11 @@ def pii_redact(spark, sf):
 # ViT patchify over REAL decoded pixels (decode -> patch -> project)
 # =====================================================================
 
-from .queries_r8b import (  # noqa: E402
-    _PATCH_BYTES,
-    _PATCH_EDIM,
-    _VIT_SCHEMA,
-    _patch_weights,
+from ..operators.multimodal import (  # noqa: E402
+    PATCH_BYTES as _PATCH_BYTES,
+    PATCH_EDIM as _PATCH_EDIM,
+    VIT_SCHEMA as _VIT_SCHEMA,
+    patch_weights as _patch_weights,
 )
 
 

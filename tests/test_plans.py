@@ -888,3 +888,61 @@ def test_basket_rules_and_neyman_shapes(spark):
     assert "CartesianProduct" not in plan, plan
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n - plan.count("Arguments: SinglePartition") <= 1, plan
+
+
+def test_plans_modules_do_not_name_import_kernel_bearing_siblings():
+    """Worker-side circular-import guard (round 9).
+
+    When a Python worker unpickles a kernel (mapInPandas / pandas_udf
+    / mapInArrow / applyInPandas / UDTF closure), it imports that
+    kernel's defining module as the ENTRY of the plans import chain:
+    entry -> `from .queries import _q` -> queries.py bottom imports
+    EVERY sibling -> any sibling that does
+    `from .queries_<entry> import names` hits the PARTIALLY
+    initialized entry module and dies with ImportError — but only
+    when that kernel is the first Python-worker task of the session,
+    so the bug hides behind worker reuse (r9: mapinarrow_transform
+    failed as a fresh session's first query while passing inside the
+    full sweep). Rule enforced here: a plans module may from-name-
+    import `.queries` itself (its shared names are all defined above
+    the bottom import block) but NEVER a kernel-bearing sibling —
+    shared helpers belong in operators/ or functions/, which import
+    no plans code.
+    """
+    import pathlib
+    import re
+
+    plans = pathlib.Path(
+        "az_datapipeline_sentiment_analysis_spark/plans"
+    )
+    kernel_pat = re.compile(
+        r"mapInPandas|pandas_udf|mapInArrow|applyInPandas|udtf"
+    )
+    sources = {
+        p.stem: p.read_text() for p in plans.glob("queries*.py")
+    }
+    sources["streaming_queries"] = (
+        plans / "streaming_queries.py"
+    ).read_text()
+    kernel_bearing = {
+        m for m, src in sources.items() if kernel_pat.search(src)
+    }
+    offenders = []
+    for m, src in sources.items():
+        # only TOP-LEVEL imports participate in the import-time cycle;
+        # function-local ones run at call time, after the chain has
+        # fully loaded, and are safe on driver and worker alike
+        for imp in re.finditer(
+            r"^from \.(queries\w*|streaming_queries) import",
+            src,
+            re.MULTILINE,
+        ):
+            tgt = imp.group(1)
+            if tgt == "queries":
+                continue  # core names precede the bottom imports
+            if tgt in kernel_bearing:
+                offenders.append(f"{m} <- {tgt}")
+    assert not offenders, (
+        "plans modules from-name-import kernel-bearing siblings "
+        f"(worker-side circular import hazard): {offenders}"
+    )
