@@ -234,6 +234,13 @@ SCALE_HEADLINE = [
     # iterative peeling: per-round edge passes against the persisted
     # loop-invariant frame — the loop cost only replication surfaces
     "graph_kcore",
+    # round-9: the decode-per-row and regex-scan cost classes whose
+    # throughput only replication surfaces, plus the rebuilt
+    # cluster-blocked near-dup (the retired-quadratic story measured)
+    "embed_neardup",
+    "media_pixel_stats",
+    "bpe_train_merges",
+    "html_text_extract",
 ]
 
 HEADLINE = [
@@ -391,6 +398,18 @@ HEADLINE = [
     "itemcf_neighbors",
     # the confusion-grid classifier eval (one tokenizer corpus scan)
     "classification_report",
+    # round-9 additions: the cluster-blocked near-dup rebuild, the
+    # real PNG pixel decode, multi-pass SNM, iterative BPE training,
+    # the audited PII scrub, patchify over decoded pixels, the HTML
+    # extraction front door, and the streaming curation pipeline
+    "embed_neardup",
+    "media_pixel_stats",
+    "record_linkage_snm_multipass",
+    "bpe_train_merges",
+    "pii_redact_audit",
+    "vit_patchify_pixels",
+    "html_text_extract",
+    "stream_curation_pipeline",
 ]
 
 

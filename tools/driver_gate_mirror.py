@@ -130,6 +130,16 @@ def main() -> None:
     # (200 shuffle partitions, default AQE). Set MIRROR_FAST=1 for the
     # quicker 8-partition variant while iterating.
     b = SparkSession.builder.master("local[8]")
+    # a FULL registry sweep at sf0.1 runs 350 queries in one session —
+    # the default 1g driver heap eventually dies mid-sweep (round 9:
+    # JVM OOM'd ~230 queries in, everything after read as
+    # ConnectionRefused). Raising the heap does NOT change what the
+    # external driver sees per query (it runs far fewer per session);
+    # override with MIRROR_DRIVER_MEM=1g to reproduce driver-tight
+    # conditions.
+    b = b.config(
+        "spark.driver.memory", os.environ.get("MIRROR_DRIVER_MEM", "8g")
+    )
     if os.environ.get("MIRROR_FAST"):
         b = b.config("spark.sql.shuffle.partitions", "8")
     spark = b.getOrCreate()
@@ -143,6 +153,10 @@ def main() -> None:
     bad = 0
     for name in names:
         try:
+            # drop persisted intermediates between queries: in a
+            # 350-query sweep, accumulated cache blocks are pure heap
+            # pressure (the driver never runs this many per session)
+            spark.catalog.clearCache()
             sdf = qs[name](spark, sf).toPandas()
         except Exception as exc:
             print(f"ERR    {name}: spark: {type(exc).__name__}: {exc}"[:300])
