@@ -658,3 +658,79 @@ def patch_weights() -> list[list[int]]:
         [((k * PATCH_BYTES + d) * 37) % 13 - 6 for d in range(PATCH_BYTES)]
         for k in range(PATCH_EDIM)
     ]
+
+
+# --- perceptual image hash (dHash) over decoded pixels ----------------
+
+PHASH_COLS, PHASH_ROWS = 9, 8  # 9x8 luma grid -> 8x8 = 64 gradient bits
+
+
+def dhash_from_pixels(pix: np.ndarray) -> tuple[int, int]:
+    """Difference hash (dHash) of an (h, w, 3) uint8 image.
+
+    Integer-exact version of the classic recipe: integer luma
+    (299R + 587G + 114B), area-binned to a 9x8 grid (pixel (x, y)
+    goes to cell ((x*9)//w, (y*8)//h) — pure integer division), and
+    bit (gi, gj) set when the right cell's MEAN luma exceeds the left
+    cell's. Mean comparison is done as cross-multiplied integer sums
+    (sum_r * cnt_l > sum_l * cnt_r), so no float ever enters and any
+    SQL engine reproduces the hash bit-for-bit. Returned as two
+    nonnegative 32-bit halves (lo = bits 0..31, hi = 32..63) because
+    bit 63 would wrap a signed int64.
+
+    Gradient hashes are brightness-invariant by construction: adding
+    a constant to every luma value (without overflow) changes no
+    comparison — the property that makes dHash a near-dup signal
+    under exposure shifts (pytest-pinned).
+    """
+    h, w, _ = pix.shape
+    p = pix.astype(np.int64)
+    luma = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    ys, xs = np.mgrid[0:h, 0:w]
+    gi = (xs * PHASH_COLS) // w
+    gj = (ys * PHASH_ROWS) // h
+    cell = gj * PHASH_COLS + gi
+    sums = np.bincount(cell.ravel(), weights=luma.ravel().astype(float),
+                       minlength=PHASH_COLS * PHASH_ROWS).astype(np.int64)
+    cnts = np.bincount(cell.ravel(),
+                       minlength=PHASH_COLS * PHASH_ROWS).astype(np.int64)
+    lo = hi = 0
+    for j in range(PHASH_ROWS):
+        for i in range(PHASH_COLS - 1):
+            l_idx = j * PHASH_COLS + i
+            r_idx = l_idx + 1
+            bit = int(
+                sums[r_idx] * cnts[l_idx] > sums[l_idx] * cnts[r_idx]
+            )
+            pos = j * (PHASH_COLS - 1) + i
+            if pos < 32:
+                lo |= bit << pos
+            else:
+                hi |= bit << (pos - 32)
+    return lo, hi
+
+
+def png_phash(df: DataFrame) -> DataFrame:
+    """(doc_id, width, height, phash_lo, phash_hi) — decode each PNG
+    payload and compute its dHash. Map-only Arrow-batched pass, same
+    scaling shape as :func:`png_pixel_stats`."""
+    schema = (
+        "doc_id long, width long, height long,"
+        " phash_lo long, phash_hi long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = png_decode_rgb(bytes(payload))
+                h, w, _ = pix.shape
+                lo, hi = dhash_from_pixels(pix)
+                rows.append((int(doc_id), w, h, lo, hi))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "phash_lo", "phash_hi"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=schema)

@@ -421,6 +421,7 @@ HEADLINE = [
     "vit_patchify_pixels",
     "html_text_extract",
     "stream_curation_pipeline",
+    "image_phash",
 ]
 
 

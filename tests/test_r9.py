@@ -300,3 +300,23 @@ def test_bpe_train_merges_trajectory(spark):
     )
     assert (rows[0].left_sym, rows[0].right_sym) == best[0]
     assert rows[0].pair_count == best[1]
+
+
+# --- perceptual image hash ---------------------------------------------
+
+def test_dhash_brightness_invariance_and_parity(spark):
+    """dHash must be invariant to a global exposure shift (gradient
+    comparisons unchanged when no channel overflows) and the Spark
+    entry must reproduce the kernel's values."""
+    pix = np.minimum(mm.pixel_rgb(5, *mm.pixel_dims(5)), 240)
+    assert mm.dhash_from_pixels(pix) == mm.dhash_from_pixels(pix + 10)
+    rows = {
+        r.doc_id: (r.phash_lo, r.phash_hi)
+        for r in r9.image_phash(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 500
+    for i in [0, 7, 123, 444]:
+        pixi = mm.pixel_rgb(i, *mm.pixel_dims(i))
+        assert rows[i] == mm.dhash_from_pixels(pixi)
+        lo, hi = rows[i]
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
