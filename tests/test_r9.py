@@ -320,3 +320,31 @@ def test_dhash_brightness_invariance_and_parity(spark):
         assert rows[i] == mm.dhash_from_pixels(pixi)
         lo, hi = rows[i]
         assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+
+
+def test_image_dedup_verdict_invariants(spark):
+    rows = r9.image_dedup_verdict(spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # exactly one verdict row per image
+    hashes = {
+        r.doc_id: (r.phash_lo, r.phash_hi)
+        for r in r9.image_phash(spark, SF_SMOKE).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, hsh in hashes.items():
+        groups[hsh].append(d)
+    canon = {d: min(mem) for mem in groups.values() for d in mem}
+    for r in rows:
+        assert r.canonical_id == canon[r.doc_id]
+        assert r.is_exact_dup == (r.doc_id != r.canonical_id)
+        if r.near_canonical is not None:
+            assert r.near_canonical < r.canonical_id
+            assert 0 < r.near_hamming <= 6
+            # verify the claimed Hamming against the actual hashes
+            la, ha = hashes[r.canonical_id]
+            lb, hb = hashes[r.near_canonical]
+            ham = bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
+            assert ham <= 6  # near_canonical is within budget (min-id,
+            # not min-hamming, so r.near_hamming is the MIN over kept
+            # candidates, possibly from a different rep)
