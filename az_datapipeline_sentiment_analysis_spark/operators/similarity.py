@@ -504,7 +504,16 @@ def cluster_pairs_ctes(n_lists: int) -> str:
     ),
     pairs AS (
       SELECT x.vec_id AS u, y.vec_id AS v,
-             ROUND(
+             -- zero-norm guard mirrors the Spark twin (denom == 0 ->
+             -- 0.0, cluster_blocked_pairs): without it a zero vector
+             -- would yield inf/NaN here vs a 0.0-cosine pair there
+             ROUND(CASE
+               WHEN list_sum(list_transform(x.embedding,
+                      t -> CAST(t AS DOUBLE) * t)) = 0
+                 OR list_sum(list_transform(y.embedding,
+                      t -> CAST(t AS DOUBLE) * t)) = 0
+               THEN CAST(0 AS DOUBLE)
+               ELSE
                list_sum(list_transform(generate_series(1,
                  len(x.embedding)),
                  i -> CAST(x.embedding[i] AS DOUBLE)
@@ -512,7 +521,8 @@ def cluster_pairs_ctes(n_lists: int) -> str:
                / (sqrt(list_sum(list_transform(x.embedding,
                     t -> CAST(t AS DOUBLE) * t)))
                   * sqrt(list_sum(list_transform(y.embedding,
-                    t -> CAST(t AS DOUBLE) * t)))), 6) AS cosine
+                    t -> CAST(t AS DOUBLE) * t))))
+               END, 6) AS cosine
       FROM a x JOIN a y
         ON x.list_id = y.list_id AND x.vec_id < y.vec_id
     )"""

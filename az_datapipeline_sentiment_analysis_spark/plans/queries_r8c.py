@@ -527,22 +527,30 @@ def _arrow_norm_batches(batches):
     null vector — np.stack over a None would); a zero row yields
     l2_norm 0 / max_abs 0, matching the oracle's NULL-in-lambda
     semantics only in the no-null case, so the dim column (0 for
-    NULL) is the honest signal."""
+    NULL) is the honest signal. Ragged NON-null vectors keep their
+    real components and are padded with trailing zeros up to the
+    batch width (trailing zeros change neither the norm nor
+    max|x|), so the result no longer depends on which rows share an
+    Arrow batch (ADVICE r9)."""
     import numpy as np
     import pyarrow as pa  # optional pyspark dep: import only where used
 
     for batch in batches:
         ids = batch.column(batch.schema.get_field_index("vec_id"))
         col = batch.column(batch.schema.get_field_index("embedding"))
-        lengths = np.asarray(
-            [len(v) if v is not None else 0 for v in col], dtype=np.int64
-        )
+        # length via the materialized object array, NOT the pyarrow
+        # column: a null ListScalar is not None yet has no len()
         obj = col.to_numpy(zero_copy_only=False)
+        lengths = np.asarray(
+            [len(v) if v is not None else 0 for v in obj], dtype=np.int64
+        )
         width = int(lengths.max()) if len(lengths) else 0
         rows = [
-            np.asarray(v, dtype=np.float64)
-            if v is not None and len(v) == width
-            else np.zeros(width, dtype=np.float64)
+            np.zeros(width, dtype=np.float64)
+            if v is None
+            else np.pad(
+                np.asarray(v, dtype=np.float64), (0, width - len(v))
+            )
             for v in obj
         ]
         mat = (

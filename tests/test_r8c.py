@@ -178,6 +178,34 @@ def test_mapinarrow_matches_jvm_higher_order_norms(spark):
     assert arrow == jvm and len(arrow) == 500
 
 
+def test_mapinarrow_kernel_ragged_and_null_vectors():
+    """ADVICE r9: a genuinely SHORT non-null vector must keep its real
+    components (trailing-zero pad), never be silently zeroed; only
+    None rows zero-fill. Batch-composition independence follows:
+    [3,4] reports norm 5 whether it shares a batch with a longer
+    vector or not."""
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3], type=pa.int64()),
+            pa.array(
+                [[3.0, 4.0], [1.0, 2.0, 2.0, 4.0], None],
+                type=pa.list_(pa.float32()),
+            ),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    out = next(r8c._arrow_norm_batches(iter([batch])))
+    got = {
+        r["vec_id"]: (r["dim"], r["l2_norm"], r["max_abs"])
+        for r in out.to_pylist()
+    }
+    assert got[1] == (2, 5.0, 4.0)  # short vector: real norm, not 0
+    assert got[2] == (4, 5.0, 4.0)
+    assert got[3] == (0, 0.0, 0.0)  # None: zero-filled, dim 0 signals
+
+
 # --- difference-in-differences ----------------------------------------
 
 def test_did_scalars_replay_from_arm_rows(spark):

@@ -302,6 +302,32 @@ def test_bpe_train_merges_trajectory(spark):
     assert rows[0].pair_count == best[1]
 
 
+def test_bpe_train_merges_single_symbol_word(spark, tmp_path):
+    """ADVICE r9 (high): a vocab word that IS the learned merge ('an'
+    here) collapses to ONE symbol after round 1; Spark's
+    sequence(1, size-1) then DESCENDS to [1, 0] and element_at(a, 0)
+    throws — while DuckDB's generate_series(1, 0) is empty, an
+    engine-divergent crash. The size(a) >= 2 guard drops collapsed
+    words (they carry no adjacent pairs) and training must complete
+    all rounds."""
+    docs = spark.createDataFrame(
+        [(i, "an an an an and ant ban plan") for i in range(8)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "bpe_single_sym")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = r9.bpe_train_merges(spark, d).collect()
+    assert [r.merge_rank for r in rows] == [1, 2, 3]
+    # round 1 must be (a,n): 4*8 from 'an' + one each from and/ant/
+    # ban/plan per doc = 64 weighted occurrences
+    assert (rows[0].left_sym, rows[0].right_sym) == ("a", "n")
+    assert rows[0].pair_count == 64
+    # rounds 2/3 run on the frame WITH 'an' collapsed: ties at 8 break
+    # by (l, r) ascending -> (an,d) then (an,t)
+    assert (rows[1].left_sym, rows[1].right_sym) == ("an", "d")
+    assert (rows[2].left_sym, rows[2].right_sym) == ("an", "t")
+
+
 # --- perceptual image hash ---------------------------------------------
 
 def test_dhash_brightness_invariance_and_parity(spark):
