@@ -1007,3 +1007,215 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         run, schema=GIF_STATS_SCHEMA
     )
+
+
+# --- shared dHash near-dup machinery (image_dedup_verdict + the ------
+# --- composed image curation pipeline share these verbatim) ----------
+
+PHASH_FORMULA_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id,
+             {PIXEL_W_BASE} + doc_id % {PIXEL_W_MOD} AS w,
+             {PIXEL_H_BASE} + doc_id % {PIXEL_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, x.x AS x, y.y AS y
+      FROM dims, unnest(generate_series(0, w - 1)) AS x(x),
+           unnest(generate_series(0, h - 1)) AS y(y)
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             (x * {PHASH_COLS}) // w AS gi,
+             (y * {PHASH_ROWS}) // h AS gj,
+             299 * ((7*doc_id + 3*x + 5*y) % 256)
+             + 587 * ((11*doc_id + x + 2*y) % 256)
+             + 114 * ((13*doc_id + 4*x + y) % 256) AS luma
+      FROM px
+    ),
+    cells AS (
+      SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h, gi, gj,
+             CAST(SUM(luma) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY doc_id, gi, gj
+    ),
+    bits AS (
+      SELECT l.doc_id, ANY_VALUE(l.w) AS w, ANY_VALUE(l.h) AS h,
+             l.gj * {PHASH_COLS - 1} + l.gi AS pos,
+             CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS b
+      FROM cells l JOIN cells r
+        ON r.doc_id = l.doc_id AND r.gj = l.gj AND r.gi = l.gi + 1
+      WHERE l.gi < {PHASH_COLS - 1}
+      GROUP BY l.doc_id, l.gj, l.gi, l.s, l.c, r.s, r.c
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS width,
+           CAST(ANY_VALUE(h) AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN pos < 32
+                         THEN b * (1::BIGINT << pos) ELSE 0 END)
+                AS BIGINT) AS phash_lo,
+           CAST(SUM(CASE WHEN pos >= 32
+                         THEN b * (1::BIGINT << (pos - 32)) ELSE 0 END)
+                AS BIGINT) AS phash_hi
+    FROM bits GROUP BY doc_id
+"""
+
+
+def phash_band_ctes(src: str) -> str:
+    """DuckDB CTE text for the banded candidate policy over a rep
+    frame CTE ``src`` with (rep, phash_lo, phash_hi): TWO 4x16-bit
+    window partitions of the 64 hash bits (aligned + 8-bit-rotated;
+    recall envelope measured in tests/test_r10.py). Yields CTEs
+    ``bands`` and ``cand`` (ra < rb rep pairs)."""
+    return f"""
+    bands AS (
+      SELECT rep, phash_lo, phash_hi, b.band,
+             CASE b.band
+               WHEN 0 THEN phash_lo % 65536
+               WHEN 1 THEN phash_lo // 65536
+               WHEN 2 THEN phash_hi % 65536
+               WHEN 3 THEN phash_hi // 65536
+               WHEN 4 THEN (phash_lo // 256) % 65536
+               WHEN 5 THEN (phash_lo // 16777216) + (phash_hi % 256) * 256
+               WHEN 6 THEN (phash_hi // 256) % 65536
+               ELSE (phash_hi // 16777216) + (phash_lo % 256) * 256
+             END AS chunk
+      FROM {src}, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.rep AS ra, y.rep AS rb
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.rep < y.rep
+    )"""
+
+
+PHASH_BAND_EXPR = (
+    "array(struct(0 AS band, phash_lo % 65536 AS chunk),"
+    " struct(1 AS band, phash_lo div 65536 AS chunk),"
+    " struct(2 AS band, phash_hi % 65536 AS chunk),"
+    " struct(3 AS band, phash_hi div 65536 AS chunk),"
+    " struct(4 AS band,"
+    "   (phash_lo div 256) % 65536 AS chunk),"
+    " struct(5 AS band, (phash_lo div 16777216)"
+    "   + (phash_hi % 256) * 256 AS chunk),"
+    " struct(6 AS band,"
+    "   (phash_hi div 256) % 65536 AS chunk),"
+    " struct(7 AS band, (phash_hi div 16777216)"
+    "   + (phash_lo % 256) * 256 AS chunk))"
+)
+
+
+def phash_band_best(g: DataFrame, max_ham: int) -> DataFrame:
+    """Spark twin of :func:`phash_band_ctes` + Hamming verify: over a
+    rep frame (rep, phash_lo, phash_hi), emit one row per rep that
+    has a LOWER-id rep within ``max_ham`` gradient bits:
+    (rep, near_canonical, near_hamming). Pair work is rep-level
+    (DISTINCT hashes), candidates bucketed by 16-bit band chunks —
+    never all-pairs."""
+    bands = g.select(
+        "rep", "phash_lo", "phash_hi",
+        F.explode(F.expr(PHASH_BAND_EXPR)).alias("bc"),
+    ).select("rep", "phash_lo", "phash_hi", "bc.band", "bc.chunk")
+    cand = (
+        bands.select(F.col("band"), F.col("chunk"), F.col("rep").alias("ra"))
+        .join(
+            bands.select(
+                F.col("band"), F.col("chunk"), F.col("rep").alias("rb")
+            ),
+            ["band", "chunk"],
+        )
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    ga = g.select(
+        F.col("rep").alias("ra"),
+        F.col("phash_lo").alias("lo_a"),
+        F.col("phash_hi").alias("hi_a"),
+    )
+    gb = g.select(
+        F.col("rep").alias("rb"),
+        F.col("phash_lo").alias("lo_b"),
+        F.col("phash_hi").alias("hi_b"),
+    )
+    return (
+        cand.join(ga, "ra")
+        .join(gb, "rb")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(lo_a ^ lo_b)"
+                " + bit_count(hi_a ^ hi_b) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .groupBy("rb")
+        .agg(
+            F.min("ra").cast("long").alias("near_canonical"),
+            F.min("hamming").cast("long").alias("near_hamming"),
+        )
+        .withColumnRenamed("rb", "rep")
+    )
+
+
+PNG_STATS_PHASH_SCHEMA = (
+    "doc_id long, width long, height long,"
+    " px_sum long, px_sqsum long, phash_lo long, phash_hi long"
+)
+
+
+def png_stats_phash(df: DataFrame) -> DataFrame:
+    """ONE decode pass emitting both the r-channel quality sums and
+    the dHash — the composed image curation pipeline's front end
+    (decode is the dominant cost, so stats and hash share it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = png_decode_rgb(bytes(payload))
+                h, w, _ = pix.shape
+                v = pix[:, :, 0].astype(np.int64).ravel()
+                lo, hi = dhash_from_pixels(pix)
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        int(v.sum()), int((v * v).sum()), lo, hi,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "px_sum", "px_sqsum", "phash_lo", "phash_hi",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=PNG_STATS_PHASH_SCHEMA
+    )
+
+
+def phash_best_ctes(src: str, max_ham: int) -> str:
+    """Hamming verify + best-earlier-rep CTEs over ``cand`` (from
+    :func:`phash_band_ctes`) and the rep frame ``src``. Yields
+    ``rp``, ``kept``, ``best(rep, near_canonical, near_hamming)``."""
+    return f"""
+    rp AS (
+      SELECT c.ra, c.rb,
+             CAST(bit_count(xor(a.phash_lo::UBIGINT,
+                                b.phash_lo::UBIGINT))
+                  + bit_count(xor(a.phash_hi::UBIGINT,
+                                  b.phash_hi::UBIGINT)) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN {src} a ON a.rep = c.ra
+      JOIN {src} b ON b.rep = c.rb
+    ),
+    kept AS (SELECT ra, rb, hamming FROM rp WHERE hamming <= {max_ham}),
+    best AS (
+      SELECT rb AS rep,
+             CAST(MIN(ra) AS BIGINT) AS near_canonical,
+             CAST(MIN(hamming) AS BIGINT) AS near_hamming
+      FROM kept GROUP BY rb
+    )"""

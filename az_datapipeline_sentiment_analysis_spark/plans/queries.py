@@ -2609,26 +2609,45 @@ _DRIVER_GREEN_R8 = frozenset(
 # Materially changed in ROUND 9, so re-verify first (the standing
 # rule from VERDICT r5 #3: every entry whose implementation changed
 # must get a fresh driver row the same round).
+# Entries with a round-9 driver-window row (49 green + the by-design
+# no_oracle approx_distinct) — the newest stratum, recycles last.
+_DRIVER_GREEN_R9 = frozenset(
+    {
+        "ngram_jaccard_neardup", "containment_neardup", "semdedup_prune",
+        "semdedup_prune_sized", "prefix_filter_simjoin",
+        "mapinarrow_transform", "embed_neardup", "media_pixel_stats",
+        "record_linkage_snm_multipass", "bpe_train_merges", "pii_redact_audit",
+        "vit_patchify_pixels", "html_text_extract", "image_phash",
+        "image_dedup_verdict", "stream_curation_pipeline", "join_inner_equi",
+        "join_left", "join_semi", "join_anti", "join_broadcast", "range_join",
+        "asof_join", "agg_group", "agg_distinct", "agg_rollup", "agg_cube",
+        "agg_grouping_sets", "agg_pivot", "agg_collect", "approx_distinct",
+        "dedup", "dedup_fingerprint", "sort_limit", "set_union",
+        "set_intersect", "set_except", "win_rank", "win_lag_lead",
+        "win_rolling", "win_running", "window_tumbling", "window_sliding",
+        "window_session", "sentiment_score", "sentiment_score_sql",
+        "pipeline_sentiment_batch", "lang_id", "language_filter",
+        "token_stats"
+    }
+)
+
 _RECHECK = frozenset(
     {
-        # rebuilt on corpus-refining cluster blocking (VERDICT r8 #1):
-        # candidate scope changed label-blocks -> quantizer clusters —
-        # a SEMANTIC change on both engines
-        "embed_neardup",
-        # keep predicate moved from round(J,4) >= t to exact integer
-        # arithmetic on both engines (ADVICE r8 rounding-boundary
-        # hole) — boundary pairs can change membership
-        "ngram_jaccard_neardup", "prefix_filter_simjoin",
-        # shares the restructured _ngram_overlap_pairs core (agg now
-        # emits count+sizes then projects the score) — output
-        # bit-identical, mirror-reproved, but the plan changed
-        "containment_neardup",
-        # plan refactor onto the shared cluster_blocked_pairs operator
-        # (output-identical, mirror-reproved; physical plan unchanged
-        # but the code path is new)
-        "semdedup_prune", "semdedup_prune_sized",
-        # mapInArrow kernel gained the null/ragged zero-fill guard
+        # round 10 (ADVICE r9 high): single-symbol-word crash guard —
+        # an engine-divergent crash fixed on the Spark side
+        "bpe_train_merges",
+        # round 10 (VERDICT r9 #3): second 8-bit-rotated banding
+        # partition — the candidate POLICY changed (d=4..6 recall
+        # 94.5% -> 98.8%), a semantic change on both engines
+        "image_dedup_verdict",
+        # ragged non-null vectors now pad with trailing zeros instead
+        # of silently zeroing (ADVICE r9) — bit-identical on the
+        # non-ragged fixtures, mirror-reproved at three scales
         "mapinarrow_transform",
+        # oracle gained the zero-norm cosine guard mirroring the Spark
+        # twin (ADVICE r9) — output-identical on current fixtures,
+        # mirror-reproved at three scales
+        "embed_neardup", "semdedup_prune", "semdedup_prune_sized",
     }
 )
 
@@ -2665,6 +2684,8 @@ def _gate_priority(name: str) -> float:
         return 1.45
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
+    if name in _DRIVER_GREEN_R9:
+        return 10
     if name in _DRIVER_GREEN_R8:
         return 9
     if name in _DRIVER_GREEN_R7:

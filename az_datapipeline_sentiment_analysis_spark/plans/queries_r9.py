@@ -751,53 +751,9 @@ def html_text_extract(spark, sf):
 # Perceptual image hash over decoded pixels (image-dedup primitive)
 # =====================================================================
 
-_PHASH_ORACLE = f"""
-    WITH dims AS (
-      SELECT doc_id,
-             {mm.PIXEL_W_BASE} + doc_id % {mm.PIXEL_W_MOD} AS w,
-             {mm.PIXEL_H_BASE} + doc_id % {mm.PIXEL_H_MOD} AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, w, h, x.x AS x, y.y AS y
-      FROM dims, unnest(generate_series(0, w - 1)) AS x(x),
-           unnest(generate_series(0, h - 1)) AS y(y)
-    ),
-    vals AS (
-      SELECT doc_id, w, h,
-             (x * {mm.PHASH_COLS}) // w AS gi,
-             (y * {mm.PHASH_ROWS}) // h AS gj,
-             299 * ((7*doc_id + 3*x + 5*y) % 256)
-             + 587 * ((11*doc_id + x + 2*y) % 256)
-             + 114 * ((13*doc_id + 4*x + y) % 256) AS luma
-      FROM px
-    ),
-    cells AS (
-      SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h, gi, gj,
-             CAST(SUM(luma) AS BIGINT) AS s,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM vals GROUP BY doc_id, gi, gj
-    ),
-    bits AS (
-      SELECT l.doc_id, ANY_VALUE(l.w) AS w, ANY_VALUE(l.h) AS h,
-             l.gj * {mm.PHASH_COLS - 1} + l.gi AS pos,
-             CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS b
-      FROM cells l JOIN cells r
-        ON r.doc_id = l.doc_id AND r.gj = l.gj AND r.gi = l.gi + 1
-      WHERE l.gi < {mm.PHASH_COLS - 1}
-      GROUP BY l.doc_id, l.gj, l.gi, l.s, l.c, r.s, r.c
-    )
-    SELECT doc_id,
-           CAST(ANY_VALUE(w) AS BIGINT) AS width,
-           CAST(ANY_VALUE(h) AS BIGINT) AS height,
-           CAST(SUM(CASE WHEN pos < 32
-                         THEN b * (1::BIGINT << pos) ELSE 0 END)
-                AS BIGINT) AS phash_lo,
-           CAST(SUM(CASE WHEN pos >= 32
-                         THEN b * (1::BIGINT << (pos - 32)) ELSE 0 END)
-                AS BIGINT) AS phash_hi
-    FROM bits GROUP BY doc_id
-"""
+# The formula-oracle text lives in operators/multimodal.py, shared
+# verbatim with the composed image curation pipeline (r10).
+_PHASH_ORACLE = mm.PHASH_FORMULA_SQL
 
 
 @_q(
@@ -848,43 +804,8 @@ _PHASH_HAM = 6  # max Hamming distance across the 64 gradient bits
              CAST(MIN(doc_id) AS BIGINT) AS rep
       FROM ph GROUP BY phash_lo, phash_hi
     ),
-    bands AS (
-      SELECT rep, phash_lo, phash_hi, b.band,
-             CASE b.band
-               WHEN 0 THEN phash_lo % 65536
-               WHEN 1 THEN phash_lo // 65536
-               WHEN 2 THEN phash_hi % 65536
-               WHEN 3 THEN phash_hi // 65536
-               WHEN 4 THEN (phash_lo // 256) % 65536
-               WHEN 5 THEN (phash_lo // 16777216) + (phash_hi % 256) * 256
-               WHEN 6 THEN (phash_hi // 256) % 65536
-               ELSE (phash_hi // 16777216) + (phash_lo % 256) * 256
-             END AS chunk
-      FROM g, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band)
-    ),
-    cand AS (
-      SELECT DISTINCT x.rep AS ra, y.rep AS rb
-      FROM bands x JOIN bands y
-        ON x.band = y.band AND x.chunk = y.chunk AND x.rep < y.rep
-    ),
-    rp AS (
-      SELECT c.ra, c.rb,
-             CAST(bit_count(xor(a.phash_lo::UBIGINT,
-                                b.phash_lo::UBIGINT))
-                  + bit_count(xor(a.phash_hi::UBIGINT,
-                                  b.phash_hi::UBIGINT)) AS BIGINT)
-               AS hamming
-      FROM cand c
-      JOIN g a ON a.rep = c.ra
-      JOIN g b ON b.rep = c.rb
-    ),
-    kept AS (SELECT ra, rb, hamming FROM rp WHERE hamming <= {_PHASH_HAM}),
-    best AS (
-      SELECT rb AS rep,
-             CAST(MIN(ra) AS BIGINT) AS near_canonical,
-             CAST(MIN(hamming) AS BIGINT) AS near_hamming
-      FROM kept GROUP BY rb
-    )
+    {mm.phash_band_ctes("g")},
+    {mm.phash_best_ctes("g", _PHASH_HAM)}
     SELECT p.doc_id, g.rep AS canonical_id,
            CAST(p.doc_id <> g.rep AS BOOLEAN) AS is_exact_dup,
            b.near_canonical, b.near_hamming
@@ -938,65 +859,9 @@ def image_dedup_verdict(spark, sf):
     g = hashes.groupBy("phash_lo", "phash_hi").agg(
         F.min("doc_id").cast("long").alias("rep")
     )
-    bands = g.select(
-        "rep", "phash_lo", "phash_hi",
-        F.explode(
-            F.expr(
-                "array(struct(0 AS band, phash_lo % 65536 AS chunk),"
-                " struct(1 AS band, phash_lo div 65536 AS chunk),"
-                " struct(2 AS band, phash_hi % 65536 AS chunk),"
-                " struct(3 AS band, phash_hi div 65536 AS chunk),"
-                " struct(4 AS band,"
-                "   (phash_lo div 256) % 65536 AS chunk),"
-                " struct(5 AS band, (phash_lo div 16777216)"
-                "   + (phash_hi % 256) * 256 AS chunk),"
-                " struct(6 AS band,"
-                "   (phash_hi div 256) % 65536 AS chunk),"
-                " struct(7 AS band, (phash_hi div 16777216)"
-                "   + (phash_lo % 256) * 256 AS chunk))"
-            )
-        ).alias("bc"),
-    ).select("rep", "phash_lo", "phash_hi", "bc.band", "bc.chunk")
-    cand = (
-        bands.select(F.col("band"), F.col("chunk"), F.col("rep").alias("ra"))
-        .join(
-            bands.select(
-                F.col("band"), F.col("chunk"), F.col("rep").alias("rb")
-            ),
-            ["band", "chunk"],
-        )
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .distinct()
-    )
-    ga = g.select(
-        F.col("rep").alias("ra"),
-        F.col("phash_lo").alias("lo_a"),
-        F.col("phash_hi").alias("hi_a"),
-    )
-    gb = g.select(
-        F.col("rep").alias("rb"),
-        F.col("phash_lo").alias("lo_b"),
-        F.col("phash_hi").alias("hi_b"),
-    )
-    best = (
-        cand.join(ga, "ra")
-        .join(gb, "rb")
-        .withColumn(
-            "hamming",
-            F.expr(
-                "CAST(bit_count(lo_a ^ lo_b)"
-                " + bit_count(hi_a ^ hi_b) AS BIGINT)"
-            ),
-        )
-        .filter(F.col("hamming") <= _PHASH_HAM)
-        .groupBy("rb")
-        .agg(
-            F.min("ra").cast("long").alias("near_canonical"),
-            F.min("hamming").cast("long").alias("near_hamming"),
-        )
-        .withColumnRenamed("rb", "rep")
-    )
+    # banding + Hamming verify shared with the composed image
+    # curation pipeline (operators/multimodal.phash_band_best)
+    best = mm.phash_band_best(g, _PHASH_HAM)
     members = hashes.join(g, ["phash_lo", "phash_hi"]).select(
         "doc_id", F.col("rep").alias("canonical_id")
     )

@@ -252,6 +252,10 @@ SCALE_HEADLINE = [
     "media_pixel_stats",
     "bpe_train_merges",
     "html_text_extract",
+    # round-10: the corpus encode pass (train embedded) and the
+    # one-decode composed image verdict — both replication-sensitive
+    "bpe_apply_encode",
+    "image_curation_pipeline",
 ]
 
 HEADLINE = [
@@ -422,6 +426,14 @@ HEADLINE = [
     "html_text_extract",
     "stream_curation_pipeline",
     "image_phash",
+    # round-10 additions: BPE application in both physical forms (the
+    # JVM replace chain vs the broadcast-table Arrow kernel is itself
+    # the measurement), the LZW GIF decode cost class, and the
+    # composed one-decode image curation verdict
+    "bpe_apply_encode",
+    "bpe_apply_udf",
+    "gif_pixel_stats",
+    "image_curation_pipeline",
 ]
 
 

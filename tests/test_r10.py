@@ -179,3 +179,114 @@ def test_image_dedup_banding_recall_envelope(spark):
     assert dict(total) == {1: 48, 2: 79, 3: 161, 4: 235, 5: 361, 6: 509}
     assert dict(missed) == {5: 2, 6: 11}
     assert dict(missed_aligned) == {4: 2, 5: 10, 6: 49}
+
+
+# --- GIF codec (VERDICT r9 missing #4) ----------------------------------
+
+def test_gif_roundtrip_and_width_boundaries():
+    """Roundtrip across the interesting LZW regimes: fixture-size
+    images (9-bit codes only), a 40x40 gradient (crosses the 512 and
+    1024 table boundaries -> 10/11-bit codes), and a 300x200
+    incompressible image (crosses 2048 AND the preemptive table
+    clear). These same three byte streams were verified pixel-exact
+    against the JDK ImageIO GIF decoder."""
+    import numpy as np
+
+    for i in [0, 1, 5, 17, 123, 999, 4242]:
+        w, h = mm.pixel_dims(i)
+        pix = mm.gif_pixel_gray(i, w, h)
+        dec = mm.gif_decode_rgb(mm.gif_encode_gray(pix))
+        assert (dec[:, :, 0] == pix).all()
+        assert (dec[:, :, 1] == pix).all()  # identity-gray palette
+    med = mm.gif_pixel_gray(42, 40, 40)
+    assert (mm.gif_decode_rgb(mm.gif_encode_gray(med))[:, :, 0] == med).all()
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    enc = mm.gif_encode_gray(big)
+    # incompressible input MUST have forced at least one table clear
+    assert len(mm._gif_lzw_encode(big.tobytes())) > big.size
+    assert (mm.gif_decode_rgb(enc)[:, :, 0] == big).all()
+
+
+def test_gif_decode_handbuilt():
+    """Decode a GIF built BY HAND (not via the encoder): 2x2, 4-color
+    palette, min code size 2, LZW codes packed by hand — clear(3b),
+    1, 2, 3 (3b each; the table add reaching code 8 grows the width),
+    then 0 and EOI at 4 bits. A matching decode proves the bit order,
+    width-growth point, and palette map independently of the
+    encoder."""
+    import numpy as np
+
+    gif = (
+        b"GIF89a"
+        + b"\x02\x00\x02\x00"          # 2 x 2
+        + bytes([0xF1, 0, 0])           # GCT, 4 entries
+        + bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+        + b"\x2c" + bytes(4) + b"\x02\x00\x02\x00" + b"\x00"
+        + bytes([2])                    # LZW min code size
+        + bytes([3, 140, 6, 5])         # one 3-byte sub-block
+        + b"\x00\x3b"
+    )
+    rgb = mm.gif_decode_rgb(gif)
+    expect = np.array(
+        [[[40, 50, 60], [70, 80, 90]], [[200, 210, 220], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    assert (rgb == expect).all()
+
+
+def test_gif_lzw_kwkwk_and_clear_midstream():
+    """KwKwK: 'aaaa...' forces the decoder to resolve a code equal to
+    its table size on the second code; CLEAR mid-stream must reset
+    cleanly (exercised by the incompressible roundtrip above, pinned
+    here on a crafted tiny alphabet)."""
+    data = b"\x01" * 50 + bytes(range(20)) * 3
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(data)) == data
+
+
+def test_gif_pixel_stats_entry_matches_decode(spark):
+    """Entry-level pin: the Spark frame's integer aggregates equal a
+    direct numpy recomputation from the decoded pixels for every doc
+    at sf0.001."""
+    import numpy as np
+
+    rows = r10.gif_pixel_stats(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows[:25]:
+        pix = mm.gif_pixel_gray(r.doc_id, r.width, r.height)
+        v = pix.astype(np.int64).ravel()
+        assert r.px_sum == int(v.sum())
+        assert r.px_sqsum == int((v * v).sum())
+        assert (r.px_min, r.px_max) == (int(v.min()), int(v.max()))
+
+
+# --- composed image curation pipeline (VERDICT r9 #8) -------------------
+
+def test_image_curation_pipeline_invariants(spark):
+    """Linear output (one verdict per image), reason/keep coherence,
+    canonical discipline, and the fixture-deterministic reason mix
+    (all five drop reasons + keeps must be present — a threshold that
+    silences a gate would hide bugs behind a degenerate corpus)."""
+    from collections import Counter
+
+    rows = r10.image_curation_pipeline(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    assert len({r.doc_id for r in rows}) == 500
+    mix = Counter(r.drop_reason for r in rows)
+    assert mix == {
+        "low_contrast": 222, "near_dup": 102, "exact_dup": 86,
+        "dark": 27, "bright": 21, None: 42,
+    }
+    for r in rows:
+        assert r.keep == (r.drop_reason is None)
+        if r.drop_reason in ("low_contrast", "dark", "bright"):
+            assert r.canonical_id is None and r.near_hamming is None
+        elif r.drop_reason == "exact_dup":
+            assert r.canonical_id < r.doc_id
+        elif r.drop_reason == "near_dup":
+            # a near-dup'd REP: it IS its group's canonical, dropped
+            # because an earlier rep sits within the Hamming budget
+            assert r.canonical_id == r.doc_id
+            assert r.near_hamming is not None and r.near_hamming <= 6
+        else:  # kept: own rep, no earlier near rep found
+            assert r.canonical_id == r.doc_id and r.near_hamming is None
