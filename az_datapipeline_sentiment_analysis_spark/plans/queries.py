@@ -1563,12 +1563,18 @@ def token_stats(spark, sf):
       -- in float32, which disagrees with Spark's double accumulation
       SELECT q.q_id, c.vec_id,
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1, len(c.embedding)),
                  i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.embedding,
-                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6) AS cosine
       FROM embeddings c, q WHERE c.vec_id <> q.q_id
     ),
     ranked AS (
@@ -1589,12 +1595,18 @@ def embed_cosine_topk(spark, sf):
 
 _COSINE_SQL = """
              ROUND(
+               CASE WHEN list_sum(list_transform(q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1, len(c_vec)),
                  i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c_vec,
-                    x -> CAST(x AS DOUBLE) * x)))), 6)
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6)
 """
 
 
@@ -2651,9 +2663,17 @@ _RECHECK = frozenset(
     }
 )
 
-# Perf-only recheck debt: none — the round-8 window cleared both
-# r6-rewrite stragglers (sketch_kll_quantiles, embed_ann_ivf).
-_RECHECK_PERF_ONLY: frozenset[str] = frozenset()
+# Value-identical oracle hardening (round 10): all 11 cosine oracles
+# gained the zero-norm CASE guard mirroring their Spark twins (the
+# ADVICE r9 cluster_pairs_ctes fix applied to every remaining site).
+# Values unchanged on all fixtures (no zero vectors) — all 11 were
+# mirror-reproved at three scales on landing plus a cross-engine
+# zero-vector pytest pin; one representative per oracle SHAPE takes a
+# driver re-row here so the class gets external corroboration without
+# crowding out the stale-row drain (VERDICT r9 #2's >= 33 target).
+_RECHECK_PERF_ONLY: frozenset[str] = frozenset(
+    {"embed_cosine_topk", "mmr_diversify", "embed_matryoshka_eval"}
+)
 
 # Round-9 additions that land after the window budget is spent sort
 # here (mirror-verified at all three scales on landing, the standing

@@ -2491,12 +2491,18 @@ def dataset_split_leakproof(spark, sf):
     ), scored AS (
       SELECT q.q_id, c.vec_id, c.label,
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.c_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1, len(c.c_vec)),
                  i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.c_vec,
-                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6) AS cosine
       FROM c, q
     ), ranked AS (
       SELECT q_id, label,
@@ -2580,12 +2586,18 @@ def _knn_ann_oracle_sql() -> str:
     scored AS (
       SELECT q_id, vec_id, label,
              ROUND(
+               CASE WHEN list_sum(list_transform(q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1, len(c_vec)),
                  i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c_vec,
-                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6) AS cosine
       FROM cand
     ),
     ranked AS (

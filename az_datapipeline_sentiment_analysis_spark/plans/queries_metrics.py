@@ -1126,7 +1126,12 @@ def _dd_cos6(a: str, b: str) -> str:
     )
     na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))"
-    return f"CAST(ROUND(1000000.0 * {dot} / ({na} * {nb}), 0) AS BIGINT)"
+    # zero-norm guard mirrors the Spark twin (functions/arrays
+    # cosine_expr: denom == 0 -> 0.0)
+    return (
+        f"CAST(ROUND(CASE WHEN {na} * {nb} = 0 THEN CAST(0 AS DOUBLE)"
+        f" ELSE 1000000.0 * {dot} / ({na} * {nb}) END, 0) AS BIGINT)"
+    )
 
 
 def _mmr_oracle() -> str:

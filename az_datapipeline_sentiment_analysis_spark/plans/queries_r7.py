@@ -893,6 +893,11 @@ def _recall_oracle_sql(k: int) -> str:
     bucket = " + ".join(terms)
     cosine = """
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1,
                  len(c.embedding)),
                  i -> CAST(q.q_vec[i] AS DOUBLE)
@@ -900,7 +905,8 @@ def _recall_oracle_sql(k: int) -> str:
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.embedding,
-                    x -> CAST(x AS DOUBLE) * x)))), 6)
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6)
     """
     return f"""
     WITH b AS (
@@ -1628,6 +1634,11 @@ def _label_noise_oracle_sql() -> str:
     cand AS (
       SELECT q.q_id, q.own_label, c.vec_id, c.label,
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1,
                  len(c.embedding)),
                  i -> CAST(q.q_vec[i] AS DOUBLE)
@@ -1635,7 +1646,8 @@ def _label_noise_oracle_sql() -> str:
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.embedding,
-                    x -> CAST(x AS DOUBLE) * x)))), 6) AS cosine
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6) AS cosine
       FROM b c, q
       WHERE c.vec_id <> q.q_id
         AND bit_count(xor(c.bucket, q.q_bucket)) <= 1

@@ -675,6 +675,11 @@ _MRL_DIMS = 16
 def _matryoshka_oracle_sql(k: int) -> str:
     cosine_full = """
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1,
                  len(c.embedding)),
                  i -> CAST(q.q_vec[i] AS DOUBLE)
@@ -682,10 +687,19 @@ def _matryoshka_oracle_sql(k: int) -> str:
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.embedding,
-                    x -> CAST(x AS DOUBLE) * x)))), 6)
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6)
     """
     cosine_tr = f"""
              ROUND(
+               CASE WHEN list_sum(list_transform(
+                    generate_series(1, {_MRL_DIMS}),
+                    i -> CAST(q.q_vec[i] AS DOUBLE) * q.q_vec[i])) = 0
+                 OR list_sum(list_transform(
+                    generate_series(1, {_MRL_DIMS}),
+                    i -> CAST(c.embedding[i] AS DOUBLE)
+                         * c.embedding[i])) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1, {_MRL_DIMS}),
                  i -> CAST(q.q_vec[i] AS DOUBLE)
                       * CAST(c.embedding[i] AS DOUBLE)))
@@ -695,7 +709,7 @@ def _matryoshka_oracle_sql(k: int) -> str:
                   * sqrt(list_sum(list_transform(
                     generate_series(1, {_MRL_DIMS}),
                     i -> CAST(c.embedding[i] AS DOUBLE)
-                         * c.embedding[i])))), 6)
+                         * c.embedding[i])))) END, 6)
     """
     return f"""
     WITH q AS (

@@ -940,6 +940,11 @@ def _ndcg_oracle_sql(k: int) -> str:
     bucket = " + ".join(terms)
     cosine = """
              ROUND(
+               CASE WHEN list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+                 OR list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * x)) = 0
+               THEN CAST(0 AS DOUBLE) ELSE
                list_sum(list_transform(generate_series(1,
                  len(c.embedding)),
                  i -> CAST(q.q_vec[i] AS DOUBLE)
@@ -947,7 +952,8 @@ def _ndcg_oracle_sql(k: int) -> str:
                / (sqrt(list_sum(list_transform(q.q_vec,
                     x -> CAST(x AS DOUBLE) * x)))
                   * sqrt(list_sum(list_transform(c.embedding,
-                    x -> CAST(x AS DOUBLE) * x)))), 6)
+                    x -> CAST(x AS DOUBLE) * x))))
+               END, 6)
     """
     wcase = " ".join(
         f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items()

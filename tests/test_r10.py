@@ -290,3 +290,49 @@ def test_image_curation_pipeline_invariants(spark):
             assert r.near_hamming is not None and r.near_hamming <= 6
         else:  # kept: own rep, no earlier near rep found
             assert r.canonical_id == r.doc_id and r.near_hamming is None
+
+
+# --- zero-norm cosine guard, both engines (ADVICE r9 generalized) -------
+
+def test_cosine_oracles_zero_norm_guard_cross_engine(spark, tmp_path):
+    """Every cosine ORACLE now mirrors the Spark twins' denom==0 ->
+    0.0 guard (the ADVICE r9 cluster_pairs_ctes fix, applied to all
+    11 remaining cosine-oracle sites in round 10). Pin it end-to-end:
+    a fixture with zero vectors on BOTH the query and corpus side
+    must hash-match across engines instead of producing NaN/inf in
+    DuckDB vs 0.0 in Spark."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from driver_gate_mirror import compare_frames
+
+    from az_datapipeline_sentiment_analysis_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d) % 5 - 2) for d in range(64)], i % 3)
+        for i in range(30)
+    ]
+    rows[0] = (0, [0.0] * 64, 0)   # zero QUERY vector (mmr's anchor)
+    rows[7] = (7, [0.0] * 64, 1)   # zero corpus vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "zero_norm")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{d}/embeddings.parquet/*.parquet'"
+    )
+    for name in ["embed_cosine_topk", "mmr_diversify",
+                 "embed_matryoshka_eval"]:
+        sdf = REGISTRY[name].fn(spark, d).toPandas()
+        odf = con.execute(REGISTRY[name].sql).fetchdf()
+        status, detail = compare_frames(sdf, odf)
+        assert status == "OK", (name, status, detail)
+        assert len(sdf) > 0, name
