@@ -11,10 +11,11 @@ CTEs from here so the two entries can never drift; plans modules must
 not import each other (worker-side circular-import guard,
 tests/test_plans.py), so the shared text lives in operators/.
 
-Reference behavior generalized: the reference pipeline tokenizes
-review text driver-side one row at a time
-(FunctionApp2/process_data/__init__.py:43-62); this module is the
-distributed tokenizer-training/encoding analog.
+Reference behavior generalized: the reference pipeline processes
+review text driver-side via a remote sentiment API, batching rows
+ten at a time (FunctionApp2/process_data/__init__.py); this module
+is the distributed tokenizer-training/encoding analog of that
+text-processing stage.
 """
 
 from __future__ import annotations

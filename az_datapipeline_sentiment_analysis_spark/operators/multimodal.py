@@ -795,6 +795,16 @@ def _gif_lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         # decodes garbage past the first 512-entry boundary)
         if next_code == (1 << width) + 1:
             width += 1
+            # GIF caps codes at 12 bits; staying under it depends on
+            # the preemptive CLEAR below firing before next_code can
+            # reach 4096, i.e. on _GIF_MAX_TABLE < 4096. Make that
+            # invariant local (ADVICE r10): a future constant bump
+            # must fail loudly here, not emit 13-bit codes external
+            # decoders reject.
+            assert width <= 12, (
+                f"GIF LZW width {width} exceeds the 12-bit cap; "
+                f"_GIF_MAX_TABLE={_GIF_MAX_TABLE} must stay < 4096"
+            )
         prefix = bytes([b])
         if next_code >= _GIF_MAX_TABLE:
             emit(clear)

@@ -2643,42 +2643,70 @@ _DRIVER_GREEN_R9 = frozenset(
     }
 )
 
-_RECHECK = frozenset(
+# Round-10 driver window (CORRECTNESS_r10.json): 50/50 hash-green —
+# the first all-oracle window (zero no_oracle rows). Covered: the r10
+# rechecks (bpe_train_merges, image_dedup_verdict, mapinarrow_transform,
+# the cosine-guard class), all four round-10 additions, and 37 of the
+# pre-hardening stratum.
+_DRIVER_GREEN_R10 = frozenset(
     {
-        # round 10 (ADVICE r9 high): single-symbol-word crash guard —
-        # an engine-divergent crash fixed on the Spark side
-        "bpe_train_merges",
-        # round 10 (VERDICT r9 #3): second 8-bit-rotated banding
-        # partition — the candidate POLICY changed (d=4..6 recall
-        # 94.5% -> 98.8%), a semantic change on both engines
-        "image_dedup_verdict",
-        # ragged non-null vectors now pad with trailing zeros instead
-        # of silently zeroing (ADVICE r9) — bit-identical on the
-        # non-ragged fixtures, mirror-reproved at three scales
-        "mapinarrow_transform",
-        # oracle gained the zero-norm cosine guard mirroring the Spark
-        # twin (ADVICE r9) — output-identical on current fixtures,
-        # mirror-reproved at three scales
-        "embed_neardup", "semdedup_prune", "semdedup_prune_sized",
+        "bpe_apply_encode", "bpe_apply_udf", "bpe_train_merges",
+        "compact_files", "embed_cosine_topk", "embed_matryoshka_eval",
+        "embed_neardup", "embed_norms", "fingerprint_rolling",
+        "gif_pixel_stats", "gold_dashboard", "grouped_zscore",
+        "image_curation_pipeline", "image_dedup_verdict", "join_bucketed",
+        "mapinarrow_transform", "mmr_diversify", "q10_returned_items",
+        "q12_late_shipments", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q20_part_promotion",
+        "q21_waiting_supplier", "q22_global_sales", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "rest_source_scan", "scan_csv", "scan_json", "scan_orc",
+        "scan_partitioned", "scan_sorted_skip", "semdedup_prune",
+        "semdedup_prune_sized", "skew_salted_agg", "skew_salted_join",
+        "subquery_correlated_max", "subquery_exists", "subquery_scalar",
+        "udtf_tokens",
     }
 )
 
-# Value-identical oracle hardening (round 10): all 11 cosine oracles
-# gained the zero-norm CASE guard mirroring their Spark twins (the
-# ADVICE r9 cluster_pairs_ctes fix applied to every remaining site).
-# Values unchanged on all fixtures (no zero vectors) — all 11 were
-# mirror-reproved at three scales on landing plus a cross-engine
-# zero-vector pytest pin; one representative per oracle SHAPE takes a
-# driver re-row here so the class gets external corroboration without
-# crowding out the stale-row drain (VERDICT r9 #2's >= 33 target).
-_RECHECK_PERF_ONLY: frozenset[str] = frozenset(
-    {"embed_cosine_topk", "mmr_diversify", "embed_matryoshka_eval"}
+_RECHECK = frozenset(
+    {
+        # round 11 (VERDICT r10 #2): converted from rows-only to
+        # hash-checked — output schema/semantics changed (exact twin
+        # columns + exact-integer error-bound booleans), so each needs
+        # a fresh driver row this round
+        "embed_ann_ivf", "quantile_bucketing_approx", "approx_distinct",
+        "sketch_hll",
+        # round 11 (VERDICT r10 #8): fixture corpus gained one image
+        # large enough to force a mid-stream LZW table clear, so the
+        # driver hash now covers the preemptive-CLEAR branch — output
+        # values changed (new fixture rows)
+        "gif_pixel_stats",
+    }
 )
 
-# Round-9 additions that land after the window budget is spent sort
-# here (mirror-verified at all three scales on landing, the standing
-# convention); empty until needed.
-_DEFER_FIRST_CHECK: frozenset[str] = frozenset()
+# Bit-identical rewrites needing only a perf re-row; empty this round
+# (the r10 cosine-guard class got its representative rows).
+_RECHECK_PERF_ONLY: frozenset[str] = frozenset()
+
+# Round-11 additions that land after the owed tiers fill the window
+# sort here (mirror-verified at all three scales on landing, the
+# round-6 precedent). This round the tier sorts AFTER the
+# pre-hardening drain: the window is exactly 50 = 5 rechecks + 1
+# in-window first-check (jpeg_pixel_stats) + the 44 hash-bearing
+# stale entries, so the remaining first-check waits one round rather
+# than leaving stale hash rows on the books for a third round.
+_DEFER_FIRST_CHECK: frozenset[str] = frozenset({"image_mixed_curation"})
+
+# Rows-only-by-design entries whose newest driver row is from rounds
+# 1-3. The pre-hardening concern (VERDICT r8 #3) is about HASH rows
+# produced by the weaker comparator — sentiment_mllib (trained model)
+# never had a hash to compare, so its refresh carries the least
+# information and sorts just after the hash-bearing drain; it re-rows
+# in round 12.
+_STALE_ROWS_ONLY: frozenset[str] = frozenset({"sentiment_mllib"})
 
 
 def _gate_priority(name: str) -> float:
@@ -2697,13 +2725,17 @@ def _gate_priority(name: str) -> float:
     """
     if name in _RECHECK:
         return 0  # semantics/plan changed this round — re-verify first
-    if name in _DEFER_FIRST_CHECK:
-        # landed after the owed tiers filled the window; still a FIRST
-        # check, which outranks a re-row on a mirror-reproved rewrite
-        # (the round-6 precedent)
-        return 1.45
     if name in _RECHECK_PERF_ONLY:
         return 1.5  # bit-identical rewrite — recheck after first-checks
+    if name in _DEFER_FIRST_CHECK:
+        # landed after the owed tiers filled the window (round-6
+        # precedent); this round the tier yields to the stale-row
+        # drain (see the frozenset comment) and fronts round 12
+        return 2.9
+    if name in _STALE_ROWS_ONLY:
+        return 2.95  # no hash row to re-verify — after the drain
+    if name in _DRIVER_GREEN_R10:
+        return 11
     if name in _DRIVER_GREEN_R9:
         return 10
     if name in _DRIVER_GREEN_R8:

@@ -17,10 +17,10 @@ Registers into the shared ``REGISTRY`` (imported at the bottom of
 ``queries.py``). Conventions (SURVEY §2.3): integer aggregates CAST to
 BIGINT in oracle SQL; all keep/count arithmetic exact-integer.
 
-Reference behavior generalized: the reference tokenizes review text
-driver-side one row at a time
-(FunctionApp2/process_data/__init__.py:43-62); these entries are the
-distributed subword-encode analog.
+Reference behavior generalized: the reference processes review text
+driver-side via a remote sentiment API in ten-row batches
+(FunctionApp2/process_data/__init__.py); these entries are the
+distributed subword-encode analog of that text-processing stage.
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import time
 
 from az_datapipeline_sentiment_analysis_spark.plans.queries import REGISTRY
@@ -564,11 +565,17 @@ def main() -> None:
         # overwrote a committed local payload untraceably) and the
         # in-session probe that makes cross-round RATIO comparison
         # possible (VERDICT r8 #4)
-        # No payload may be written unlabeled (VERDICT r9 #4): default
-        # "local" — the builder's in-session runs export the env var
-        # explicitly; anything else (driver refreshes included) is by
-        # definition a local[32] run on this box.
-        "source": os.environ.get("SPARK_GRAFT_BENCH_SOURCE") or "local",
+        # No payload may be written unlabeled (VERDICT r9 #4): the
+        # builder's in-session runs export the env var explicitly;
+        # a missing label is recorded as the honest "local-default"
+        # (ADVICE r10: a hard-coded "local" would silently mislabel a
+        # payload produced in a different context), and the host
+        # fingerprint below makes any mislabeled run detectable.
+        "source": os.environ.get("SPARK_GRAFT_BENCH_SOURCE") or "local-default",
+        "host": {
+            "hostname": socket.gethostname(),
+            "cpus": os.cpu_count(),
+        },
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "ref_probe_seconds": probe_s,
         "query_ratios": _ratios(timings, probe_s),
