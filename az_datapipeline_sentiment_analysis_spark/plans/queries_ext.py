@@ -778,18 +778,104 @@ def multimodal_features(spark, sf):
 
 @_q(
     "embed_ann_ivf",
-    None,
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 5),
+    cand AS (
+      SELECT q.q_id, c.vec_id, q.q_vec, c.embedding AS c_vec
+      FROM embeddings c, q WHERE c.vec_id <> q.q_id
+    ),
+    scored AS (
+      SELECT q_id, vec_id, {_COSINE_ORACLE_SQL} AS cosine FROM cand
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT q_id,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank)
+             AS exact_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS ann_hit_ok,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 5
+    GROUP BY q_id
+    """,
     "IVF ANN: spherical-kmeans coarse quantizer (driver-fit on a"
-    " bounded sample, broadcast), Arrow-vectorized cluster assignment"
-    " in one corpus scan, n_probe-of-n_lists candidate join, exact"
-    " cosine re-rank — the cluster-pruned scale path; recall vs brute"
-    " force asserted in tests (operators/similarity.py).",
+    " count-bounded sample, broadcast), Arrow-vectorized cluster"
+    " assignment in one corpus scan, n_probe-of-n_lists candidate"
+    " join, exact cosine re-rank — the cluster-pruned scale path."
+    " Hash-checked since round 11 via the recall-envelope pattern"
+    " (VERDICT r10 #2): the entry emits, per query, the EXACT"
+    " brute-force top-5 id list in rank order (fully cross-checked"
+    " against the DuckDB cosine oracle) plus two deterministic"
+    " booleans — ann_hit_ok (the trained-quantizer ANN recovered at"
+    " least one true neighbor for THIS query; measured per-query"
+    " minimum is exactly 1 at sf0.1) and recall_ok (corpus-level"
+    " recall@5 >= 0.4 in exact integer arithmetic; measured 0.64 /"
+    " 0.56 / 0.48 at sf0.001/0.01/0.1 with n_probe=4 of 16 lists)."
+    " The ANN ids themselves stay out of the hash (the trained"
+    " quantizer is data-dependent), but a collapsed candidate join or"
+    " broken assignment now fails the driver gate instead of passing"
+    " rows-only; the trained fit is deterministic (fixed init, 5"
+    " iterations, xxhash-spread sample that is complete below the"
+    " 4096-row cap, so partitioning cannot reorder it at gate"
+    " scales). The 25-row exact frame is localCheckpointed so the"
+    " brute-force scan runs once, not once per consumer branch. 100x"
+    " replication: 18.5s (same-session harness, round 11; the exact"
+    " side dominates — it exists to be compared against).",
 )
 def embed_ann_ivf(spark, sf):
     from ..operators import similarity as sim
 
     e = _t(spark, sf, "embeddings")
-    return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    q = e.filter(F.col("vec_id") < 5)
+    # k*|queries| rows; eager checkpoint so the full corpus scan
+    # behind it executes once (two consumers below)
+    exact = sim.brute_force_topk(e, q, k=5).localCheckpoint(eager=True)
+    ann = sim.ivf_topk(e, q, k=5).select("q_id", "vec_id")
+    hits = (
+        exact.select("q_id", "vec_id")
+        .join(ann, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    # rank-ordered csv via 5 conditional aggregates (pure hash agg —
+    # no collect_list, so no buffering ObjectHashAggregate)
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("rank") == r, F.col("vec_id"))).alias(
+                    f"_r{r}"
+                )
+                for r in range(1, 6)
+            ],
+            F.count("*").cast("long").alias("n_exact"),
+        )
+        .select(
+            "q_id",
+            F.concat_ws(
+                ",", *[F.col(f"_r{r}").cast("string") for r in range(1, 6)]
+            ).alias("exact_ids"),
+            "n_exact",
+        )
+    )
+    scored = per_q.join(hits, "q_id", "left").withColumn(
+        "hits", F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+    )
+    tot = scored.agg(
+        (F.sum("hits") * 10 >= F.sum("n_exact") * 4).alias("recall_ok")
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "q_id",
+        "exact_ids",
+        "n_exact",
+        (F.col("hits") >= 1).alias("ann_hit_ok"),
+        "recall_ok",
+    )
 
 
 def _ivf_exact_oracle_sql(k: int) -> str:
@@ -910,18 +996,42 @@ def agg_collect_ordered(spark, sf):
 
 @_q(
     "sketch_hll",
-    None,
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+           TRUE AS hll_within_3pct
+    FROM orders GROUP BY o_orderpriority
+    """,
     "Apache DataSketches HLL: mergeable distinct-count sketches"
     " (hll_sketch_agg partials merge across partitions/days — the"
     " pre-aggregated rollup primitive approx_count_distinct can't"
-    " give you). Approximate by design: rows-only check; the exact"
-    " twin is agg_distinct.",
+    " give you). Hash-checked via the error-bound-boolean pattern"
+    " (VERDICT r10 #2): emits the EXACT distinct count (cross-checked"
+    " against DuckDB) plus an exact-integer boolean pinning the"
+    " rounded sketch estimate within 3% of it — ~2 sigma of the"
+    " default lgK=12 rsd (1.6%), vs a measured worst error of 1.07%"
+    " across the three verification scales. A mis-wired sketch now"
+    " fails the driver hash instead of passing rows-only. 100x"
+    " replication: 8.0s (same-session harness, round 11).",
 )
 def sketch_hll(spark, sf):
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias(
-            "n_cust_hll"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_cust_exact"),
+            F.expr(
+                "cast(round(hll_sketch_estimate(hll_sketch_agg(o_custkey)))"
+                " as long)"
+            ).alias("_hll"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cust_exact",
+            (
+                F.abs(F.col("_hll") - F.col("n_cust_exact")) * 100
+                <= F.col("n_cust_exact") * 3
+            ).alias("hll_within_3pct"),
         )
     )
 
