@@ -1053,6 +1053,384 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+# --- JPEG codec: third real pixel format (VERDICT r10 #3) ------------
+# Pure stdlib/numpy baseline sequential JFIF: real marker segments,
+# real canonical-Huffman entropy coding (the public ITU T.81 Annex K
+# tables), byte stuffing, zigzag, dequantization, and a full float
+# IDCT. The fixtures are 8x8 BLOCK-CONSTANT images, so every block is
+# DC-only: with the DC quantizer set to 8 the quantized DC equals
+# (v - 128) exactly and the IDCT reconstructs the constant exactly
+# (F(0,0)/8 is integer-exact in doubles), making the encode->decode
+# roundtrip pixel-exact and the closed-form formula oracle applicable
+# — the same trick that made the GIF codec hash-checkable. Entropy
+# DECODE is the general baseline path (DC categories, AC run/size,
+# ZRL, EOB), not a DC-only shortcut.
+
+# ITU T.81 Annex K.3 typical Huffman tables (public spec constants).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Quant table in zigzag order: DC quantizer 8 (so DC-only blocks are
+# lossless), AC quantizers 16 (unused by the block-constant fixtures
+# but valid for any input).
+_JPEG_QTAB_ZZ = [8] + [16] * 63
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def jpeg_encode_gray_blocks(pix: np.ndarray) -> bytes:
+    """Encode an 8x8 BLOCK-CONSTANT (h, w) uint8 image as a real
+    baseline sequential grayscale JFIF. Dimensions must be multiples
+    of 8 and every 8x8 block constant — asserted, because only then
+    is the roundtrip pixel-exact (DC-only blocks, DC quantizer 8)."""
+    h, w = pix.shape
+    assert h % 8 == 0 and w % 8 == 0, (w, h)
+    blocks = pix.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2)
+    assert (blocks.min(axis=(2, 3)) == blocks.max(axis=(2, 3))).all(), (
+        "fixture must be 8x8 block-constant"
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = int(blocks[by, bx, 0, 0])
+            dcq = v - 128        # round(8*(v-128)/q00) with q00=8
+            diff = dcq - pred
+            pred = dcq
+            t = _jpeg_category(diff)
+            code, length = dc[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, length = ac[0x00]   # EOB: all 63 AC are zero
+            bw.write(code, length)
+    entropy = bw.flush()
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB_ZZ))
+    sof0 = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed byte
+                else:
+                    raise ValueError(f"marker 0xFF{nxt:02x} in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(l, c): v for v, (c, l) in _huff_codes(bits, vals).items()}
+
+
+def _idct8x8(coef: np.ndarray) -> np.ndarray:
+    """Full float 2-D IDCT (T.81 A.3.3). Exact for DC-only blocks."""
+    x = np.arange(8)
+    c = np.where(x == 0, 1 / np.sqrt(2.0), 1.0)
+    cos = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / 16)
+    basis = cos * c[None, :]          # basis[x, u] = C(u) cos(...)
+    return basis @ coef.astype(np.float64) @ basis.T / 4.0
+
+
+def jpeg_decode_gray(b: bytes) -> np.ndarray:
+    """General baseline-sequential grayscale JPEG decoder: marker
+    parse (DQT/SOF0/DHT/SOS), canonical-Huffman entropy decode (DC
+    categories + AC run/size with ZRL and EOB), byte unstuffing,
+    dequantization, inverse zigzag, float IDCT, level shift + clamp.
+
+    Rejects progressive (SOF2) and multi-component scans — the
+    declared baseline envelope, like the GIF decoder rejects
+    interlaced."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    hmaps: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    dc_id = ac_id = qt_id = 0
+    scan_start = -1
+    while pos < len(b):
+        assert b[pos] == 0xFF, hex(b[pos])
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        payload = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = list(payload[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC0:
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            if payload[5] != 1:
+                raise ValueError("only single-component (gray) baseline")
+            if payload[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            qt_id = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                hmaps[(tc, th)] = _huff_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDA:
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start < 0 or not w or not h:
+        raise ValueError("no scan")
+    end = b.rindex(b"\xff\xd9")
+    br = _BitReader(b[scan_start:end])
+    dch, ach = hmaps[(0, dc_id)], hmaps[(1, ac_id)]
+    q = qtabs[qt_id]
+
+    def huff(table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | br.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bw_, bh_ = w // 8, h // 8
+    out = np.empty((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            t = huff(dch)
+            diff = extend(br.bits(t), t) if t else 0
+            pred += diff
+            zz[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = huff(ach)
+                if rs == 0x00:      # EOB
+                    break
+                if rs == 0xF0:      # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0xF
+                zz[k] = extend(br.bits(s), s) * q[k]
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_JPEG_ZIGZAG] = zz
+            px = np.round(_idct8x8(coef.reshape(8, 8)) + 128)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                px, 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+# JPEG fixture: 8x8 block-constant images from the same closed-form
+# family as the GIF/PNG fixtures, dims in whole blocks so the DC-only
+# roundtrip is pixel-exact.
+JPEG_WB_BASE, JPEG_WB_MOD = 2, 4   # width  blocks = 2 + doc_id % 4
+JPEG_HB_BASE, JPEG_HB_MOD = 2, 3   # height blocks = 2 + doc_id % 3
+
+
+def jpeg_fixture_dims(doc_id: int) -> tuple[int, int]:
+    return (
+        8 * (JPEG_WB_BASE + doc_id % JPEG_WB_MOD),
+        8 * (JPEG_HB_BASE + doc_id % JPEG_HB_MOD),
+    )
+
+
+def jpeg_fixture_gray(doc_id: int) -> np.ndarray:
+    """Block-constant fixture: pixel (x, y) carries
+    (7*doc_id + 3*(x//8) + 5*(y//8)) % 256 — the GIF formula lifted
+    to block coordinates, so the oracle stays closed-form."""
+    w, h = jpeg_fixture_dims(doc_id)
+    y, x = np.mgrid[0:h, 0:w]
+    return ((7 * doc_id + 3 * (x // 8) + 5 * (y // 8)) % 256).astype(
+        np.uint8
+    )
+
+
+def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate a REAL decodable baseline JPEG per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jpeg_encode_gray_blocks(jpeg_fixture_gray(int(i)))
+                for i in doc_id
+            ]
+        )
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode each JPEG payload (Huffman entropy decode + IDCT) and
+    reduce to the same integer-exact aggregate family as
+    :func:`gif_pixel_stats`. Map-only Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = jpeg_decode_gray(bytes(payload))
+                h, w = pix.shape
+                v = pix.astype(np.int64).ravel()
+                n = w * h
+                s = int(v.sum())
+                sq = int((v * v).sum())
+                hist = np.bincount(v >> 6, minlength=4)
+                rows.append(
+                    (
+                        int(doc_id), w, h, s, sq,
+                        int(v.min()), int(v.max()),
+                        int(hist[0]), int(hist[1]),
+                        int(hist[2]), int(hist[3]),
+                        _round6(s / n),
+                        _round6(math.sqrt((sq - s * s / n) / n)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "px_sqsum",
+                    "px_min", "px_max", "bin0", "bin1", "bin2", "bin3",
+                    "mean", "std",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=GIF_STATS_SCHEMA
+    )
+
+
 # --- shared dHash near-dup machinery (image_dedup_verdict + the ------
 # --- composed image curation pipeline share these verbatim) ----------
 

@@ -2424,6 +2424,7 @@ from . import queries_r8b as _r8b  # noqa: E402,F401
 from . import queries_r8c as _r8c  # noqa: E402,F401
 from . import queries_r9 as _r9  # noqa: E402,F401
 from . import queries_r10 as _r10  # noqa: E402,F401
+from . import queries_r11 as _r11  # noqa: E402,F401
 from . import queries_stats as _stats  # noqa: E402,F401
 from . import queries_tpch as _tpch  # noqa: E402,F401
 from . import streaming_queries as _sq  # noqa: E402,F401

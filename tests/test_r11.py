@@ -1,0 +1,98 @@
+"""Round-11 additions: the baseline JPEG codec (encoder + general
+entropy decoder), pinned by roundtrip across value/structure edges,
+by rejection of out-of-envelope streams, and at entry level against a
+numpy recomputation of the fixture formula. The encoder was verified
+pixel-exact against the JDK ImageIO decoder in development via RASTER
+samples (BufferedImage.getRGB applies a gray->sRGB gamma curve —
+measured: constant 64 reads back 137 — so raster access is the only
+faithful anchor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from az_datapipeline_sentiment_analysis_spark.operators import (
+    multimodal as mm,
+)
+from az_datapipeline_sentiment_analysis_spark.plans import (
+    queries_r11 as r11,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_jpeg_roundtrip_fixture_family():
+    """Pixel-exact roundtrip for a spread of fixture docs covering
+    every (width, height) block combination and DC values across the
+    full byte range — the DC prediction chain crosses sign changes
+    (negative diffs exercise the extend/one's-complement path)."""
+    for i in [0, 1, 2, 5, 17, 42, 123, 999, 4242, 499999]:
+        pix = mm.jpeg_fixture_gray(i)
+        dec = mm.jpeg_decode_gray(mm.jpeg_encode_gray_blocks(pix))
+        assert dec.shape == pix.shape
+        assert (dec == pix).all(), f"doc {i}"
+
+
+def test_jpeg_roundtrip_value_edges():
+    """Clamp/extend edges: constant blocks at 0, 1, 127, 128, 255 and
+    a two-block image whose DC diff is the extreme -255 -> +255."""
+    for v in [0, 1, 127, 128, 255]:
+        pix = np.full((8, 16), v, dtype=np.uint8)
+        assert (
+            mm.jpeg_decode_gray(mm.jpeg_encode_gray_blocks(pix)) == pix
+        ).all(), v
+    swing = np.zeros((8, 24), dtype=np.uint8)
+    swing[:, 8:16] = 255
+    assert (
+        mm.jpeg_decode_gray(mm.jpeg_encode_gray_blocks(swing)) == swing
+    ).all()
+
+
+def test_jpeg_encoder_requires_block_constant():
+    """The pixel-exact contract only holds for DC-only blocks, so the
+    encoder must refuse anything else rather than silently go lossy."""
+    bad = np.zeros((8, 8), dtype=np.uint8)
+    bad[0, 0] = 1
+    with pytest.raises(AssertionError):
+        mm.jpeg_encode_gray_blocks(bad)
+    with pytest.raises(AssertionError):
+        mm.jpeg_encode_gray_blocks(np.zeros((9, 8), dtype=np.uint8))
+
+
+def test_jpeg_decoder_rejects_out_of_envelope():
+    """Progressive and non-JPEG streams fail loudly (the declared
+    baseline envelope, like the GIF decoder's interlace rejection)."""
+    with pytest.raises(ValueError):
+        mm.jpeg_decode_gray(b"GIF89a" + bytes(20))
+    good = mm.jpeg_encode_gray_blocks(np.zeros((8, 8), dtype=np.uint8))
+    # flip SOF0 -> SOF2 (progressive): find the C0 marker
+    idx = good.index(b"\xff\xc0")
+    prog = good[:idx] + b"\xff\xc2" + good[idx + 2:]
+    with pytest.raises(ValueError):
+        mm.jpeg_decode_gray(prog)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """A DC value whose Huffman+amplitude bits produce an 0xFF byte in
+    the entropy stream must be stuffed and unstuffed transparently;
+    scan the full byte range to catch any stuffing path."""
+    for v in range(0, 256, 7):
+        pix = np.full((8, 8), v, dtype=np.uint8)
+        enc = mm.jpeg_encode_gray_blocks(pix)
+        assert (mm.jpeg_decode_gray(enc) == pix).all(), v
+
+
+def test_jpeg_pixel_stats_entry_matches_decode(spark):
+    """Entry-level pin: the Spark frame's integer aggregates equal a
+    direct numpy recomputation from the fixture pixels at sf0.001."""
+    rows = r11.jpeg_pixel_stats(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows[:25]:
+        pix = mm.jpeg_fixture_gray(r.doc_id)
+        assert (r.width, r.height) == (pix.shape[1], pix.shape[0])
+        v = pix.astype(np.int64).ravel()
+        assert r.px_sum == int(v.sum())
+        assert r.px_sqsum == int((v * v).sum())
+        assert (r.px_min, r.px_max) == (int(v.min()), int(v.max()))
