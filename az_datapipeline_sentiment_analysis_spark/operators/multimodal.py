@@ -1431,6 +1431,102 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+# --- mixed-format ingest: magic-byte codec dispatch ------------------
+# A real crawl corpus is never one format; the decode pass must sniff
+# each payload and route to the right codec (VERDICT r10 #5). The
+# fixture corpus cycles PNG / GIF / JPEG by doc_id % 3 (the GIF slot
+# keeps the 128x128 table-clear sentinel), and the Spark-side format
+# column comes from the SNIFF, not the assignment rule — the oracle
+# derives it from doc_id % 3, so a mis-routed payload breaks the hash.
+
+MIXED_FORMATS = ("png", "gif", "jpeg")  # doc_id % 3 -> slot
+
+
+def mixed_fixture_payload(doc_id: int) -> bytes:
+    slot = MIXED_FORMATS[doc_id % 3]
+    if slot == "png":
+        w, h = pixel_dims(doc_id)
+        return png_encode_rgb(pixel_rgb(doc_id, w, h))
+    if slot == "gif":
+        return gif_encode_gray(gif_fixture_gray(doc_id))
+    return jpeg_encode_gray_blocks(jpeg_fixture_gray(doc_id))
+
+
+def with_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate a mixed PNG/GIF/JPEG corpus, one real payload per
+    row — format cycles by doc_id so every Arrow batch holds all
+    three."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [mixed_fixture_payload(int(i)) for i in doc_id]
+        )
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+MIXED_CURATION_SCHEMA = (
+    "doc_id long, fmt string, width long, height long,"
+    " px_sum long, px_sqsum long, keep boolean, drop_reason string"
+)
+
+
+def sniff_decode_gray(payload: bytes) -> tuple[str, np.ndarray]:
+    """Magic-byte dispatch to the right stdlib codec; returns
+    (format, gray plane). Gray = channel 0 (PNG r-channel / GIF
+    identity palette / JPEG Y) so the quality arithmetic is uniform
+    across formats."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", png_decode_rgb(payload)[:, :, 0]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", gif_decode_rgb(payload)[:, :, 0]
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg", jpeg_decode_gray(payload)
+    raise ValueError("unrecognized image payload")
+
+
+def mixed_image_curation(df: DataFrame) -> DataFrame:
+    """ONE map-only Arrow-batched pass: sniff -> decode -> gray
+    quality sums -> exact-integer quality verdict (the
+    image_curation_pipeline thresholds: variance*n^2 < 400*n^2 ->
+    low_contrast, mean < 48 -> dark, mean > 208 -> bright)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, gray = sniff_decode_gray(bytes(payload))
+                h, w = gray.shape
+                v = gray.astype(np.int64).ravel()
+                n = w * h
+                s = int(v.sum())
+                sq = int((v * v).sum())
+                if sq * n - s * s < 400 * n * n:
+                    reason = "low_contrast"
+                elif s < 48 * n:
+                    reason = "dark"
+                elif s > 208 * n:
+                    reason = "bright"
+                else:
+                    reason = None
+                rows.append(
+                    (int(doc_id), fmt, w, h, s, sq, reason is None, reason)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "px_sum", "px_sqsum", "keep", "drop_reason",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=MIXED_CURATION_SCHEMA
+    )
+
+
 # --- shared dHash near-dup machinery (image_dedup_verdict + the ------
 # --- composed image curation pipeline share these verbatim) ----------
 

@@ -84,6 +84,41 @@ def test_jpeg_byte_stuffing_roundtrip():
         assert (mm.jpeg_decode_gray(enc) == pix).all(), v
 
 
+def test_mixed_sniff_routes_by_magic_bytes():
+    """The dispatch must key on payload bytes, not the assignment
+    rule: feed each codec's output directly and check the returned
+    format tag and gray plane."""
+    fmt, gray = mm.sniff_decode_gray(mm.mixed_fixture_payload(0))
+    assert fmt == "png" and gray.shape == mm.pixel_dims(0)[::-1]
+    fmt, gray = mm.sniff_decode_gray(mm.mixed_fixture_payload(1))
+    assert fmt == "gif" and gray.shape == (mm.GIF_CLEAR_H, mm.GIF_CLEAR_W)
+    fmt, gray = mm.sniff_decode_gray(mm.mixed_fixture_payload(2))
+    assert fmt == "jpeg" and gray.shape == mm.jpeg_fixture_dims(2)[::-1]
+    with pytest.raises(ValueError):
+        mm.sniff_decode_gray(b"RIFF....WAVE" + bytes(20))
+
+
+def test_mixed_curation_entry_invariants(spark):
+    """One verdict row per doc, formats cycle by doc_id % 3, the GIF
+    sentinel decodes through the table-clear path inside the entry,
+    and each row's sums match a direct recomputation."""
+    rows = r11.image_mixed_curation(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    by_id = {r.doc_id: r for r in rows}
+    for r in list(rows[:15]) + [by_id[1]]:
+        assert r.fmt == mm.MIXED_FORMATS[r.doc_id % 3], r
+        _, gray = mm.sniff_decode_gray(
+            mm.mixed_fixture_payload(r.doc_id)
+        )
+        v = gray.astype(np.int64).ravel()
+        assert (r.px_sum, r.px_sqsum) == (int(v.sum()), int((v * v).sum()))
+        assert r.keep == (r.drop_reason is None), r
+    assert by_id[1].fmt == "gif"
+    assert (by_id[1].width, by_id[1].height) == (
+        mm.GIF_CLEAR_W, mm.GIF_CLEAR_H,
+    )
+
+
 def test_jpeg_pixel_stats_entry_matches_decode(spark):
     """Entry-level pin: the Spark frame's integer aggregates equal a
     direct numpy recomputation from the fixture pixels at sf0.001."""
