@@ -435,6 +435,13 @@ HEADLINE = [
     "bpe_apply_udf",
     "gif_pixel_stats",
     "image_curation_pipeline",
+    # round-11 additions: the JPEG Huffman+IDCT decode cost class,
+    # mixed-format sniff-and-dispatch ingest, and the converted ANN
+    # entry (now brute-force + IVF + recall compare, a heavier but
+    # checked plan — watch its ratio against embed_cosine_topk)
+    "jpeg_pixel_stats",
+    "image_mixed_curation",
+    "embed_ann_ivf",
 ]
 
 
