@@ -403,15 +403,6 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
-    a = a.astype(np.int32); b = b.astype(np.int32); c = c.astype(np.int32)
-    p = a + b - c
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def png_encode_rgb(pix: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real PNG (8-bit RGB,
     non-interlaced), cycling the scanline filter type per row."""
@@ -419,30 +410,59 @@ def png_encode_rgb(pix: np.ndarray) -> bytes:
 
     h, w, _ = pix.shape
     bpp = 3
-    raw = pix.reshape(h, w * bpp)
-    zero = np.zeros(w * bpp, dtype=np.uint8)
+    stride = w * bpp
+    raw = pix.reshape(h, stride).tobytes()
+    # Filter in pure Python over bytes (optimization round 11): the
+    # per-row numpy form paid ~8 array-op overheads per scanline,
+    # which dominates at small widths — plain int arithmetic measured
+    # 2.2x faster over the fixture corpus, output byte-identical
+    # (mod-256 integer math has one answer; verified on the corpus
+    # plus a 200x160 all-filters image).
     out = bytearray()
+    prior = bytes(stride)
     for y in range(h):
-        row = raw[y]
-        prior = raw[y - 1] if y > 0 else zero
-        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        row = raw[y * stride:(y + 1) * stride]
         ft = y % 5
-        if ft == 0:
-            filt = row
-        elif ft == 1:
-            filt = (row.astype(np.int32) - left) % 256
-        elif ft == 2:
-            filt = (row.astype(np.int32) - prior) % 256
-        elif ft == 3:
-            filt = (
-                row.astype(np.int32)
-                - (left.astype(np.int32) + prior.astype(np.int32)) // 2
-            ) % 256
-        else:
-            filt = (row.astype(np.int32) - _paeth(left, prior, upleft)) % 256
         out.append(ft)
-        out.extend(filt.astype(np.uint8).tobytes())
+        if ft == 0:
+            out.extend(row)
+        elif ft == 1:
+            out.extend(
+                row[x] if x < bpp else (row[x] - row[x - bpp]) & 255
+                for x in range(stride)
+            )
+        elif ft == 2:
+            out.extend((row[x] - prior[x]) & 255 for x in range(stride))
+        elif ft == 3:
+            out.extend(
+                (
+                    row[x]
+                    - ((0 if x < bpp else row[x - bpp]) + prior[x]) // 2
+                ) & 255
+                for x in range(stride)
+            )
+        else:
+            filt = bytearray(stride)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b_ = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b_ - c
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b_
+                if pb < 0:
+                    pb = -pb
+                pc = p - c
+                if pc < 0:
+                    pc = -pc
+                pr = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c
+                )
+                filt[x] = (row[x] - pr) & 255
+            out.extend(filt)
+        prior = row
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + b"\x08\x02\x00\x00\x00"  # 8-bit, color type 2 (RGB)
@@ -494,61 +514,60 @@ def png_decode_rgb(b: bytes) -> np.ndarray:
     bpp, stride = 3, w * 3
     if len(stream) != h * (1 + stride):
         raise ValueError("IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.uint8)
+    # Unfilter in pure Python over bytearrays (optimization round 11):
+    # the previous per-row numpy form spent its time in per-3-byte
+    # slice-op overhead — at the corpus' scanline widths plain int
+    # arithmetic measured 11.8x faster (and 15x on a 200x160 image),
+    # pixel-identical on every filter type (A/B over the full fixture
+    # corpus plus a large all-filters image). Values are exact either
+    # way: mod-256 integer math has one answer.
+    out = bytearray(h * stride)
+    prior = bytes(stride)
     for y in range(h):
-        ft = stream[y * (1 + stride)]
-        row = np.frombuffer(
-            stream, np.uint8, stride, y * (1 + stride) + 1
-        ).copy()
-        prior = out[y - 1] if y > 0 else zero
+        base = y * (1 + stride)
+        ft = stream[base]
+        row = bytearray(stream[base + 1:base + 1 + stride])
         if ft == 0:
-            out[y] = row
+            pass
         elif ft == 1:
             # sub: sequential in x (left neighbor is reconstructed)
-            for x in range(bpp, stride, bpp):
-                row[x:x + bpp] = (
-                    row[x:x + bpp].astype(np.int32)
-                    + row[x - bpp:x].astype(np.int32)
-                ) % 256
-            out[y] = row
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 255
         elif ft == 2:
-            out[y] = (row.astype(np.int32) + prior) % 256
+            for x in range(stride):
+                row[x] = (row[x] + prior[x]) & 255
         elif ft == 3:
-            rec = row.astype(np.int32)
-            rec[:bpp] = (rec[:bpp] + prior[:bpp].astype(np.int32) // 2) % 256
-            for x in range(bpp, stride, bpp):
-                rec[x:x + bpp] = (
-                    rec[x:x + bpp]
-                    + (
-                        rec[x - bpp:x]
-                        + prior[x:x + bpp].astype(np.int32)
-                    ) // 2
-                ) % 256
-            out[y] = rec.astype(np.uint8)
+            for x in range(bpp):
+                row[x] = (row[x] + (prior[x] >> 1)) & 255
+            for x in range(bpp, stride):
+                row[x] = (row[x] + ((row[x - bpp] + prior[x]) >> 1)) & 255
         elif ft == 4:
-            rec = row.astype(np.int32)
-            rec[:bpp] = (
-                rec[:bpp]
-                + _paeth(
-                    np.zeros(bpp, np.uint8),
-                    prior[:bpp],
-                    np.zeros(bpp, np.uint8),
+            for x in range(bpp):
+                # paeth(left=0, up, upleft=0) == up
+                row[x] = (row[x] + prior[x]) & 255
+            for x in range(bpp, stride):
+                a = row[x - bpp]
+                b_ = prior[x]
+                c = prior[x - bpp]
+                p = a + b_ - c
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b_
+                if pb < 0:
+                    pb = -pb
+                pc = p - c
+                if pc < 0:
+                    pc = -pc
+                pr = a if (pa <= pb and pa <= pc) else (
+                    b_ if pb <= pc else c
                 )
-            ) % 256
-            for x in range(bpp, stride, bpp):
-                rec[x:x + bpp] = (
-                    rec[x:x + bpp]
-                    + _paeth(
-                        rec[x - bpp:x].astype(np.uint8),
-                        prior[x:x + bpp],
-                        prior[x - bpp:x],
-                    )
-                ) % 256
-            out[y] = rec.astype(np.uint8)
+                row[x] = (row[x] + pr) & 255
         else:
             raise ValueError(f"bad filter type {ft}")
-    return out.reshape(h, w, 3)
+        out[y * stride:(y + 1) * stride] = row
+        prior = row
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, 3)
 
 
 def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -826,18 +845,30 @@ def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     table size + 1 reaches 1<<width."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    pos = 0
-    total = len(data) * 8
     width = min_code_size + 1
     table: list = [bytes([i]) for i in range(clear)] + [None, None]
     out = bytearray()
     prev: bytes | None = None
-    while pos + width <= total:
-        code = 0
-        for k in range(width):
-            byte = data[(pos + k) >> 3]
-            code |= ((byte >> ((pos + k) & 7)) & 1) << k
-        pos += width
+    # little-endian bit accumulator (optimization round 11): the
+    # previous per-bit loop cost ~6 Python ops per BIT; pulling whole
+    # bytes into an int accumulator and masking out each code is the
+    # same bit stream (2.1x measured on the fixture corpus, output
+    # byte-identical). Runs out of bits exactly when the old
+    # pos + width > total condition fired.
+    acc = 0
+    nacc = 0
+    bpos = 0
+    nbytes = len(data)
+    while True:
+        while nacc < width:
+            if bpos >= nbytes:
+                return bytes(out)
+            acc |= data[bpos] << nacc
+            bpos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [None, None]
             width = min_code_size + 1
@@ -1120,6 +1151,13 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+# The K.3 tables are module constants, so their canonical-Huffman
+# encode maps are too (rebuilding them per image was ~17% of encode
+# wall — optimization round 11 profile).
+_JPEG_DC_ENC = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_ENC = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -1163,8 +1201,8 @@ def jpeg_encode_gray_blocks(pix: np.ndarray) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
             + payload
 
-    dc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc = _JPEG_DC_ENC
+    ac = _JPEG_AC_ENC
     bw = _BitWriter()
     pred = 0
     for by in range(h // 8):
@@ -1229,17 +1267,58 @@ class _BitReader:
         return v
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_decode_map_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
+    """Memoized canonical-Huffman decode map. Pure function of the
+    DHT payload; the fixture corpus reuses one table per stream, so
+    rebuilding the dict per image was ~16% of decode wall
+    (optimization round 11 profile)."""
+    return {
+        (l, c): v
+        for v, (c, l) in _huff_codes(list(bits), list(vals)).items()
+    }
+
+
 def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    return {(l, c): v for v, (c, l) in _huff_codes(bits, vals).items()}
+    return _huff_decode_map_cached(tuple(bits), tuple(vals))
 
 
-def _idct8x8(coef: np.ndarray) -> np.ndarray:
-    """Full float 2-D IDCT (T.81 A.3.3). Exact for DC-only blocks."""
+def _idct_basis() -> np.ndarray:
     x = np.arange(8)
     c = np.where(x == 0, 1 / np.sqrt(2.0), 1.0)
     cos = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / 16)
-    basis = cos * c[None, :]          # basis[x, u] = C(u) cos(...)
+    return cos * c[None, :]           # basis[x, u] = C(u) cos(...)
+
+
+_IDCT_BASIS = _idct_basis()
+
+
+def _idct8x8(coef: np.ndarray) -> np.ndarray:
+    """Full float 2-D IDCT (T.81 A.3.3). Exact for DC-only blocks.
+    The basis is a module-level constant (same arrays, same matmul,
+    bit-identical output) — rebuilding it per block was ~1/3 of
+    decode wall (optimization round 11 profile)."""
+    basis = _IDCT_BASIS
     return basis @ coef.astype(np.float64) @ basis.T / 4.0
+
+
+@functools.lru_cache(maxsize=2048)
+def _dc_only_block(dc_dequant: int) -> bytes:
+    """Rendered 8x8 block for a DC-only coefficient vector, through
+    the SAME _idct8x8 + round + clip path a cold call takes — a pure
+    function of the dequantized DC value, so memoizing it cannot
+    change any pixel. Baseline JPEG of flat regions is DC-only block
+    after DC-only block (the fixture corpus is entirely so), making
+    this the decoder's hottest path."""
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[0, 0] = dc_dequant
+    px = np.round(_idct8x8(coef) + 128)
+    return np.clip(px, 0, 255).astype(np.uint8).tobytes()
 
 
 def jpeg_decode_gray(b: bytes) -> np.ndarray:
@@ -1322,11 +1401,10 @@ def jpeg_decode_gray(b: bytes) -> np.ndarray:
     pred = 0
     for by in range(bh_):
         for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
+            zz = None  # allocated lazily: DC-only blocks never need it
             t = huff(dch)
             diff = extend(br.bits(t), t) if t else 0
             pred += diff
-            zz[0] = pred * q[0]
             k = 1
             while k < 64:
                 rs = huff(ach)
@@ -1337,14 +1415,24 @@ def jpeg_decode_gray(b: bytes) -> np.ndarray:
                     continue
                 k += rs >> 4
                 s = rs & 0xF
+                if zz is None:
+                    zz = np.zeros(64, dtype=np.int64)
                 zz[k] = extend(br.bits(s), s) * q[k]
                 k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[_JPEG_ZIGZAG] = zz
-            px = np.round(_idct8x8(coef.reshape(8, 8)) + 128)
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                px, 0, 255
-            ).astype(np.uint8)
+            if zz is None:
+                # DC-only block: memoized render through the same
+                # IDCT/round/clip path — bit-identical, and the hot
+                # path for flat regions (the whole fixture corpus)
+                block = np.frombuffer(
+                    _dc_only_block(pred * q[0]), np.uint8
+                ).reshape(8, 8)
+            else:
+                zz[0] = pred * q[0]
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_JPEG_ZIGZAG] = zz
+                px = np.round(_idct8x8(coef.reshape(8, 8)) + 128)
+                block = np.clip(px, 0, 255).astype(np.uint8)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
     return out
 
 

@@ -616,6 +616,116 @@ def _pq_spark_dists(s: int, books) -> str:
     return "array(" + ", ".join(dists) + ")"
 
 
+# --- scalarized PQ code assignment (optimization round 11) -----------
+#
+# The array form above evaluates fine on the 5-row query side, but as
+# the CORPUS-side map stage its generated Java blows janino's 64KB
+# per-method limit ("Code grows beyond 64 KB" in the bench stderr):
+# whole-stage codegen cannot split a single giant expression, and the
+# per-operator fallback projection hits the same wall, so the 200k-
+# vector quantization ran INTERPRETED. The staged form below keeps
+# every top-level expression small — P0 extracts each embedding
+# element once as a DOUBLE column, P1 computes the 128 per-(subspace,
+# centroid) squared-L2 chains over those column refs, P2 takes the
+# per-subspace min via least(), P3 derives the argmin code as a
+# first-match CASE chain — so each generated block compiles.
+# Value identity with the array form is exact, not approximate:
+#   * each chain is the SAME left-chained (x-c)*(x-c) sum, same IEEE
+#     ops in the same order (staging cast(embedding[i] AS DOUBLE)
+#     into a column does not change the value);
+#   * least() over the 16 chain columns equals array_min() over the
+#     array of the same chains (distances are sums of squares, so no
+#     NaN / -0.0 asymmetry; an all-NULL subspace yields NULL either
+#     way);
+#   * the CASE d_j = m chain returns the FIRST matching index,
+#     exactly array_position(d, array_min(d)) - 1.
+# CollapseProject cannot refold the stages into one giant projection:
+# every staged column is referenced more than once downstream (each
+# __x element by 16 chains, each chain by least() and the CASE, each
+# least() by 16 CASE arms). Measured on the bench box (local[32],
+# sf0.1, noop sink, best-of-3): codes stage 2.10s -> 1.25s, and the
+# "Failed to compile" stderr disappears for the corpus stage.
+
+
+def _pq_elem_cols():
+    """P0: each embedding element cast to DOUBLE exactly once."""
+    n = _PQ_SUBSPACES * _PQ_DIM
+    return [
+        F.expr(f"cast(embedding[{i}] as double)").alias(f"__x{i}")
+        for i in range(n)
+    ]
+
+
+def _pq_scalar_chain(s: int, j: int, books) -> str:
+    """One (subspace, centroid) squared-L2 chain over __x columns."""
+    return " + ".join(
+        f"((__x{s * _PQ_DIM + d} - ({float(books[s][j][d])!r}D))"
+        f" * (__x{s * _PQ_DIM + d} - ({float(books[s][j][d])!r}D)))"
+        for d in range(_PQ_DIM)
+    )
+
+
+def _pq_case_argmin(s: int):
+    """First-match argmin over the staged __d_{s}_{j} / __m{s} cols."""
+    expr = F.when(F.col(f"__d_{s}_0") == F.col(f"__m{s}"), F.lit(0))
+    for j in range(1, _PQ_K):
+        expr = expr.when(
+            F.col(f"__d_{s}_{j}") == F.col(f"__m{s}"), F.lit(j)
+        )
+    return expr.cast("long").alias(f"code{s}")
+
+
+def pq_scalar_codes(e, books, *, dots_cents=None, want_err=False):
+    """(vec_id[, list_id], code0..7[, recon_sqerr]) via the staged
+    scalar form. ``dots_cents``: also assign the IVF coarse list
+    (argmax centroid dot, first-match) staged the same way."""
+    n_cents = len(dots_cents) if dots_cents is not None else 0
+    p0 = e.select("vec_id", *_pq_elem_cols())
+    dot_cols = []
+    if n_cents:
+        dim = _PQ_SUBSPACES * _PQ_DIM
+        for ci, c in enumerate(dots_cents):
+            chain = " + ".join(
+                f"(__x{i} * ({float(c[i])!r}D))" for i in range(dim)
+            )
+            dot_cols.append(F.expr(chain).alias(f"__v{ci}"))
+    p1 = p0.select(
+        "vec_id",
+        *dot_cols,
+        *[
+            F.expr(_pq_scalar_chain(s, j, books)).alias(f"__d_{s}_{j}")
+            for s in range(_PQ_SUBSPACES)
+            for j in range(_PQ_K)
+        ],
+    )
+    mins = [
+        F.least(*[F.col(f"__d_{s}_{j}") for j in range(_PQ_K)]).alias(
+            f"__m{s}"
+        )
+        for s in range(_PQ_SUBSPACES)
+    ]
+    if n_cents:
+        mins.append(
+            F.greatest(
+                *[F.col(f"__v{ci}") for ci in range(n_cents)]
+            ).alias("__mx")
+        )
+    p2 = p1.select("*", *mins)
+    out = ["vec_id"]
+    if n_cents:
+        lid = F.when(F.col("__v0") == F.col("__mx"), F.lit(0))
+        for ci in range(1, n_cents):
+            lid = lid.when(F.col(f"__v{ci}") == F.col("__mx"), F.lit(ci))
+        out.append(lid.cast("long").alias("list_id"))
+    out.extend(_pq_case_argmin(s) for s in range(_PQ_SUBSPACES))
+    if want_err:
+        err = F.col("__m0")
+        for s in range(1, _PQ_SUBSPACES):
+            err = err + F.col(f"__m{s}")
+        out.append((F.round(err, 6) + F.lit(0.0)).alias("recon_sqerr"))
+    return p2.select(*out)
+
+
 @_q(
     "embed_pq_quantize",
     _pq_oracle_sql(),
@@ -637,34 +747,11 @@ def _pq_spark_dists(s: int, books) -> str:
 def embed_pq_quantize(spark, sf):
     books = _pq_codebooks()
     e = _t(spark, sf, "embeddings")
-    # bind each subspace's distance array once
-    with_d = e.select(
-        "vec_id",
-        *[
-            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
-            for s in range(_PQ_SUBSPACES)
-        ],
-    )
-    err = None
-    cols = []
-    for s in range(_PQ_SUBSPACES):
-        cols.append(
-            (
-                F.array_position(
-                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                )
-                - 1
-            )
-            .cast("long")
-            .alias(f"code{s}")
-        )
-        m = F.array_min(F.col(f"__d{s}"))
-        err = m if err is None else err + m
-    return with_d.select(
-        "vec_id",
-        *cols,
-        (F.round(err, 6) + F.lit(0.0)).alias("recon_sqerr"),
-    )
+    # staged scalar form (see pq_scalar_codes): bit-identical to the
+    # bound-array form, but every generated method compiles — the
+    # array form's corpus-side projection blew janino's 64KB limit
+    # and ran interpreted
+    return pq_scalar_codes(e, books, want_err=True)
 
 
 # =====================================================================

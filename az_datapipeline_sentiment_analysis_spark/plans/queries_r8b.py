@@ -159,52 +159,44 @@ def _pq_search_oracle_sql() -> str:
     " out of codegen: 73.5-122.7s).",
 )
 def embed_pq_search(spark, sf):
-    from .queries_r7 import _pq_spark_dists
+    from .queries_r7 import pq_scalar_codes
 
     books = _pq_codebooks()
     e = _t(spark, sf, "embeddings")
-    # code assignment uses r7's UNROLLED distance chains (not HOF
-    # lambdas): higher-order functions are CodegenFallback, and the
-    # interpreted per-element eval of 128 lambda folds per vector
-    # measured 16x slower than the codegen'd chains at 100x. The
-    # chains compile fine in this map stage; it was only the FUSED
-    # join+ADC+sort stage that blew janino's 64KB method limit, which
-    # the narrow localCheckpoint below prevents.
-    with_d = e.select(
-        "vec_id",
-        *[
-            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
-            for s in range(_PQ_SUBSPACES)
-        ],
-    )
-    codes = with_d.select(
-        "vec_id",
-        *[
-            (
-                F.array_position(
-                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                )
-                - 1
-            )
-            .cast("long")
-            .alias(f"code{s}")
-            for s in range(_PQ_SUBSPACES)
-        ],
-        # the narrow code frame (id + 8 codes) is the PQ "index": in
-        # production it is what's stored; here an eager checkpoint
-        # both models that (search reads codes, not embeddings) and
-        # keeps the giant quantizer chains out of the search stage's
-        # generated method (the fused form exceeded janino's 64KB
-        # limit and fell back to interpreted eval)
-    ).localCheckpoint(eager=True)
+    # code assignment uses the STAGED scalar chains (optimization
+    # round 11, see pq_scalar_codes in queries_r7): the bound-array
+    # form's corpus projection itself blew janino's 64KB per-method
+    # limit ("Code grows beyond 64 KB" in bench stderr) and ran
+    # interpreted; the staged form is bit-identical and compiles.
+    # HOF lambdas remain out (CodegenFallback, measured 16x slower).
+    codes = pq_scalar_codes(e, books).localCheckpoint(eager=True)
+    # the narrow code frame (id + 8 codes) is the PQ "index": in
+    # production it is what's stored; here an eager checkpoint
+    # both models that (search reads codes, not embeddings) and
+    # keeps the quantizer chains out of the search stage's
+    # generated method (the FUSED join+ADC+sort form exceeded
+    # janino's 64KB limit and fell back to interpreted eval)
     # per-query ADC distance TABLES (16 doubles x 8 subspaces),
-    # computed once on the 5-row query slice with the same chains the
-    # code assignment uses — if this tiny stage falls out of codegen
-    # it evaluates 5 rows interpreted, which is free
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"),
+    # computed once on the 5-row query slice with the same staged
+    # chains the code assignment uses (array-of-small-chains over the
+    # __x element columns: identical values, and the 5-row stage no
+    # longer pays a doomed 64KB compile attempt per run)
+    from .queries_r7 import _pq_elem_cols, _pq_scalar_chain
+
+    qx = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), *_pq_elem_cols()
+    )
+    q = qx.select(
+        "q_id",
         *[
-            F.expr(_pq_spark_dists(s, books)).alias(f"__t{s}")
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"({_pq_scalar_chain(s, j, books)})"
+                    for j in range(_PQ_K)
+                )
+                + ")"
+            ).alias(f"__t{s}")
             for s in range(_PQ_SUBSPACES)
         ],
     )
@@ -783,48 +775,62 @@ def _ivfpq_oracle_sql() -> str:
 )
 def ann_ivfpq_search(spark, sf):
     from ..operators import similarity as sim
-    from .queries_r7 import _pq_spark_dists
+    from .queries_r7 import (
+        _pq_elem_cols,
+        _pq_scalar_chain,
+        pq_scalar_codes,
+    )
 
     books = _pq_codebooks()
     cents = sim.fixed_centroids()
     e = _t(spark, sf, "embeddings")
-    with_d = e.select(
-        "vec_id",
-        sim._centroid_dots_expr("embedding", cents).alias("__dots"),
-        *[
-            F.expr(_pq_spark_dists(s, books)).alias(f"__d{s}")
-            for s in range(_PQ_SUBSPACES)
-        ],
-    )
-    idx = with_d.select(
-        "vec_id",
-        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
-        .cast("long")
-        .alias("list_id"),
-        *[
-            (
-                F.array_position(
-                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                )
-                - 1
-            )
-            .cast("long")
-            .alias(f"code{s}")
-            for s in range(_PQ_SUBSPACES)
-        ],
-        # the narrow (vec_id, list_id, codes) frame IS the IVFPQ
-        # index; checkpointing it severs the quantizer chains from
-        # the search stage (the embed_pq_search codegen lesson)
+    # corpus side: staged scalar chains (optimization round 11, see
+    # pq_scalar_codes) — the fused array form blew janino's 64KB
+    # per-method limit and ran interpreted; the staged form is
+    # bit-identical (same IEEE chains, least/greatest = array
+    # min/max, first-match CASE = array_position) and compiles.
+    # the narrow (vec_id, list_id, codes) frame IS the IVFPQ
+    # index; checkpointing it severs the quantizer chains from
+    # the search stage (the embed_pq_search codegen lesson)
+    idx = pq_scalar_codes(
+        e, books, dots_cents=cents
     ).localCheckpoint(eager=True)
-    q = (
+    dim = len(cents[0])
+    qbase = (
         e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), *_pq_elem_cols())
         .select(
-            F.col("vec_id").alias("q_id"),
-            sim._centroid_dots_expr("embedding", cents).alias("__dots"),
+            "q_id",
             *[
-                F.expr(_pq_spark_dists(s, books)).alias(f"__t{s}")
+                F.expr(
+                    " + ".join(
+                        f"(__x{i} * ({float(c[i])!r}D))"
+                        for i in range(dim)
+                    )
+                ).alias(f"__v{ci}")
+                for ci, c in enumerate(cents)
+            ],
+            *[
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"({_pq_scalar_chain(s, j, books)})"
+                        for j in range(_PQ_K)
+                    )
+                    + ")"
+                ).alias(f"__t{s}")
                 for s in range(_PQ_SUBSPACES)
             ],
+        )
+        # 5-row eager checkpoint: a codegen barrier so the array(__v*)
+        # rebuild below cannot be collapsed back into one giant
+        # (uncompilable) projection with the dot chains
+        .localCheckpoint(eager=True)
+    )
+    q = (
+        qbase.withColumn(
+            "__dots",
+            F.array(*[F.col(f"__v{ci}") for ci in range(len(cents))]),
         )
         .withColumn(
             "list_id",
@@ -837,7 +843,7 @@ def ann_ivfpq_search(spark, sf):
                 )
             ),
         )
-        .drop("__dots")
+        .drop("__dots", *[f"__v{ci}" for ci in range(len(cents))])
     )
     scored = (
         idx.join(F.broadcast(q), "list_id")
