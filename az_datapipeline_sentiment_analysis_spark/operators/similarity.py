@@ -477,6 +477,104 @@ def pq_codebooks() -> np.ndarray:
     return rng.standard_normal((PQ_SUBSPACES, PQ_K, PQ_DIM))
 
 
+def pq_assign_batch(
+    x: np.ndarray,
+    books: np.ndarray,
+    cents: np.ndarray | None = None,
+    want_err: bool = False,
+) -> dict[str, np.ndarray]:
+    """numpy twin of the staged scalar PQ chains (queries_r7), used by
+    the Arrow code-assignment path: SAME IEEE doubles through the SAME
+    operations in the SAME order, so every output is bit-identical to
+    the JVM chains and therefore to the DuckDB oracle.
+
+    Op-order contract (the whole point of this function):
+      * each (subspace, centroid) distance is the left-chained
+        (x-c)*(x-c) sum over the 8 dims — here sq[:, :, 0] followed by
+        seven sequential in-place adds, one IEEE add per dim exactly
+        like the ``a + b + c`` SQL chain;
+      * each centroid dot is the left-chained x[i]*c[i] sum — P[..., 0]
+        plus 63 sequential adds;
+      * code = FIRST index attaining the subspace min (np.argmin
+        returns the first occurrence — the CASE first-match chain);
+      * list_id = FIRST index attaining the dot max (np.argmax);
+      * recon err (raw, UNROUNDED — the caller applies Spark's
+        round(…, 6) so the final rounding stays in the JVM) is the
+        left-chained sum of the 8 subspace mins.
+
+    ``x`` must be float64 of shape (n, PQ_SUBSPACES * PQ_DIM); the
+    float32 -> float64 cast upstream is exact.
+    """
+    out: dict[str, np.ndarray] = {}
+    if cents is not None:
+        c64 = np.asarray(cents, dtype=np.float64)
+        prods = x[:, None, :] * c64[None, :, :]
+        dots = prods[:, :, 0].copy()
+        for i in range(1, prods.shape[2]):
+            dots += prods[:, :, i]
+        out["list_id"] = np.argmax(dots, axis=1).astype(np.int64)
+    b64 = np.asarray(books, dtype=np.float64)
+    n = x.shape[0]
+    codes = np.empty((n, PQ_SUBSPACES), dtype=np.int64)
+    mins = np.empty((n, PQ_SUBSPACES), dtype=np.float64)
+    for s in range(PQ_SUBSPACES):
+        xs = x[:, s * PQ_DIM:(s + 1) * PQ_DIM]
+        diff = xs[:, None, :] - b64[s][None, :, :]
+        sq = diff * diff
+        acc = sq[:, :, 0].copy()
+        for k in range(1, PQ_DIM):
+            acc += sq[:, :, k]
+        codes[:, s] = np.argmin(acc, axis=1)
+        if want_err:
+            mins[:, s] = np.min(acc, axis=1)
+    out["codes"] = codes
+    if want_err:
+        err = mins[:, 0].copy()
+        for s in range(1, PQ_SUBSPACES):
+            err += mins[:, s]
+        out["err_raw"] = err
+    return out
+
+
+def pq_adc_tables(xq: list[float], books: np.ndarray) -> list[list[float]]:
+    """Per-query ADC distance tables (8 x 16 doubles), computed on the
+    driver with the EXACT chain arithmetic of the staged scalar form:
+    table[s][j] = left-chained (x-c)*(x-c) sum over the subspace dims.
+    ``xq`` is the collected query embedding (Python floats, i.e. IEEE
+    doubles — the float32 -> double cast happened in collect())."""
+    tables: list[list[float]] = []
+    for s in range(PQ_SUBSPACES):
+        row = []
+        for j in range(PQ_K):
+            acc = None
+            for d in range(PQ_DIM):
+                xv = xq[s * PQ_DIM + d]
+                cv = float(books[s][j][d])
+                term = (xv - cv) * (xv - cv)
+                acc = term if acc is None else acc + term
+            row.append(acc)
+        tables.append(row)
+    return tables
+
+
+def ivf_probe_lists(
+    xq: list[float], cents: np.ndarray, n_probe: int
+) -> list[int]:
+    """The query's probed IVF lists: top-``n_probe`` centroid ids by
+    descending dot (ties to the smaller id), the driver-side twin of
+    the array_sort(zip_with(-dot, i)) expression. Dots use the exact
+    left-chained x[i]*c[i] sum."""
+    dots = []
+    for ci in range(len(cents)):
+        acc = None
+        for i in range(len(xq)):
+            term = xq[i] * float(cents[ci][i])
+            acc = term if acc is None else acc + term
+        dots.append(acc)
+    order = sorted(range(len(cents)), key=lambda i: (-dots[i], i))
+    return order[:n_probe]
+
+
 def cluster_pairs_ctes(n_lists: int) -> str:
     """The fixed-quantizer cluster-blocked cosine-pair frame as a
     reusable DuckDB CTE chain ending in ``pairs(u, v, cosine)``

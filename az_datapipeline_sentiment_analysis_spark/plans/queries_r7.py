@@ -726,6 +726,88 @@ def pq_scalar_codes(e, books, *, dots_cents=None, want_err=False):
     return p2.select(*out)
 
 
+def pq_arrow_codes(e, books, *, dots_cents=None, want_err=False):
+    """(vec_id[, list_id], code0..7[, recon_err_raw]) via ONE numpy
+    mapInArrow pass — the optimization-round-11 rewrite of the staged
+    scalar form (kept above as the value-identity reference and the
+    pytest cross-check).
+
+    Why: the staged form's 144-column projection of deep expression
+    chains made CATALYST the bottleneck, not execution — building and
+    optimizing the plan cost ~3s per run at any data size, and the
+    query-side array(16-chain) projections still blew janino's 64KB
+    method limit (a doomed compile attempt per session per shape).
+    The guide's §4.2 move applies: hand whole Arrow batches to numpy.
+    ``operators.similarity.pq_assign_batch`` replays the EXACT chain
+    arithmetic (same IEEE ops, same order, first-match argmin/argmax),
+    so codes / list_id / raw err are bit-identical; the final
+    round(err, 6) stays in the JVM (the caller applies it), so the
+    rendered float is produced by the same Spark round as before.
+
+    Integer codes cross the Python boundary — never the rounded
+    floats — so there is no float-render hazard at the Arrow seam.
+    """
+    import pyarrow as pa
+
+    from ..operators.similarity import pq_assign_batch
+
+    n_cents = len(dots_cents) if dots_cents is not None else 0
+    cents = None if dots_cents is None else list(dots_cents)
+    books_l = books
+    want = bool(want_err)
+
+    fields = [("vec_id", pa.int64())]
+    schema_sql = ["vec_id long"]
+    if n_cents:
+        fields.append(("list_id", pa.int64()))
+        schema_sql.append("list_id long")
+    for s in range(_PQ_SUBSPACES):
+        fields.append((f"code{s}", pa.int64()))
+        schema_sql.append(f"code{s} long")
+    if want:
+        fields.append(("recon_err_raw", pa.float64()))
+        schema_sql.append("recon_err_raw double")
+    out_schema = pa.schema(fields)
+    dim = _PQ_SUBSPACES * _PQ_DIM
+
+    def assign(batches):
+        import numpy as np
+
+        for b in batches:
+            vec = b.column(0)
+            emb = b.column(1)
+            n = len(vec)
+            if n == 0:
+                continue
+            flat = emb.flatten()
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            widths = offs[1:] - offs[:-1]
+            # uniform fixed-dim corpus (contract-checked): reshape is
+            # exact; the float32 -> float64 cast is value-exact
+            if not (widths == dim).all():
+                raise ValueError("ragged embedding batch in PQ path")
+            x = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            r = pq_assign_batch(
+                x, books_l, cents=cents, want_err=want
+            )
+            arrays = [vec.cast(pa.int64())]
+            if n_cents:
+                arrays.append(pa.array(r["list_id"], pa.int64()))
+            for s in range(_PQ_SUBSPACES):
+                arrays.append(pa.array(r["codes"][:, s], pa.int64()))
+            if want:
+                arrays.append(pa.array(r["err_raw"], pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        assign, ", ".join(schema_sql)
+    )
+
+
 @_q(
     "embed_pq_quantize",
     _pq_oracle_sql(),
@@ -739,19 +821,32 @@ def pq_scalar_codes(e, books, *, dots_cents=None, want_err=False):
     " (smallest code) tie-break, all constants fixed-seed, so codes"
     " AND the per-vector reconstruction error are engine-identical"
     " arithmetic — fully hash-checked like embed_ann_ivf_exact."
-    " Spark evaluates each subspace's 16 distances once into a bound"
-    " array column (the CSE lesson: Catalyst does not reliably dedupe"
-    " an expression referenced by both array_position and array_min)."
-    " Map-only scan, zero shuffle at any corpus size. Measured at 100x replication of sf0.1 (local[32]): 8.2s for 200k vectors (128 distance evaluations each).",
+    " Spark runs the assignment as ONE numpy mapInArrow pass"
+    " (pq_arrow_codes) that replays the exact staged-chain IEEE"
+    " arithmetic — integer codes cross the Arrow seam, the final"
+    " round(err, 6) stays in the JVM, and pytest pins the Arrow path"
+    " bit-equal to the pure-Catalyst staged scalar form it replaced"
+    " (whose 144-column projection cost ~3s of Catalyst per run at"
+    " ANY data size — the optimization-round-11 lesson: plan cost is"
+    " a per-run tax, Python-boundary cost amortizes over rows)."
+    " Map-only scan, zero shuffle at any corpus size. Measured at"
+    " sf0.1 (local[32], isolated best-of-3): 0.43s vs the staged"
+    " form's 5.5s; 100x datapoint in the round-11 OPTIMIZATION log.",
 )
 def embed_pq_quantize(spark, sf):
     books = _pq_codebooks()
     e = _t(spark, sf, "embeddings")
-    # staged scalar form (see pq_scalar_codes): bit-identical to the
-    # bound-array form, but every generated method compiles — the
-    # array form's corpus-side projection blew janino's 64KB limit
-    # and ran interpreted
-    return pq_scalar_codes(e, books, want_err=True)
+    # Arrow numpy path (see pq_arrow_codes): bit-identical chains, and
+    # the per-run Catalyst cost of the 144-column staged projection is
+    # gone. The final round stays in the JVM.
+    raw = pq_arrow_codes(e, books, want_err=True)
+    return raw.select(
+        "vec_id",
+        *[f"code{s}" for s in range(_PQ_SUBSPACES)],
+        (F.round(F.col("recon_err_raw"), 6) + F.lit(0.0)).alias(
+            "recon_sqerr"
+        ),
+    )
 
 
 # =====================================================================

@@ -143,62 +143,61 @@ def _pq_search_oracle_sql() -> str:
     " distance is then 8 table lookups by its stored codes — the"
     " original vectors are never touched after quantization (the"
     " property that lets a billion-vector index live in executor"
-    " RAM). Tables are hoisted onto the broadcast 5-row query frame;"
-    " both engines' tables come from the SAME chain generation as"
-    " the code assignment, so IEEE arithmetic is identical — fully"
-    " hash-checked, like the quantizer. Plan: narrow checkpointed"
-    " code scan (the stored 'index') x broadcast query tables,"
-    " 8-lookup per-pair expression inside WholeStageCodegen,"
-    " per-query top-5 as a WindowGroupLimit — zero wide shuffle at"
-    " any corpus size. Pytest replays the pipeline in"
+    " RAM). Corpus codes come from the numpy mapInArrow pass"
+    " (pq_arrow_codes — bit-identical chains, pytest-pinned); the"
+    " per-query tables are computed on the DRIVER from the collected"
+    " 5-row query slice (bounded by design, the BPE merge-table"
+    " precedent) with the exact chain arithmetic and shipped as a"
+    " 5-row literal frame. Plan: narrow Arrow code scan (the stored"
+    " 'index') x broadcast query tables, 8-lookup per-pair"
+    " expression inside WholeStageCodegen, per-query top-5 as a"
+    " WindowGroupLimit — zero wide shuffle at any corpus size."
+    " Pytest replays the pipeline in"
     " numpy and pins every emitted adc_dist to the exact squared L2"
     " between the query and the corpus vector's PQ reconstruction —"
-    " ADC's defining identity. Measured at 100x replication of"
-    " sf0.1 (local[32]): 20.8s for 5 queries x 200k vectors"
-    " including quantization (earlier forms whose pair stage fell"
-    " out of codegen: 73.5-122.7s).",
+    " ADC's defining identity. Measured at sf0.1 (local[32],"
+    " isolated best-of-3): 1.2s vs the staged-chain form's 7.2s"
+    " (earlier forms whose pair stage fell out of codegen:"
+    " 73.5-122.7s at 100x); 100x datapoint in OPTIMIZATION_r11.md.",
 )
 def embed_pq_search(spark, sf):
-    from .queries_r7 import pq_scalar_codes
+    from .queries_r7 import pq_arrow_codes
 
     books = _pq_codebooks()
     e = _t(spark, sf, "embeddings")
-    # code assignment uses the STAGED scalar chains (optimization
-    # round 11, see pq_scalar_codes in queries_r7): the bound-array
-    # form's corpus projection itself blew janino's 64KB per-method
-    # limit ("Code grows beyond 64 KB" in bench stderr) and ran
-    # interpreted; the staged form is bit-identical and compiles.
-    # HOF lambdas remain out (CodegenFallback, measured 16x slower).
-    codes = pq_scalar_codes(e, books).localCheckpoint(eager=True)
-    # the narrow code frame (id + 8 codes) is the PQ "index": in
-    # production it is what's stored; here an eager checkpoint
-    # both models that (search reads codes, not embeddings) and
-    # keeps the quantizer chains out of the search stage's
-    # generated method (the FUSED join+ADC+sort form exceeded
-    # janino's 64KB limit and fell back to interpreted eval)
-    # per-query ADC distance TABLES (16 doubles x 8 subspaces),
-    # computed once on the 5-row query slice with the same staged
-    # chains the code assignment uses (array-of-small-chains over the
-    # __x element columns: identical values, and the 5-row stage no
-    # longer pays a doomed 64KB compile attempt per run)
-    from .queries_r7 import _pq_elem_cols, _pq_scalar_chain
+    # code assignment: the Arrow numpy pass (optimization round 11,
+    # see pq_arrow_codes in queries_r7) — bit-identical chains, one
+    # small Python node instead of the 144-column staged projection
+    # whose Catalyst cost dominated the entry (and whose query-side
+    # array(16-chain) twin still blew janino's 64KB method limit).
+    # The Arrow node is itself the codegen barrier between quantizer
+    # and search stage, so the eager localCheckpoint is gone too.
+    codes = pq_arrow_codes(e, books)
+    # per-query ADC distance TABLES (16 doubles x 8 subspaces):
+    # computed on the DRIVER from the collected 5-row query slice
+    # (bounded by design — the query set IS five vectors; same
+    # bounded-collect precedent as the BPE merge table) with the
+    # EXACT chain arithmetic (operators.similarity.pq_adc_tables),
+    # then shipped as a 5-row literal frame. Values are bit-identical
+    # to the staged-chain tables; the ADC lookup + round stays in
+    # whole-stage codegen exactly as before.
+    from ..operators.similarity import pq_adc_tables
 
-    qx = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), *_pq_elem_cols()
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    q = qx.select(
-        "q_id",
-        *[
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"({_pq_scalar_chain(s, j, books)})"
-                    for j in range(_PQ_K)
-                )
-                + ")"
-            ).alias(f"__t{s}")
-            for s in range(_PQ_SUBSPACES)
+    q = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), *pq_adc_tables(list(r["embedding"]), books))
+            for r in qrows
         ],
+        "q_id long, "
+        + ", ".join(
+            f"__t{s} array<double>" for s in range(_PQ_SUBSPACES)
+        ),
     )
     scored = codes.join(
         F.broadcast(q), F.col("q_id") != F.col("vec_id")
@@ -759,91 +758,63 @@ def _ivfpq_oracle_sql() -> str:
     " 4-bit codes (embed_pq_search's per-query lookup tables) — the"
     " memory move and the compute move composed, so search touches"
     " ~n_probe/n_lists of the corpus and never the raw vectors. The"
-    " stored 'index' is one narrow checkpointed frame (vec_id,"
-    " list_id, 8 codes) exactly like a serialized IVFPQ index; both"
+    " stored 'index' is one narrow Arrow-emitted frame (vec_id,"
+    " list_id, 8 codes) exactly like a serialized IVFPQ index (the"
+    " numpy mapInArrow pass, pq_arrow_codes — bit-identical chains,"
+    " pytest-pinned); both"
     " quantizers are fixed-seed constants, so candidate generation"
     " AND ranking are engine-identical arithmetic — fully"
-    " hash-checked end to end, rank ties to smallest vec_id. Plan:"
-    " one corpus scan builds the index frame, broadcast probed-query"
-    " tables, equi-join on list_id (plan-guarded: the pruning IS the"
-    " join), 8-lookup ADC inside codegen, per-query top-5"
-    " WindowGroupLimit. Pytest replays the full composition in"
+    " hash-checked end to end, rank ties to smallest vec_id. The"
+    " probed lists + ADC tables are computed on the DRIVER from the"
+    " collected 5-row query slice (bounded by design) with the exact"
+    " chain arithmetic, shipped as a 5 x n_probe-row literal frame."
+    " Plan: one corpus scan builds the index frame, broadcast"
+    " probed-query tables, equi-join on list_id (plan-guarded: the"
+    " pruning IS the join), 8-lookup ADC inside codegen, per-query"
+    " top-5 WindowGroupLimit. Pytest replays the full composition in"
     " numpy (IVF filter + ADC-to-reconstruction) and pins every"
-    " row. Measured at 100x replication of sf0.1 (local[32]): 16.9s"
-    " for 5 queries x 200k vectors including both quantizations (vs"
-    " embed_pq_search's unpruned 20.8s).",
+    " row. Measured at sf0.1 (local[32], isolated best-of-3): 1.2s"
+    " vs the staged-chain form's 9.3s (the staged form's 160-column"
+    " projection cost ~3s of Catalyst per run plus two eager"
+    " checkpoints); 100x datapoint in OPTIMIZATION_r11.md.",
 )
 def ann_ivfpq_search(spark, sf):
     from ..operators import similarity as sim
-    from .queries_r7 import (
-        _pq_elem_cols,
-        _pq_scalar_chain,
-        pq_scalar_codes,
-    )
+    from ..operators.similarity import ivf_probe_lists, pq_adc_tables
+    from .queries_r7 import pq_arrow_codes
 
     books = _pq_codebooks()
     cents = sim.fixed_centroids()
     e = _t(spark, sf, "embeddings")
-    # corpus side: staged scalar chains (optimization round 11, see
-    # pq_scalar_codes) — the fused array form blew janino's 64KB
-    # per-method limit and ran interpreted; the staged form is
-    # bit-identical (same IEEE chains, least/greatest = array
-    # min/max, first-match CASE = array_position) and compiles.
-    # the narrow (vec_id, list_id, codes) frame IS the IVFPQ
-    # index; checkpointing it severs the quantizer chains from
-    # the search stage (the embed_pq_search codegen lesson)
-    idx = pq_scalar_codes(
-        e, books, dots_cents=cents
-    ).localCheckpoint(eager=True)
-    dim = len(cents[0])
-    qbase = (
+    # corpus side: the Arrow numpy pass (optimization round 11, see
+    # pq_arrow_codes in queries_r7) emits the narrow (vec_id,
+    # list_id, codes) IVFPQ index frame directly — bit-identical
+    # chains, and the Python node is itself the codegen barrier, so
+    # the eager localCheckpoint (and the 160-column staged projection
+    # whose per-run Catalyst cost dominated this entry) are gone.
+    idx = pq_arrow_codes(e, books, dots_cents=cents)
+    # query side: probed lists + ADC tables computed on the DRIVER
+    # from the collected 5-row query slice (bounded by design; exact
+    # chain arithmetic — see embed_pq_search), shipped as a literal
+    # (q_id, list_id, tables) frame of 5 x n_probe rows.
+    qrows = sorted(
         e.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("q_id"), *_pq_elem_cols())
-        .select(
-            "q_id",
-            *[
-                F.expr(
-                    " + ".join(
-                        f"(__x{i} * ({float(c[i])!r}D))"
-                        for i in range(dim)
-                    )
-                ).alias(f"__v{ci}")
-                for ci, c in enumerate(cents)
-            ],
-            *[
-                F.expr(
-                    "array("
-                    + ", ".join(
-                        f"({_pq_scalar_chain(s, j, books)})"
-                        for j in range(_PQ_K)
-                    )
-                    + ")"
-                ).alias(f"__t{s}")
-                for s in range(_PQ_SUBSPACES)
-            ],
-        )
-        # 5-row eager checkpoint: a codegen barrier so the array(__v*)
-        # rebuild below cannot be collapsed back into one giant
-        # (uncompilable) projection with the dot chains
-        .localCheckpoint(eager=True)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    q = (
-        qbase.withColumn(
-            "__dots",
-            F.array(*[F.col(f"__v{ci}") for ci in range(len(cents))]),
-        )
-        .withColumn(
-            "list_id",
-            F.explode(
-                F.expr(
-                    "slice(transform(array_sort(zip_with(__dots,"
-                    f" sequence(0, {len(cents) - 1}),"
-                    " (d, i) -> struct(-d AS nd, i AS i))),"
-                    f" s -> cast(s.i as bigint)), 1, {sim.IVF_N_PROBE})"
-                )
-            ),
-        )
-        .drop("__dots", *[f"__v{ci}" for ci in range(len(cents))])
+    qdata = []
+    for r in qrows:
+        xq = list(r["embedding"])
+        tabs = pq_adc_tables(xq, books)
+        for lid in ivf_probe_lists(xq, cents, sim.IVF_N_PROBE):
+            qdata.append((int(r["vec_id"]), int(lid), *tabs))
+    q = spark.createDataFrame(
+        qdata,
+        "q_id long, list_id long, "
+        + ", ".join(
+            f"__t{s} array<double>" for s in range(_PQ_SUBSPACES)
+        ),
     )
     scored = (
         idx.join(F.broadcast(q), "list_id")

@@ -227,3 +227,93 @@ def test_stream_curation_restart_equivalence(spark):
     got_out, got_idx = state(crashy)
     assert got_out == ref_out
     assert got_idx == ref_idx
+
+
+def test_pq_arrow_codes_bit_equal_to_staged_chains(spark):
+    """Optimization round 11: the numpy mapInArrow PQ assignment must
+    be BIT-equal to the staged scalar chains it replaced — codes,
+    list_id, and the raw reconstruction error (compared at the uint64
+    bit level after the shared JVM round), across every fixture
+    vector."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+    from az_datapipeline_sentiment_analysis_spark.plans.queries_r7 import (
+        pq_arrow_codes,
+        pq_scalar_codes,
+    )
+    from pyspark.sql import functions as F
+
+    books = sim.pq_codebooks()
+    cents = sim.fixed_centroids()
+    e = table(spark, SF_SMOKE, "embeddings")
+    a = (
+        pq_arrow_codes(e, books, dots_cents=cents, want_err=True)
+        .select(
+            "vec_id",
+            "list_id",
+            *[f"code{s}" for s in range(sim.PQ_SUBSPACES)],
+            (F.round(F.col("recon_err_raw"), 6) + F.lit(0.0)).alias(
+                "recon_sqerr"
+            ),
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_scalar_codes(e, books, dots_cents=cents, want_err=True)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if c == "recon_sqerr":
+            av = np.ascontiguousarray(a[c].values).view(np.uint64)
+            bv = np.ascontiguousarray(b[c].values).view(np.uint64)
+            assert (av == bv).all(), "recon_sqerr not bit-identical"
+        else:
+            assert (a[c].values == b[c].values).all(), c
+
+
+def test_pq_driver_tables_match_staged_chains(spark):
+    """The driver-computed ADC tables and probed lists must equal the
+    staged-chain values for every fixture query vector (same IEEE
+    chains run in Python doubles)."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+    from az_datapipeline_sentiment_analysis_spark.operators.similarity import (
+        ivf_probe_lists,
+        pq_adc_tables,
+    )
+
+    books = sim.pq_codebooks()
+    cents = sim.fixed_centroids()
+    rows = (
+        table(spark, SF_SMOKE, "embeddings")
+        .filter("vec_id < 5")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        xq = list(r["embedding"])
+        tabs = pq_adc_tables(xq, books)
+        x = np.asarray(xq, dtype=np.float64)
+        for s in range(sim.PQ_SUBSPACES):
+            xs = x[s * sim.PQ_DIM:(s + 1) * sim.PQ_DIM]
+            for j in range(sim.PQ_K):
+                acc = None
+                for d in range(sim.PQ_DIM):
+                    t = (float(xs[d]) - float(books[s][j][d])) * (
+                        float(xs[d]) - float(books[s][j][d])
+                    )
+                    acc = t if acc is None else acc + t
+                assert tabs[s][j] == acc
+        probed = ivf_probe_lists(xq, cents, sim.IVF_N_PROBE)
+        assert len(probed) == sim.IVF_N_PROBE
+        assert len(set(probed)) == sim.IVF_N_PROBE
