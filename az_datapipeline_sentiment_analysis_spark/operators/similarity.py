@@ -225,6 +225,80 @@ def _centroid_dots_expr(vec_col: str, cents: np.ndarray) -> F.Column:
     return F.expr("array(" + ", ".join(dots) + ")")
 
 
+def arrow_assign_lists(
+    e: DataFrame,
+    cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_norm: bool = True,
+) -> DataFrame:
+    """(id, vec, list_id[, __n]) via ONE numpy mapInArrow pass — the
+    optimization-round-11 twin of ``_centroid_dots_expr`` +
+    array_position(array_max) + ``norm_expr``, which are interpreted
+    HOF lambdas (CodegenFallback) per row.
+
+    Bit-exactness contract (pytest-pinned):
+      * each centroid dot is the 0.0-SEEDED left fold of
+        cast(x as double) * centroid — here np.zeros plus ``dim``
+        sequential in-place adds, one IEEE add per element exactly
+        like aggregate's fold;
+      * list_id = FIRST index attaining the max dot (np.argmax =
+        array_position's first match);
+      * __n = sqrt of the 0.0-seeded left fold of x*x; np.sqrt and
+        Java Math.sqrt are both IEEE correctly-rounded.
+
+    The embedding column passes through the Arrow batch untouched, so
+    downstream pair stages read the same float32 arrays.
+    """
+    import pyarrow as pa
+
+    c64 = np.asarray(cents, dtype=np.float64)
+    dim = c64.shape[1]
+    out_sql = [f"{id_col} long", f"{vec_col} array<float>",
+               "list_id long"]
+    if with_norm:
+        out_sql.append("__n double")
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            emb = b.column(1)
+            flat = emb.flatten()
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            if not ((offs[1:] - offs[:-1]) == dim).all():
+                raise ValueError("ragged embedding batch in assign")
+            x = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            prods = x[:, None, :] * c64[None, :, :]
+            acc = np.zeros((n, c64.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                acc += prods[:, :, i]
+            arrays = [
+                b.column(0),
+                emb,
+                pa.array(np.argmax(acc, axis=1).astype(np.int64)),
+            ]
+            if with_norm:
+                sq = x * x
+                nacc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    nacc += sq[:, i]
+                arrays.append(pa.array(np.sqrt(nacc)))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.split(" ")[0] for f in out_sql]
+            )
+
+    return e.select(id_col, vec_col).mapInArrow(
+        assign, ", ".join(out_sql)
+    )
+
+
 def cluster_blocked_pairs(
     e: DataFrame, *, n_lists: int, tau: float
 ) -> DataFrame:
@@ -244,44 +318,78 @@ def cluster_blocked_pairs(
     Returns (u, v, cosine) with u < v and round(cosine, 6) >= tau.
     """
     cents = fixed_centroids(n_lists)
-    assigned = (
-        e.select(
-            "vec_id",
-            "embedding",
-            norm_expr("embedding").alias("__n"),
+    # assignment + norm in ONE numpy Arrow pass (optimization round
+    # 11): the HOF-lambda dots/norm (aggregate/zip_with) are
+    # CodegenFallback — interpreted per row. Values are bit-identical
+    # (pytest-pinned).
+    assigned = arrow_assign_lists(e, cents)
+    dim = len(cents[0])
+    # Within-cluster pairs in ONE numpy applyInPandas pass per
+    # cluster (optimization round 11). The measured alternatives at
+    # sf0.1 / 126k pairs: the HOF per-pair dot is interpreted
+    # (~2.8s), and a single 64-term codegen chain exceeds HotSpot's
+    # JIT method budget and runs uncompiled bytecode (~2.5s, 20us a
+    # pair) — the fold's strict left association forbids splitting
+    # into partial-sum stages, so the only faithful fast form is
+    # vectorized numpy replaying the exact op order: a 0.0-seeded
+    # sequential per-dim accumulation (identical IEEE adds), the same
+    # division, the same zero-denominator guard. Python emits the
+    # RAW quotient for a conservative superset (cos_raw > tau - 1e-6;
+    # round-half-up to 6 decimals can only reach tau from above
+    # tau - 5e-7), and the authoritative round(…, 6) >= tau filter
+    # stays in the JVM exactly as before, so emitted values and the
+    # survivor set are unchanged. Memory is bounded by a fixed row
+    # chunk against the cluster matrix, never a pair tensor.
+    margin = tau - 1e-6
+
+    def cluster_pairs(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"u": np.array([], dtype=np.int64),
+                 "v": np.array([], dtype=np.int64),
+                 "cos_raw": np.array([], dtype=np.float64)}
+            )
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
-        .withColumn("__dots", _centroid_dots_expr("embedding", cents))
-        .withColumn(
-            "list_id",
-            (
-                F.array_position(F.col("__dots"), F.array_max("__dots"))
-                - 1
-            ).cast("long"),
+        norms = pdf["__n"].to_numpy()
+        out_u: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        chunk = 512
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n - 1)
+            a = x[i0:i1]
+            acc = np.zeros((i1 - i0, n), dtype=np.float64)
+            for k in range(dim):
+                acc += a[:, k:k + 1] * x[:, k][None, :]
+            denom = norms[i0:i1, None] * norms[None, :]
+            safe = denom != 0
+            cos = np.where(safe, acc / np.where(safe, denom, 1.0), 0.0)
+            ii, jj = np.nonzero(
+                (cos > margin)
+                & (np.arange(n)[None, :] > (i0 + np.arange(i1 - i0))[:, None])
+            )
+            out_u.append(ids[ii + i0])
+            out_v.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u).astype(np.int64),
+             "v": np.concatenate(out_v).astype(np.int64),
+             "cos_raw": np.concatenate(out_c)}
         )
-        .drop("__dots")
+
+    raw = assigned.groupBy("list_id").applyInPandas(
+        cluster_pairs, "u long, v long, cos_raw double"
     )
-    x = assigned.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("u"),
-        F.col("embedding").alias("u_vec"),
-        F.col("__n").alias("__un"),
-    )
-    y = assigned.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("v"),
-        F.col("embedding").alias("v_vec"),
-        F.col("__n").alias("__vn"),
-    )
-    denom = F.col("__un") * F.col("__vn")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot_expr("u_vec", "v_vec") / denom
-    )
-    return (
-        x.join(y, "list_id")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= tau)
-    )
+    return raw.select(
+        "u", "v", F.round(F.col("cos_raw"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= tau)
 
 
 def ivf_fixed_topk(

@@ -989,8 +989,12 @@ _SEMDEDUP_DOC = (
     " comparisons drop from n^2 to sum-of-cluster-sizes^2, and the"
     " keep-the-smallest-id rule makes the prune set deterministic"
     " without a connected-components pass. Cluster assignment is the"
-    " embed_ann_ivf_exact fixed-quantizer arithmetic (pure Catalyst,"
-    " no training pass), so the FULL pipeline — clustering, pair"
+    " embed_ann_ivf_exact fixed-quantizer arithmetic (no training"
+    " pass; since optimization round 11 it and the within-cluster"
+    " pair dots run as numpy Arrow stages that replay the exact"
+    " 0.0-seeded fold order — pytest-pinned bit-equal, with the"
+    " authoritative round+tau filter still in the JVM), so the FULL"
+    " pipeline — clustering, pair"
     " candidacy, rounded cosine, prune aggregate — is value-hash-"
     "checked; tau=0.35 matches embed_neardup so the two entries'"
     " scopes compare directly (label-bucketed vs learned-geometry"

@@ -317,3 +317,127 @@ def test_pq_driver_tables_match_staged_chains(spark):
         probed = ivf_probe_lists(xq, cents, sim.IVF_N_PROBE)
         assert len(probed) == sim.IVF_N_PROBE
         assert len(set(probed)) == sim.IVF_N_PROBE
+
+
+def test_arrow_assign_lists_bit_equal_to_hof_exprs(spark):
+    """Optimization round 11: the numpy Arrow list-assignment pass
+    must be bit-equal to the HOF-lambda form it replaced — dots fold,
+    first-match argmax, and the 0.0-seeded norm — for every fixture
+    vector."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.functions.arrays import (
+        norm_expr,
+    )
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+    from az_datapipeline_sentiment_analysis_spark.operators.similarity import (
+        _centroid_dots_expr,
+        arrow_assign_lists,
+    )
+    from pyspark.sql import functions as F
+
+    cents = sim.fixed_centroids(16)
+    e = table(spark, SF_SMOKE, "embeddings")
+    a = (
+        arrow_assign_lists(e, cents)
+        .select("vec_id", "list_id", "__n")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        e.select(
+            "vec_id",
+            "embedding",
+            norm_expr("embedding").alias("__n"),
+        )
+        .withColumn("__dots", _centroid_dots_expr("embedding", cents))
+        .select(
+            "vec_id",
+            (
+                F.array_position(F.col("__dots"), F.array_max("__dots"))
+                - 1
+            ).cast("long").alias("list_id"),
+            "__n",
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (a["vec_id"].values == b["vec_id"].values).all()
+    assert (a["list_id"].values == b["list_id"].values).all()
+    an = np.ascontiguousarray(a["__n"].values).view(np.uint64)
+    bn = np.ascontiguousarray(b["__n"].values).view(np.uint64)
+    assert (an == bn).all(), "norms not bit-identical"
+
+
+def test_cluster_blocked_pairs_matches_fold_replay(spark):
+    """The numpy pair stage must emit exactly the pairs (and rounded
+    cosines) a per-pair 0.0-seeded fold replay produces — including
+    boundary behavior of the conservative pre-filter margin."""
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    tau = 0.35
+    e = table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (int(r["u"]), int(r["v"])): r["cosine"]
+        for r in sim.cluster_blocked_pairs(
+            e, n_lists=16, tau=tau
+        ).collect()
+    }
+    rows = sorted(
+        e.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = sim.fixed_centroids(16)
+    import decimal
+
+    def fold_dot(xa, xb):
+        acc = 0.0
+        for i in range(len(xa)):
+            acc = acc + xa[i] * xb[i]
+        return acc
+
+    def spark_round6(x):
+        # Spark's Round on double: BigDecimal half-up at scale 6 over
+        # the double's shortest decimal repr
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    assigned = []
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        dots = []
+        for c in cents:
+            acc = 0.0
+            for i in range(len(x)):
+                acc = acc + x[i] * float(c[i])
+            dots.append(acc)
+        lid = dots.index(max(dots))
+        import math
+
+        nrm = math.sqrt(fold_dot(x, x))
+        assigned.append((int(r["vec_id"]), lid, x, nrm))
+    want = {}
+    for ai in range(len(assigned)):
+        for bi in range(ai + 1, len(assigned)):
+            u, lu, xu, nu = assigned[ai]
+            v, lv, xv, nv = assigned[bi]
+            if lu != lv:
+                continue
+            denom = nu * nv
+            cos = 0.0 if denom == 0 else fold_dot(xu, xv) / denom
+            c6 = spark_round6(cos)
+            if c6 >= tau:
+                want[(u, v)] = c6
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
