@@ -641,9 +641,19 @@ def graph_kcore(spark, sf):
     )
     prev = keep.count()
     for _ in range(_KCORE_ROUNDS):
+        # broadcast the surviving-node set into both semi joins
+        # (optimization round 11): nodes are l_partkey values, bounded
+        # by the |part| catalog dimension — the same boundedness
+        # argument every dim broadcast in the registry uses — so the
+        # per-round edge passes become map-only broadcast semi joins
+        # instead of two full edge shuffles per round.
         surv = edges.join(
-            keep.withColumnRenamed("n", "u"), "u", "left_semi"
-        ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            F.broadcast(keep.withColumnRenamed("n", "u")),
+            "u", "left_semi",
+        ).join(
+            F.broadcast(keep.withColumnRenamed("n", "v")),
+            "v", "left_semi",
+        )
         deg = (
             surv.select(F.col("u").alias("n"))
             .unionAll(surv.select(F.col("v").alias("n")))
@@ -667,8 +677,10 @@ def graph_kcore(spark, sf):
             break
         prev = cur
     core = edges.join(
-        keep.withColumnRenamed("n", "u"), "u", "left_semi"
-    ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+        F.broadcast(keep.withColumnRenamed("n", "u")), "u", "left_semi"
+    ).join(
+        F.broadcast(keep.withColumnRenamed("n", "v")), "v", "left_semi"
+    )
     return (
         core.select(F.col("u").alias("node"))
         .unionAll(core.select(F.col("v").alias("node")))
