@@ -65,3 +65,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a small unsplittable scan before heavy per-row work.
+
+    The optimization-guide §2.5 input-skew fix: a single-row-group
+    parquet file (every testdata table ships as one) yields exactly ONE
+    non-empty scan partition, so regex/codec/UDF map work over it runs
+    on one core no matter how many the session has. When the input has
+    fewer partitions than the session's parallelism, round-robin
+    repartition to the core count (deterministic: Spark sorts before
+    round-robin, SPARK-23207); when the input is already split — any
+    real multi-file corpus — this is a NO-OP, so nothing is added at
+    production scale.
+
+    Call it only in front of heavy per-row map work, never between a
+    scan and its pushdown-able filters (repartition would block
+    predicate pushdown).
+    """
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

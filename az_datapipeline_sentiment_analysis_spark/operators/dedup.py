@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread
 from ..functions.text import fingerprint_expr
 
 # --- generation-tracked caching --------------------------------------
@@ -290,7 +291,8 @@ def _ngram_overlap_pairs(df, id_col, text_col, threshold, *, score, out,
     # least one shingle) is constant within a group for the same
     # reason; shingle-less docs never pair (no index entry), so their
     # groups are excluded from the jaccard=1.0 expansion too.
-    src = df.select(
+    # spread() first: see minhash_pairs (optimization round 11)
+    src = spread(df).select(
         F.col(id_col).alias("id"),
         fingerprint_expr(text_col).alias("fp"),
         F.col(text_col).alias("__text"),
@@ -470,7 +472,10 @@ def minhash_pairs(
     array-side cross-product expansion lost badly there (495s) —
     see the expansion comment below.
     """
-    keyed = df.select(
+    # spread() first (optimization round 11): the testdata corpus is a
+    # single-row-group parquet file, so the md5 + shingling scan ran
+    # on ONE core; no-op for already-split inputs (see catalog.spread)
+    keyed = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
@@ -766,7 +771,8 @@ def simhash_pairs(
     remaining time is output-bound member expansion); 10x = 2.1s /
     2.06M pairs.
     """
-    keyed = df.select(
+    # spread() first: see minhash_pairs (optimization round 11)
+    keyed = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
@@ -925,7 +931,8 @@ def prefix_filter_jaccard_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must be in (0, 1]")
     threshold = t_num / t_den
-    src = df.select(
+    # spread() first: see minhash_pairs (optimization round 11)
+    src = spread(df).select(
         F.col(id_col).alias("id"),
         fingerprint_expr(text_col).alias("fp"),
         F.col(text_col).alias("__text"),

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import spread
+
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, format string, width long, height long,"
     " sample_rate long, duration_ms long, checksum string"
@@ -172,7 +174,7 @@ def with_media_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                 out.append(_wav_bytes(8000 + (i % 5) * 4000, body))
         return pd.Series(out)
 
-    return df.withColumn("payload", make(F.col("doc_id"), F.col(text_col)))
+    return spread(df).withColumn("payload", make(F.col("doc_id"), F.col(text_col)))
 
 
 def extract_media_meta(df: DataFrame, *, decode_stub: bool = True) -> DataFrame:
@@ -584,7 +586,7 @@ def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(png_encode_rgb(pixel_rgb(i, w, h)))
         return pd.Series(out)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 PIXEL_STATS_SCHEMA = (
@@ -1031,7 +1033,7 @@ def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(gif_encode_gray(gif_fixture_gray(int(i))))
         return pd.Series(out)
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 GIF_STATS_SCHEMA = (
@@ -1474,7 +1476,7 @@ def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
         )
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
@@ -1552,7 +1554,7 @@ def with_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             [mixed_fixture_payload(int(i)) for i in doc_id]
         )
 
-    return df.withColumn("payload", make(F.col(id_col)))
+    return spread(df).withColumn("payload", make(F.col(id_col)))
 
 
 MIXED_CURATION_SCHEMA = (
