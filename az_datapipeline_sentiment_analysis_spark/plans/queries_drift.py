@@ -42,6 +42,7 @@ from operator import add
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..operators.dedup import ngram_containment_pairs
 from ..operators.quantiles import exact_group_quantiles
@@ -415,7 +416,7 @@ def containment_neardup(spark, sf):
     " vocabulary too, keeping every join shuffle-partitionable.",
 )
 def novelty_bigram_loo(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     duc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("du"))
     guc = duc.groupBy("w").agg(F.sum("du").alias("gu"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _few_partitions, _q
 
@@ -1061,7 +1062,7 @@ def text_normalize(spark, sf):
     " shuffle beyond the per-doc aggregation.",
 )
 def unigram_logprob(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")

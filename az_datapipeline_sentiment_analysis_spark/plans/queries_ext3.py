@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _q
 
@@ -67,7 +68,7 @@ _BPE_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
     " replication of sf0.1 (local[32]): 3.8s for 500k docs.",
 )
 def token_bpe_count(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
     return d.select(
         "doc_id",
@@ -2890,7 +2891,7 @@ def map_lambda_funcs(spark, sf):
     " 500k docs (two distinct-aggregates over ~90M tokens).",
 )
 def collation_funcs(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     toks = d.select(
         "source",
         F.explode(

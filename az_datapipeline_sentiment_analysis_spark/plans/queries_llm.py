@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..functions.text import alpha_ratio_expr
 from .queries import _q
@@ -363,7 +364,7 @@ def contamination_check(spark, sf):
     " per-doc counts reuse the doc-keyed shuffle.",
 )
 def boilerplate_ngrams(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     # Tokens materialized once (see quality_repetition note).
     g = (
         d.withColumn("__toks", F.expr(_TOKS))
@@ -780,7 +781,7 @@ def quality_filter_gate(spark, sf):
     " throughput, no shuffle growth.",
 )
 def bpe_merge_pairs(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     pairs = d.select(
         F.explode(
             F.expr(
@@ -1209,7 +1210,7 @@ def dataset_split_time(spark, sf):
     " zip with a positional self-join.",
 )
 def distinct_ngram_ratio(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     # materialize the token array ONCE per row; the zip then indexes
     # it instead of re-running the regex per lambda reference
     toked = d.select("source", F.expr(_TOKS).alias("toks"))

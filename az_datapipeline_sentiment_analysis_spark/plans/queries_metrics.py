@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _q
 
@@ -443,7 +444,7 @@ def apportion_quota(spark, sf):
     " three full-text regex passes fused into the one scan stage.",
 )
 def readability_flesch(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     words = F.size(
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..operators.bpe import (
     BPE_ROUNDS as _BPE_ROUNDS,
@@ -114,7 +115,7 @@ def _train_merges(spark, sf):
 
 
 def _corpus_words(spark, sf):
-    return _t(spark, sf, "documents").select(
+    return _sp(_t(spark, sf, "documents")).select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")

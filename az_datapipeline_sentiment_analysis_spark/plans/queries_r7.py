@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _q
 from .queries_ext3 import _BPE_PAT
@@ -69,7 +70,7 @@ _BPE_SQL = _BPE_PAT.replace("'", "''")
     " |langs|-row reduce at any corpus size. Measured at 100x replication of sf0.1 (local[32]): 6.8s for 500k docs.",
 )
 def tokenizer_fertility(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     t = d.select(
         "lang",
         "n_chars",

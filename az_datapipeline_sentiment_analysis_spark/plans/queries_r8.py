@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..functions.text import alpha_ratio_expr
 from .queries import _minhash_pairs_ctes, _q
@@ -448,7 +449,7 @@ _DSIR_K = 100    # Gumbel-top-k sampling budget (production sizes this
     " at 100 TB).",
 )
 def dsir_importance_weights(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     tb = d.select(
         "doc_id",
         (F.col("lang") == "en").alias("is_tgt"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _q
 from ..operators.similarity import PQ_DIM as _PQ_DIM
@@ -899,7 +900,7 @@ _WINNOW_W = 5  # k-gram hashes per winnowing window
     " k-gram hashes through the doc-keyed window chain).",
 )
 def winnow_fingerprints(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     t = d.select(
         "doc_id",
         F.posexplode(
@@ -1018,7 +1019,7 @@ _SPAN_K = 8  # tokens per span
     " token volume, not doc pairs.",
 )
 def span_dedup_exact(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     t = d.select(
         "doc_id",
         F.posexplode(

@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..operators import dedup as dd
 from .queries import _q
@@ -1300,7 +1301,7 @@ def _clsreport_oracle_sql() -> str:
 def classification_report(spark, sf):
     from ..functions.text import lang_id_on_tokens, tokens_expr
 
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     scored = d.withColumn("__toks", tokens_expr("text")).select(
         F.col("lang").alias("gold"),
         lang_id_on_tokens("text", "__toks").alias("pred"),

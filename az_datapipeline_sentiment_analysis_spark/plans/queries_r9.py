@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..operators import similarity as sim
 from .queries import _q
@@ -342,7 +343,7 @@ from ..operators.bpe import (  # noqa: E402
     " nothing — exactly the cost profile real BPE trainers have.",
 )
 def bpe_train_merges(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     toks = d.select(
         F.explode(
             F.expr(
@@ -713,7 +714,7 @@ _HTML_TAG = "<[^>]*>"
     " 500k pages, scan-bound.",
 )
 def html_text_extract(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _sp(_t(spark, sf, "documents"))
     nav = _HTML_NAV
     foot = _HTML_FOOTER
     ad = _HTML_AD
