@@ -416,17 +416,18 @@ def ivf_fixed_topk(
     :func:`brute_force_topk`.
     """
     cents = fixed_centroids(n_lists)
-    c = corpus.select(
+    # corpus assignment + norm via the numpy Arrow pass (optimization
+    # round 11, bit-identical to the HOF form — see arrow_assign_lists;
+    # the HOF dots/norm are CodegenFallback, interpreted per row). The
+    # tiny query side below stays on the HOF expressions.
+    c = arrow_assign_lists(
+        corpus, cents, id_col=id_col, vec_col=vec_col
+    ).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_expr(vec_col).alias("__c_norm"),
-    ).withColumn("__dots", _centroid_dots_expr("c_vec", cents))
-    # argmax with first-occurrence (smallest index) tie-break
-    c = c.withColumn(
+        F.col("__n").alias("__c_norm"),
         "list_id",
-        (F.array_position(F.col("__dots"), F.array_max("__dots")) - 1)
-        .cast("long"),
-    ).drop("__dots")
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
