@@ -1979,7 +1979,11 @@ def time_decayed_score(spark, sf):
     " quintile cuts, folded into the classic champion / at_risk /"
     " big_spender / loyal / dormant segments. The textbook form is"
     " three ntile(5) windows over the whole customer base — three"
-    " single-task global sorts; here the quintile CUTS come from the"
+    " single-task global sorts; here the quintile CUTS come from ONE"
+    " grouped two-phase pass over the stacked (metric, value) frame"
+    " (optimization round 11 — bit-identical (n-1)*p arithmetic per"
+    " metric group, 4.4s -> 3.0s at sf0.1, one fact scan instead of"
+    " three) using the"
     " bounded-memory two-phase selection (operators/quantiles, bit-"
     " identical to quantile_cont by construction and property test),"
     " broadcast as one 12-value row onto a map-only strict-compare"
