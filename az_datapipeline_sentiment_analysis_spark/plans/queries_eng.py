@@ -1991,8 +1991,9 @@ def time_decayed_score(spark, sf):
     " customer aggregate) no matter how many metrics are scored."
     " Strict > / < comparisons put cut-boundary ties in the lower"
     " score deterministically in both engines. Measured at 100x"
-    " replication of sf0.1 (local[32]): 26.0s for 1.5M customers,"
-    " output-bound after the checkpointed single aggregate.",
+    " replication of sf0.1 (local[32]): 24.5s for 1.5M customers"
+    " with the fused pass (26.0s with three passes, 38.9s without"
+    " the checkpoint), output-bound on the 1.5M-row result.",
 )
 def rfm_segmentation(spark, sf):
     from ..operators.quantiles import exact_group_quantiles

@@ -832,7 +832,8 @@ def pq_arrow_codes(e, books, *, dots_cents=None, want_err=False):
     " a per-run tax, Python-boundary cost amortizes over rows)."
     " Map-only scan, zero shuffle at any corpus size. Measured at"
     " sf0.1 (local[32], isolated best-of-3): 0.43s vs the staged"
-    " form's 5.5s; 100x datapoint in the round-11 OPTIMIZATION log.",
+    " form's 5.5s; at 100x replication 4.4s for 200k vectors"
+    " (staged form: 8.2s), output-bound on the 200k-row collect.",
 )
 def embed_pq_quantize(spark, sf):
     books = _pq_codebooks()
@@ -1000,10 +1001,10 @@ _SEMDEDUP_DOC = (
     "checked; tau=0.35 matches embed_neardup so the two entries'"
     " scopes compare directly (label-bucketed vs learned-geometry"
     " buckets). Emits one row per pruned vector with its witness"
-    " count, smallest witness id, and best cosine. Measured at 100x replication of sf0.1 (local[32]): 338.9s for 200k vectors / ~1.25B within-cluster candidate pairs at the FIXED n_lists=16 of the oracle-checked form — honest quadratic-within-cluster cost; the production knob is n_lists proportional to corpus size (SemDeDup uses ~1e5 clusters at web scale), keeping per-cluster size and with it sum-of-cluster-sizes^2 bounded: the plan is unchanged, only the constant matrix grows —"
+    " count, smallest witness id, and best cosine. Measured at 100x replication of sf0.1 (local[32], optimization round 11): 123.9s for 200k vectors / ~1.25B within-cluster candidate pairs at the FIXED n_lists=16 of the oracle-checked form (the round-10 JVM-HOF form: 338.9s) — honest quadratic-within-cluster cost; the production knob is n_lists proportional to corpus size (SemDeDup uses ~1e5 clusters at web scale), keeping per-cluster size and with it sum-of-cluster-sizes^2 bounded: the plan is unchanged, only the constant matrix grows —"
     " proven by the hash-checked semdedup_prune_sized twin:"
-    " n_lists=64 measured 118.3s vs this entry's 341.9s at 100x in"
-    " one alternated session — a 2.9x wall drop for 4x fewer pairs,"
+    " n_lists=64 measured 37.5s vs this entry's 123.9s at 100x in"
+    " one session — a 3.3x wall drop for 4x fewer pairs,"
     " i.e. per-cluster cost flat as the quantizer scales."
 )
 

@@ -157,9 +157,9 @@ def _pq_search_oracle_sql() -> str:
     " numpy and pins every emitted adc_dist to the exact squared L2"
     " between the query and the corpus vector's PQ reconstruction —"
     " ADC's defining identity. Measured at sf0.1 (local[32],"
-    " isolated best-of-3): 1.2s vs the staged-chain form's 7.2s"
-    " (earlier forms whose pair stage fell out of codegen:"
-    " 73.5-122.7s at 100x); 100x datapoint in OPTIMIZATION_r11.md.",
+    " isolated best-of-3): 1.2s vs the staged-chain form's 7.2s;"
+    " 100x replication 5.1s incl. quantization (the round-10 form"
+    " measured 20.8s; earlier out-of-codegen forms 73.5-122.7s).",
 )
 def embed_pq_search(spark, sf):
     from .queries_r7 import pq_arrow_codes
@@ -777,7 +777,8 @@ def _ivfpq_oracle_sql() -> str:
     " row. Measured at sf0.1 (local[32], isolated best-of-3): 1.2s"
     " vs the staged-chain form's 9.3s (the staged form's 160-column"
     " projection cost ~3s of Catalyst per run plus two eager"
-    " checkpoints); 100x datapoint in OPTIMIZATION_r11.md.",
+    " checkpoints); 100x replication 2.2s incl. both quantizations"
+    " (round-10 form: 16.9s).",
 )
 def ann_ivfpq_search(spark, sf):
     from ..operators import similarity as sim

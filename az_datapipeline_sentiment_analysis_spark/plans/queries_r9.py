@@ -55,8 +55,10 @@ _NEARDUP_TAU = 0.35
     " learned-geometry buckets, which is what a production near-dup"
     " pass actually wants (labels are not available on unlabeled"
     " corpora). Measured at 100x replication of sf0.1 (local[32],"
-    " scale_timing harness): completes in 984.8s for 200k vectors /"
-    " 13.48M emitted pairs at n_lists=64 — the datapoint the"
+    " scale_timing harness, optimization round 11): completes in"
+    " 130.9s for 200k vectors /"
+    " 13.48M emitted pairs at n_lists=64 (the round-10 JVM-HOF pair"
+    " stage measured 984.8s) — the datapoint the"
     " label-blocked form could not produce at all ('intractable at"
     " 100x' by its own docstring). The wall is OUTPUT-bound, not"
     " join-bound: stride-replication makes every original vector"
