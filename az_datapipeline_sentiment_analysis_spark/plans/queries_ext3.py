@@ -68,7 +68,7 @@ _BPE_PAT = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s"
     " replication of sf0.1 (local[32]): 3.8s for 500k docs.",
 )
 def token_bpe_count(spark, sf):
-    d = _sp(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
     return d.select(
         "doc_id",
