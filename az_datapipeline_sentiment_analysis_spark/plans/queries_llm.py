@@ -1210,7 +1210,7 @@ def dataset_split_time(spark, sf):
     " zip with a positional self-join.",
 )
 def distinct_ngram_ratio(spark, sf):
-    d = _sp(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     # materialize the token array ONCE per row; the zip then indexes
     # it instead of re-running the regex per lambda reference
     toked = d.select("source", F.expr(_TOKS).alias("toks"))

@@ -444,7 +444,7 @@ def apportion_quota(spark, sf):
     " three full-text regex passes fused into the one scan stage.",
 )
 def readability_flesch(spark, sf):
-    d = _sp(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     words = F.size(
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     )

@@ -636,18 +636,26 @@ def test_semdedup_pairs_stay_cluster_keyed(spark):
     # on list_id — a CartesianProduct or a join that lost the list_id
     # key means all-pairs cosine is back. Growing n_lists must change
     # only the constant matrix, never the plan shape.
+    # since optimization round 11 the pair stage is a numpy
+    # applyInPandas per cluster: the plan must show the pair work
+    # grouped BY list_id (FlatMapGroupsInPandas fed by a
+    # hashpartitioning(list_id) exchange) — losing that key means
+    # all-pairs cosine is back; shape-invariance across quantizer
+    # sizes still holds because only the constant matrix grows.
     shapes = {}
     for name in ("semdedup_prune", "semdedup_prune_sized"):
         plan = _simple_plan(spark, name)
         m = re.search(
+            r"FlatMapGroupsInPandas \[list_id|"
             r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
             r"[^\n]*list_id",
             plan,
         )
-        assert m, f"{name}: pair join not keyed on list_id\n{plan}"
+        assert m, f"{name}: pair stage not keyed on list_id\n{plan}"
+        assert "hashpartitioning(list_id" in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
-        shapes[name] = m.group(1)
-    # same physical join strategy for both sizes (shape-invariance)
+        shapes[name] = m.group(0).split("[")[0]
+    # same physical pair-stage strategy for both sizes
     assert shapes["semdedup_prune"] == shapes["semdedup_prune_sized"], shapes
 
 
