@@ -416,7 +416,7 @@ def containment_neardup(spark, sf):
     " vocabulary too, keeping every join shuffle-partitionable.",
 )
 def novelty_bigram_loo(spark, sf):
-    d = _sp(_t(spark, sf, "documents"))
+    d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     duc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("du"))
     guc = duc.groupBy("w").agg(F.sum("du").alias("gu"))
