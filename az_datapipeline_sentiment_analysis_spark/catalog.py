@@ -83,9 +83,24 @@ def spread(df: DataFrame) -> DataFrame:
     Call it only in front of heavy per-row map work, never between a
     scan and its pushdown-able filters (repartition would block
     predicate pushdown).
+
+    The partition probe is side-effect-free (optimization round 12):
+    ``df.rdd`` under AQE eagerly materializes upstream query stages
+    whenever the plan contains an Exchange, and dedup/multimodal
+    operators call spread() on arbitrary caller frames (e.g.
+    curation_pipeline's persisted mid-pipeline ``kept``), not only on
+    scans. A plan that already contains an Exchange has its
+    parallelism set by that exchange — return it untouched without
+    ever building ``df.rdd``. Only for exchange-free (narrow) plans is
+    ``df.rdd`` consulted, where it is a pure metadata build.
     """
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
+    # executedPlan (NOT sparkPlan, which predates EnsureRequirements
+    # and never shows exchanges) — under AQE this is the un-executed
+    # AdaptiveSparkPlan initial plan: pure planning, no job.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -250,6 +250,14 @@ def arrow_assign_lists(
 
     The embedding column passes through the Arrow batch untouched, so
     downstream pair stages read the same float32 arrays.
+
+    Hard-fail contract: a null or ragged embedding row raises
+    ValueError (the replaced HOF/staged-expression forms
+    null-propagated and silently EXCLUDED such rows). The fixture
+    corpus is dense by construction; callers feeding non-fixture data
+    must pre-filter null embeddings or accept the crash — surfacing
+    malformed vectors beats silently dropping them from a dedup or
+    ANN result.
     """
     import pyarrow as pa
 
@@ -421,11 +429,11 @@ def ivf_fixed_topk(
     Ties break to the smallest list index on both sides (first-match
     array_position / descending sort with index tiebreak), so the
     candidate set is engine-stable. Scale shape matches
-    :func:`ivf_topk`: one corpus scan to assign lists (pure Catalyst
-    here — no Arrow batch needed since the quantizer is a constant
-    expression), candidate join on list id, re-rank bounded by
-    n_probe/n_lists of the corpus. Output schema matches
-    :func:`brute_force_topk`.
+    :func:`ivf_topk`: one corpus scan to assign lists (the numpy
+    Arrow pass :func:`arrow_assign_lists` since optimization round
+    11 — the tiny query side stays on the HOF expressions), candidate
+    join on list id, re-rank bounded by n_probe/n_lists of the
+    corpus. Output schema matches :func:`brute_force_topk`.
     """
     cents = fixed_centroids(n_lists)
     # corpus assignment + norm via the numpy Arrow pass (optimization

@@ -42,7 +42,6 @@ from operator import add
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import spread as _sp
 from ..catalog import table as _t
 from ..operators.dedup import ngram_containment_pairs
 from ..operators.quantiles import exact_group_quantiles

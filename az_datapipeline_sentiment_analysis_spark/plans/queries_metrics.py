@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import spread as _sp
 from ..catalog import table as _t
 from .queries import _q
 

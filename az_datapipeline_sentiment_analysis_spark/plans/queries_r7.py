@@ -747,6 +747,12 @@ def pq_arrow_codes(e, books, *, dots_cents=None, want_err=False):
 
     Integer codes cross the Python boundary — never the rounded
     floats — so there is no float-render hazard at the Arrow seam.
+
+    Hard-fail contract (shared with arrow_assign_lists): a null or
+    ragged embedding row raises ValueError, where the staged
+    expression form null-propagated and silently excluded such rows.
+    Callers on non-fixture data must pre-filter null embeddings or
+    accept the crash.
     """
     import pyarrow as pa
 

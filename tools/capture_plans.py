@@ -1,7 +1,8 @@
 """Capture .explain('formatted') for a set of registry queries.
 
 Usage: python tools/capture_plans.py <suffix> name1,name2,... [SF_DIR]
-Writes plans/r11/<name>_<suffix>.txt for each query.
+Writes plans/$PLANS_ROUND/<name>_<suffix>.txt for each query
+(PLANS_ROUND defaults to r12).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2].split(",")
     sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    out_dir = "/root/repo/plans/r11"
+    out_dir = f"/root/repo/plans/{os.environ.get('PLANS_ROUND', 'r12')}"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
