@@ -174,7 +174,22 @@ def calendar_funcs(spark, sf):
     " L1(charcount_a, charcount_b) / 2 (a substitution moves two"
     " counts, insert/delete one) — both computed on 37-element"
     " character-count arrays (37 zip ops per pair vs the O(k*n) DP),"
-    " so only bound-surviving pairs pay Levenshtein. The decisive"
+    " so only bound-surviving pairs pay Levenshtein; the survivors"
+    " are checkpoint-barriered and round-robin-spread off the"
+    " blocking key before the DP (optimization round 12) because"
+    " candidates concentrate in the hottest (lang, bucket) blocks"
+    " and the DP otherwise runs one-core serial in the join stage"
+    " that generated them — the barrier matters: a bare repartition"
+    " measured as pure noise because Catalyst pushed the"
+    " deterministic edit-distance filter back below the exchange"
+    " into the join condition (measured at 10x: entry 8.9 -> 4.2s"
+    " end-to-end, compute probe 8.8 -> 3.5s; a 37-term codegen'd L1"
+    " chain was ALSO measured as the HOF bound's replacement and ran"
+    " ~1.7x SLOWER warm — the giant expression exceeds the JIT"
+    " budget, the cluster-cosine lesson — so the interpreted HOF"
+    " bound stays, and a generation-tracked persist of the"
+    " fingerprint scan measured noise-level, likewise not kept)."
+    " The decisive"
     " move is the dedup-family EXACT-COPY COLLAPSE: the synthetic"
     " corpus (like any web crawl) holds large identical-text groups,"
     " and a group of size g otherwise pays g^2/2 DP runs for pairs"
@@ -245,7 +260,7 @@ def editdist_neardup(spark, sf):
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    rep_pairs = (
+    bound_ok = (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
@@ -254,8 +269,29 @@ def editdist_neardup(spark, sf):
         )
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 20)
         .filter(l1 <= 40)
+        .select("lang_a", "lb_a", "fp_a", "fp_b", "t_a", "t_b")
+    )
+    # Spread the DP off the blocking key (optimization round 12, guide
+    # §2.5): candidate pairs concentrate in the hottest (lang,
+    # len_bucket) blocks, so the thresholded DP otherwise runs almost
+    # serially inside the partition that generated them — measured at
+    # 10x: the DP added 3.2s on ~13k bound-survivors, i.e. one core's
+    # worth of 246us/pair work while 31 cores idled. The survivors are
+    # bound-filtered (tiny vs the raw pair stream), so a round-robin
+    # exchange of just (block keys, fp pair, both texts) is cheap at
+    # any scale, and the partition count tracks the cluster, not the
+    # data shape. The localCheckpoint is the required PUSHDOWN
+    # BARRIER, not a cache: with a bare repartition Catalyst pushes
+    # the (deterministic) edit_dist >= 0 filter back below the
+    # exchange INTO the join condition, and the DP lands in the
+    # skewed join stage again — the before/after plans prove it.
+    spread_pairs = bound_ok.localCheckpoint(eager=True).repartition(
+        bound_ok.sparkSession.sparkContext.defaultParallelism
+    )
+    rep_pairs = (
         # 3-arg levenshtein early-exits at the threshold (returns -1
         # beyond it), so each surviving pair costs O(k*n), not O(n^2)
+        spread_pairs
         .withColumn("edit_dist", F.levenshtein("t_a", "t_b", 20).cast("long"))
         .filter(F.col("edit_dist") >= 0)
         .select("lang_a", "lb_a", "fp_a", "fp_b", "edit_dist")
