@@ -642,19 +642,43 @@ def connected_components(
     test (sum of labels decreases monotonically, so equality means
     converged). ``localCheckpoint`` breaks the growing lineage so round
     N's plan doesn't replan rounds 1..N-1.
+
+    Optimization round 12: the bidirectional edge frame is built with
+    ONE explode scan of the pair frame (the union form scanned the
+    pair pipeline's tail twice) and is NOT deduplicated — min-label
+    propagation is insensitive to edge multiplicity (duplicate input
+    pairs only add join volume, never change the fixpoint), and the
+    (u,v)/(v,u) orientations can't collide for u != v, so the old
+    ``distinct`` shuffled the full edge frame to drop nothing. Round
+    1 collapses to ONE aggregate: labels start as identity, so every
+    node's first neighbor-min is ``min(v)`` per ``u``, and the node
+    set IS the aggregate's key set (each node appears as ``u`` in the
+    bidirectional frame) — the identity-label checkpoint, its
+    distinct, and round 1's join all disappear. Identical fixpoint,
+    identical round budget (1 aggregate round + max_iter-1 join
+    rounds; the old round 1 could never be the fixpoint on a
+    non-empty graph since the larger endpoint of any edge always
+    changes).
     """
     e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist()
+    edges = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").persist()
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("m"))
+        .select(
+            "node", F.least(F.col("node"), F.col("m")).alias("comp")
+        )
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("comp")
-    )
-    labels = labels.localCheckpoint(eager=True)
     prev = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
