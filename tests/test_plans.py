@@ -652,6 +652,14 @@ def test_semdedup_pairs_stay_cluster_keyed(spark):
             plan,
         )
         assert m, f"{name}: pair stage not keyed on list_id\n{plan}"
+        # round-12 salted shape: the pair group key is
+        # (list_id, bp, bq) — the sub-block salting that bounds
+        # per-worker memory; losing list_id from the key means
+        # all-pairs cosine is back, losing bp/bq means the memory
+        # bound is gone
+        assert re.search(
+            r"FlatMapGroupsInPandas \[list_id[^\]]*\bbp[^\]]*\bbq", plan
+        ), (name, plan)
         assert "hashpartitioning(list_id" in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         shapes[name] = m.group(0).split("[")[0]

@@ -116,6 +116,66 @@ def test_kcore_peel_non_broadcast_fallback(spark, monkeypatch):
     assert _run_peel(spark, edges) == ref
 
 
+def test_cluster_blocked_pairs_salted_bit_identical(spark):
+    # Force the sub-block salting path (block_rows far below the
+    # corpus) and pin its output bit-for-bit against the unsalted
+    # B=1 fast path: same pair set, same rounded cosines. The salting
+    # must be pure re-grouping — every unordered pair lands in
+    # exactly one (list, p, q) group and the per-pair arithmetic is
+    # unchanged.
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    from conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    base = {
+        (int(r["u"]), int(r["v"])): r["cosine"]
+        for r in sim.cluster_blocked_pairs(
+            e, n_lists=16, tau=0.35, block_rows=10**9
+        ).collect()
+    }
+    salted = {
+        (int(r["u"]), int(r["v"])): r["cosine"]
+        for r in sim.cluster_blocked_pairs(
+            e, n_lists=16, tau=0.35, block_rows=8
+        ).collect()
+    }
+    assert salted == base and len(base) > 0
+
+
+def test_cluster_blocked_pairs_hot_cluster_is_salted(spark):
+    # A synthetic hot cluster (every vector identical => one cluster
+    # holds the whole corpus): with a small block budget the stage
+    # must still emit every pair exactly once with cosine 1.0 —
+    # n*(n-1)/2 pairs — through cross-block groups.
+    import pyspark.sql.functions as F
+
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        similarity as sim,
+    )
+
+    n = 60
+    vec = [float(x) for x in range(1, 65)]
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x).cast("float") for x in vec]).alias(
+            "embedding"
+        ),
+    )
+    out = sim.cluster_blocked_pairs(
+        e, n_lists=16, tau=0.5, block_rows=7
+    ).collect()
+    pairs = {(int(r["u"]), int(r["v"])) for r in out}
+    assert len(out) == n * (n - 1) // 2
+    assert pairs == {
+        (u, v) for u in range(n) for v in range(u + 1, n)
+    }
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
+
+
 def test_kcore_peel_everything_peels(spark):
     # a bare path graph: every node dies (degrees <= 2), the loop must
     # fixpoint on an empty frame and emit zero rows
