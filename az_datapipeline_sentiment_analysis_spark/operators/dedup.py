@@ -428,14 +428,19 @@ def minhash_signatures(
     )
 
 
-def minhash_pairs(
+def _minhash_rep_stage(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
-) -> DataFrame:
-    """Near-dup pairs via banded LSH + exact verification.
+):
+    """Near-dup pairs via banded LSH + exact verification — the shared
+    REPRESENTATIVE-level stage (through verified rep pairs), factored
+    out in optimization round 12 so consumers that only need the
+    duplicate-id SET (:func:`minhash_dup_doc_ids`) skip the
+    member-pair expansion. Returns (grouped, members, sigs,
+    rep_pairs).
 
     Plan shape (scales linearly in corpus size for bounded dup rate):
       0. EXACT-dedup pre-pass: group verbatim-identical texts by md5
@@ -554,6 +559,22 @@ def minhash_pairs(
             "jaccard",
         )
     )
+    return grouped, members, sigs, rep_pairs
+
+
+def minhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """See :func:`_minhash_rep_stage` (the shared signature/banding/
+    verification prefix) — this adds the member-level pair expansion.
+    """
+    grouped, members, sigs, rep_pairs = _minhash_rep_stage(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    )
     # expansion back to member level. Members are the persisted
     # map-only (fp, id) projection above — one extra narrow
     # materialization (~40 B/row) per invocation, in exchange for
@@ -614,6 +635,79 @@ def minhash_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def minhash_dup_doc_ids(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The distinct ``doc_b`` set of :func:`minhash_pairs` — the docs a
+    keep-the-smallest-id dedup DROPS — without materializing the
+    member-level pair expansion (optimization round 12).
+
+    dedup_verdict and curation_pipeline only consume
+    ``pairs.select(doc_b).distinct()``; the quadratic member cross
+    products exist in minhash_pairs purely to ENUMERATE pairs, so for
+    the set-of-drops the expansion reduces to linear joins:
+
+    * intra (copy groups, jaccard 1.0): every member except the
+      group's representative (rep = min id) appears as doc_b of some
+      intra pair — and ONLY those (the rep is always the smaller id of
+      its pairs). Same nonempty-shingle gate as the pair form.
+    * cross (verified rep pair A x B, reps are group minima): doc_b =
+      greatest(ia, ib) over A x B, and x ∈ A appears as a greatest iff
+      some ib < x exists, i.e. iff x > rep_b (= min(B)); symmetrically
+      y ∈ B iff y > rep_a. Ids are unique across fp groups, so
+      greatest never degenerates.
+
+    Output: one ``doc_id`` column, distinct — exactly equal (pytest-
+    pinned) to ``minhash_pairs(df).select(doc_b).distinct()``.
+    """
+    grouped, members, sigs, rep_pairs = _minhash_rep_stage(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    rep_fp = grouped.select("rep_id", "fp")
+    nonempty = sigs.filter(F.size("shingles") > 0).select(
+        F.col("id").alias("rep_id")
+    )
+    intra_b = (
+        members.join(rep_fp.join(nonempty, "rep_id"), "fp")
+        .filter(F.col("id") > F.col("rep_id"))
+        .filter(F.lit(round(1.0, 4)) >= threshold)
+        .select(F.col("id").alias("doc_id"))
+    )
+    am = (
+        rep_pairs.join(
+            rep_fp.select(
+                F.col("rep_id").alias("rep_a"), F.col("fp").alias("fp_a")
+            ),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia")),
+            "fp_a",
+        )
+        .filter(F.col("ia") > F.col("rep_b"))
+        .select(F.col("ia").alias("doc_id"))
+    )
+    bm = (
+        rep_pairs.join(
+            rep_fp.select(
+                F.col("rep_id").alias("rep_b"), F.col("fp").alias("fp_b")
+            ),
+            "rep_b",
+        )
+        .join(
+            members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib")),
+            "fp_b",
+        )
+        .filter(F.col("ib") > F.col("rep_a"))
+        .select(F.col("ib").alias("doc_id"))
+    )
+    return intra_b.unionByName(am).unionByName(bm).distinct()
 
 
 # --- near-dup clustering (connected components) ----------------------

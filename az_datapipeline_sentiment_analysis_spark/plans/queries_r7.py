@@ -1711,10 +1711,12 @@ def dedup_verdict(spark, sf):
     ex = d.select(
         "doc_id", F.min("doc_id").over(w).alias("__rep")
     )
-    near = (
-        dd.minhash_pairs(d, threshold=0.3)
-        .select(F.col("doc_b").alias("__nd"))
-        .distinct()
+    # near-dup DROP SET directly (optimization round 12): only the
+    # distinct doc_b set feeds the verdict, so the member-pair
+    # expansion is skipped (minhash_dup_doc_ids — pytest-pinned equal
+    # to the pair form's distinct doc_b)
+    near = dd.minhash_dup_doc_ids(d, threshold=0.3).select(
+        F.col("doc_id").alias("__nd")
     )
     return (
         ex.join(near, ex["doc_id"] == near["__nd"], "left")

@@ -167,11 +167,11 @@ def curation_pipeline(spark, sf):
     # exact-before-near, keep-the-smallest-id)
     w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
     ex = kept.withColumn("__rep", F.min("doc_id").over(w))
-    near = (
-        dd.minhash_pairs(kept, threshold=0.3)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # near-dup DROP SET directly (optimization round 12): the verdict
+    # only consumes distinct doc_b, so the member-pair expansion is
+    # skipped (minhash_dup_doc_ids — pytest-pinned equal to the pair
+    # form's distinct doc_b)
+    near = dd.minhash_dup_doc_ids(kept, threshold=0.3)
     surv = (
         ex.filter(F.col("doc_id") == F.col("__rep"))
         .join(near, "doc_id", "left_anti")

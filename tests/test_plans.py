@@ -617,12 +617,13 @@ def test_curation_pipeline_plan_budget(spark):
     # projections, dedup contributes the minhash band/verify/member
     # joins + the md5 window + the near-set distinct/anti-join, pack
     # contributes the bucket agg + bucket-local window, the manifest
-    # ONE 64-group aggregate. Audited at 23 exchanges (sf0.001) — a
-    # rise means a stage started re-shuffling work a co-keyed
-    # neighbor already paid for.
+    # ONE 64-group aggregate. Audited at 23 exchanges (sf0.001)
+    # through round 11; round 12's expansion-free near-dup drop set
+    # (minhash_dup_doc_ids) re-audits at 14 — a rise means a stage
+    # started re-shuffling work a co-keyed neighbor already paid for.
     plan = _formatted_plan(spark, "curation_pipeline")
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchange <= 23, (n_exchange, plan)
+    assert n_exchange <= 14, (n_exchange, plan)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the only single-partition sort is pack's bucket-frame prefix sum

@@ -176,6 +176,55 @@ def test_cluster_blocked_pairs_hot_cluster_is_salted(spark):
     assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
 
 
+def test_minhash_dup_doc_ids_equals_pair_doc_b(spark):
+    # the expansion-free drop set must equal the pair form's distinct
+    # doc_b exactly — on the fixture corpus AND on a synthetic corpus
+    # engineered to exercise every branch: multi-member copy groups
+    # (intra), cross near-dup groups where the A-side holds ids both
+    # below and above the B rep (the ia > rep_b cut), and an
+    # empty-shingle copy group (the nonempty gate)
+    from az_datapipeline_sentiment_analysis_spark.catalog import table
+    from az_datapipeline_sentiment_analysis_spark.operators import (
+        dedup as dd,
+    )
+
+    from conftest import SF_SMOKE
+
+    def drop_set(df):
+        got = {
+            int(r["doc_id"])
+            for r in dd.minhash_dup_doc_ids(df, threshold=0.3).collect()
+        }
+        want = {
+            int(r["doc_b"])
+            for r in dd.minhash_pairs(df, threshold=0.3)
+            .select("doc_b")
+            .distinct()
+            .collect()
+        }
+        assert got == want, (sorted(got - want), sorted(want - got))
+        return got
+
+    drop_set(table(spark, SF_SMOKE, "documents"))
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again"
+        " with many shared tokens across documents in this corpus"
+    )
+    near = base + " trailing variation tokens here"
+    rows = [
+        (1, base), (5, base), (9, base),        # copy group A (rep 1)
+        (2, near), (7, near),                   # copy group B (rep 2)
+        (3, "completely different text about unrelated topics entirely"
+            " nothing shared with the others at all in any way"),
+        (4, ""), (6, ""),                       # empty-shingle copies
+        (8, "zz"),                              # singleton, no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = drop_set(df)
+    assert len(got) > 0
+
+
 def test_kcore_peel_everything_peels(spark):
     # a bare path graph: every node dies (degrees <= 2), the loop must
     # fixpoint on an empty frame and emit zero rows
