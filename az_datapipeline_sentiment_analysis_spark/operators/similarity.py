@@ -364,11 +364,17 @@ def cluster_blocked_pairs(
     # (pytest-pinned).
     assigned = arrow_assign_lists(e, cents)
     dim = len(cents[0])
-    # --- sub-block salting decision (one cheap column-pruned count:
-    # if even a single all-in-one-cluster corpus fits the budget, no
-    # cluster can exceed it and the exact size pass is skipped) ---
+    # --- sub-block salting decision (one cheap column-pruned count).
+    # The exact size pass only arms when even the WORST case — the
+    # whole corpus landing in one cluster — would overshoot a single
+    # worker's envelope by more than the 8x headroom below (8 x
+    # 16384 rows of 64-dim float64 is a ~67 MB matrix, comfortably
+    # inside a 1 GiB/core worker); under that, B = 1 everywhere and
+    # the persist + size aggregate are skipped entirely (they
+    # measured +0.6s at 10x replication, where clusters are ~6k rows
+    # and salting can't help). ---
     n_rows = e.count()
-    if n_rows <= block_rows:
+    if n_rows <= 8 * block_rows:
         b_by_list = {lid: 1 for lid in range(n_lists)}
     else:
         from ..operators.dedup import _persist_generation
